@@ -1,0 +1,152 @@
+"""Event-time windowed analytics over the `events` stream table -- the
+streaming operator family the reference lacks entirely (SURVEY.md §2.6).
+
+These are the batch twins of the Structured Streaming versions in
+`streaming/`: in SS the same expressions run with
+`withWatermark("ts", ...)` in front (late-data bound + state eviction);
+batch execution lets the DuckDB oracle check the exact window semantics.
+
+Scale notes: tumbling/sliding windows are plain hash aggregates on
+(window, keys) -- one shuffle, map-side combinable, skew handled by AQE.
+Session windows are Spark-native `session_window` (state-store backed in
+SS); the SQL twin reproduces them with lag + running-sum session ids.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from streamprocessing_with_kafka_spark.functions.numeric import dec_sum, dec_sum_sql
+from streamprocessing_with_kafka_spark.sources.tables import load_table
+
+
+def tumbling_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute tumbling windows per event_type."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), dec_sum("value").alias("total_value"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n_events", "total_value")
+    )
+
+
+TUMBLING_EVENTS_SQL = f"""
+SELECT CAST(time_bucket(INTERVAL '10 minutes', ts) AS TIMESTAMP) AS ws,
+       event_type, COUNT(*) AS n_events, {dec_sum_sql('value')} AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def sliding_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute windows sliding every 5 minutes (each event in 2 windows)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), dec_sum("value").alias("total_value"))
+        .select(F.col("w.start").alias("ws"), "n_events", "total_value")
+    )
+
+
+SLIDING_EVENTS_SQL = f"""
+SELECT ws, COUNT(*) AS n_events, {dec_sum_sql('value')} AS total_value
+FROM (
+  SELECT CAST(time_bucket(INTERVAL '5 minutes', ts) AS TIMESTAMP) AS ws, value FROM events
+  UNION ALL
+  SELECT CAST(time_bucket(INTERVAL '5 minutes', ts) AS TIMESTAMP)
+         - INTERVAL '5 minutes' AS ws, value FROM events
+)
+GROUP BY ws
+"""
+
+
+def session_events(spark: SparkSession, sf_dir: str, gap: str = "30 minutes") -> DataFrame:
+    """Session windows per user: gap-based, Spark-native session_window."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), dec_sum("value").alias("total_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+# lag + running-sum session ids; a new session starts when the gap since the
+# previous event is >= 30 min (session_window treats [start, start+gap) as
+# half-open, so an exact-gap event opens a new session).
+SESSION_EVENTS_SQL = f"""
+WITH flagged AS (
+  SELECT user_id, ts, value,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+         THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sessions AS (
+  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM flagged
+)
+SELECT user_id, MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL '30 minutes' AS session_end,
+       COUNT(*) AS n_events, {dec_sum_sql('value')} AS total_value
+FROM sessions GROUP BY user_id, sess_id
+"""
+
+
+def dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact streaming-style dedup with a deterministic keeper: per
+    (user_id, event_type, 1-hour bucket) keep the lowest event_id.
+
+    SS twin: dropDuplicatesWithinWatermark([...]) -- same key shape, state
+    bounded by the watermark instead of the bucket.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    keyed = ev.withColumn("hour_bucket", F.date_trunc("hour", F.col("ts")))
+    keep = keyed.groupBy("user_id", "event_type", "hour_bucket").agg(
+        F.min("event_id").alias("event_id")
+    )
+    return keyed.join(keep, ["user_id", "event_type", "hour_bucket", "event_id"]).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+
+
+DEDUP_EVENTS_SQL = """
+SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
+FROM (
+  SELECT *, MIN(event_id) OVER (PARTITION BY user_id, event_type,
+                                date_trunc('hour', ts)) AS keeper
+  FROM events
+)
+WHERE event_id = keeper
+"""
+
+
+def props_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured path: extract props.k (JSON) and aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").try_cast("int")
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+PROPS_METRICS_SQL = """
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+       MIN(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
+       MAX(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+FROM events GROUP BY event_type
+"""

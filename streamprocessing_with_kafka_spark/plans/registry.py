@@ -1,0 +1,260 @@
+"""Query registry: every implemented operator bound to a name, a Spark
+callable (spark, sf_dir) -> DataFrame, and (where SQL-expressible) the
+DuckDB oracle SQL the driver hash-checks it against.
+
+This is the single source of truth behind __spark_entry__.py's queries() /
+oracle_sql(), tests/test_oracle_parity.py (the local mirror of the driver's
+t2 gate) and bench.py (entries flagged bench=True).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from streamprocessing_with_kafka_spark.functions.numeric import dec_sum, dec_sum_sql
+from streamprocessing_with_kafka_spark.operators import analytics, crud, windows
+from streamprocessing_with_kafka_spark.operators.route import ROUTE_SQL, route
+from streamprocessing_with_kafka_spark.operators.validate import (
+    VALIDATE_ENRICH_SQL,
+    validate_and_enrich,
+)
+from streamprocessing_with_kafka_spark.sources.raw_orders import RAW_ORDERS_SQL, raw_orders
+from streamprocessing_with_kafka_spark.sources.tables import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass
+class Query:
+    name: str
+    fn: QueryFn
+    sql: Optional[str]  # DuckDB oracle; None -> rows-only check
+    bench: bool = False
+    doc: str = ""
+
+
+_REGISTRY: dict[str, Query] = {}
+
+
+def register(name: str, sql: Optional[str], bench: bool = False, doc: str = ""):
+    def deco(fn: QueryFn) -> QueryFn:
+        _REGISTRY[name] = Query(name, fn, sql, bench, doc)
+        return fn
+
+    return deco
+
+
+def registry() -> dict[str, Query]:
+    return dict(_REGISTRY)
+
+
+def pipeline_sql(final_select: str) -> str:
+    """Compose the shared CTE chain for the reference pipeline oracle."""
+    return (
+        f"WITH raw AS ({RAW_ORDERS_SQL}),\n"
+        f"validated AS ({VALIDATE_ENRICH_SQL}),\n"
+        f"routed AS ({ROUTE_SQL})\n"
+        f"{final_select}"
+    )
+
+
+# --------------------------------------------------------------------------
+# Reference-parity pipeline (SURVEY.md §2.1-§2.4)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "flagship_pipeline",
+    pipeline_sql("SELECT * FROM routed"),
+    bench=True,
+    doc="S3+T1-T9+R1: full validate/enrich/route over the raw order stream",
+)
+def flagship_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return route(validate_and_enrich(raw_orders(spark, sf_dir)))
+
+
+@register(
+    "route_enriched",
+    pipeline_sql(
+        "SELECT order_id, product_name, quantity, price, order_date, total_price "
+        "FROM routed WHERE target = 'enriched_orders'"
+    ),
+    doc="R1 valid branch: the enriched_orders topic payload",
+)
+def route_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        flagship_pipeline(spark, sf_dir)
+        .filter(F.col("target") == "enriched_orders")
+        .select("order_id", "product_name", "quantity", "price", "order_date", "total_price")
+    )
+
+
+@register(
+    "route_invalid",
+    pipeline_sql(
+        "SELECT kafka_key, status_message FROM routed WHERE target = 'invalid_orders'"
+    ),
+    doc="ST6 dead-letter branch with reject reason",
+)
+def route_invalid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        flagship_pipeline(spark, sf_dir)
+        .filter(F.col("target") == "invalid_orders")
+        .select("kafka_key", "status_message")
+    )
+
+
+@register(
+    "stream_counters",
+    pipeline_sql(
+        "SELECT COUNT(*) AS processed, "
+        "COUNT(*) FILTER (WHERE is_valid) AS valid, "
+        "COUNT(*) FILTER (WHERE NOT is_valid) AS invalid FROM routed"
+    ),
+    doc="ST3 running counters (batch twin of observe() metrics)",
+)
+def stream_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return flagship_pipeline(spark, sf_dir).agg(
+        F.count(F.lit(1)).alias("processed"),
+        F.count_if(F.col("is_valid")).alias("valid"),
+        F.count_if(~F.col("is_valid")).alias("invalid"),
+    )
+
+
+@register(
+    "date_normalize",
+    pipeline_sql(
+        "SELECT r.order_id, r.order_date AS raw_date, v.order_date AS norm_date "
+        "FROM raw r JOIN validated v USING (order_id) WHERE r.order_id IS NOT NULL"
+    ),
+    doc="T7 epoch-days -> YYYY-MM-DD normalization, null-guarded (ST4 fix)",
+)
+def date_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = raw_orders(spark, sf_dir).select(
+        "order_id", F.col("order_date").alias("raw_date")
+    )
+    norm = validate_and_enrich(raw_orders(spark, sf_dir)).select(
+        "order_id", F.col("order_date").alias("norm_date")
+    )
+    return raw.join(norm, "order_id").filter(F.col("order_id").isNotNull())
+
+
+# --------------------------------------------------------------------------
+# CRUD surface (SURVEY.md §2.5) + K2 merge semantics
+# --------------------------------------------------------------------------
+
+
+@register("crud_scan", "SELECT * FROM orders", doc="Q2 full collection scan")
+def crud_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "orders")
+
+
+@register(
+    "crud_filter",
+    "SELECT * FROM orders WHERE o_custkey = 42",
+    doc="Q3 equality filter by key (pushed to the parquet scan)",
+)
+def crud_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return crud.filter_by_key(load_table(spark, sf_dir, "orders"), "o_custkey", 42)
+
+
+@register(
+    "crud_append",
+    "SELECT * FROM orders UNION ALL SELECT 999999999, 1, 'O', 400.0, "
+    "TIMESTAMP '2025-11-09 00:00:00', '1-URGENT'",
+    doc="Q4 append one row (the golden WASP order analog)",
+)
+def crud_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    row = spark.range(1).select(
+        F.lit(999999999).cast("long").alias("o_orderkey"),
+        F.lit(1).cast("long").alias("o_custkey"),
+        F.lit("O").alias("o_orderstatus"),
+        F.lit(400.0).alias("o_totalprice"),
+        F.lit("2025-11-09 00:00:00").cast("timestamp").alias("o_orderdate"),
+        F.lit("1-URGENT").alias("o_orderpriority"),
+    )
+    return crud.append_rows(o, row)
+
+
+@register(
+    "crud_delete",
+    "SELECT * FROM orders WHERE o_orderkey NOT IN "
+    "(SELECT o_orderkey FROM orders WHERE o_orderkey % 97 = 0)",
+    doc="Q5 delete-by-key as a broadcast left_anti join",
+)
+def crud_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    doomed = o.filter(F.col("o_orderkey") % 97 == 0).select("o_orderkey")
+    return crud.delete_by_keys(o, doomed, "o_orderkey")
+
+
+_UPSERT_SQL = """
+WITH updates AS (
+  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+         round(o_totalprice * 2, 2) AS o_totalprice, o_orderdate, o_orderpriority,
+         (o_orderkey % 100 = 0) AS is_tombstone
+  FROM orders WHERE o_orderkey % 10 = 0
+)
+SELECT b.* FROM orders b
+  WHERE b.o_orderkey NOT IN (SELECT o_orderkey FROM updates)
+UNION ALL
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+  FROM updates WHERE NOT is_tombstone
+"""
+
+
+@register(
+    "crud_upsert",
+    _UPSERT_SQL,
+    doc="K2 JDBC-sink semantics: PK upsert + null-payload tombstone delete",
+)
+def crud_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    updates = o.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("U").alias("o_orderstatus"),
+        F.round(F.col("o_totalprice") * 2, 2).alias("o_totalprice"),
+        "o_orderdate",
+        "o_orderpriority",
+        (F.col("o_orderkey") % 100 == 0).alias("is_tombstone"),
+    )
+    return crud.merge_upsert(o, updates, "o_orderkey")
+
+
+# --------------------------------------------------------------------------
+# Relational analytics (bench workload)
+# --------------------------------------------------------------------------
+
+register("agg_pricing_summary", analytics.PRICING_SUMMARY_SQL, bench=True)(
+    analytics.pricing_summary
+)
+register("join_revenue_by_nation", analytics.REVENUE_BY_NATION_SQL, bench=True)(
+    analytics.revenue_by_nation
+)
+register("window_top_orders", analytics.TOP_ORDERS_PER_CUSTOMER_SQL, bench=True)(
+    analytics.top_orders_per_customer
+)
+register("agg_order_rollup", analytics.ORDER_ROLLUP_SQL)(analytics.order_rollup)
+register("setop_urgent_not_fulfilled", analytics.URGENT_NOT_FULFILLED_SQL)(
+    analytics.urgent_not_fulfilled
+)
+register("topk_parts_by_revenue", analytics.TOP_PARTS_BY_REVENUE_SQL, bench=True)(
+    analytics.top_parts_by_revenue
+)
+
+# --------------------------------------------------------------------------
+# Event-time windows (streaming analog, batch-checked)
+# --------------------------------------------------------------------------
+
+register("events_tumbling", windows.TUMBLING_EVENTS_SQL, bench=True)(
+    windows.tumbling_events
+)
+register("events_sliding", windows.SLIDING_EVENTS_SQL)(windows.sliding_events)
+register("events_session", windows.SESSION_EVENTS_SQL, bench=True)(windows.session_events)
+register("events_dedup", windows.DEDUP_EVENTS_SQL)(windows.dedup_events)
+register("events_props_metrics", windows.PROPS_METRICS_SQL)(windows.props_metrics)

@@ -1,0 +1,55 @@
+"""SparkSession construction tuned for this engine.
+
+Scale posture: these configs are the local[N] analog of what we would set
+on a 1000-executor cluster -- AQE on (runtime re-plan, skew-join splitting,
+partition coalescing), shuffle partitions sized to cores (cluster: 2-3x
+total cores), UTC session timezone so timestamp semantics are
+deployment-independent, Arrow enabled for the few Pandas-UDF paths.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable SQL confs every entry point applies defensively, so the
+# engine behaves identically under a session it did not build (the driver
+# creates its own SparkSession).
+_RUNTIME_CONFS = {
+    # testdata events.parquet stores TIMESTAMP(NANOS) which Spark's parquet
+    # reader rejects; read as long nanos and convert (see sources/tables.py).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # timestamp formatting must match the DuckDB oracle (naive == UTC).
+    "spark.sql.session.timeZone": "UTC",
+    # AQE: runtime shuffle-partition coalescing + skew-join handling.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+}
+
+
+def ensure_runtime_confs(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable confs; safe to call repeatedly."""
+    for k, v in _RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # static conf on this build -- best effort
+            pass
+    return spark
+
+
+def get_spark(app_name: str = "streamprocessing-spark-engine") -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "90g"))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in _RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return ensure_runtime_confs(spark)

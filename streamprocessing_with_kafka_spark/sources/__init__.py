@@ -1,0 +1,3 @@
+from streamprocessing_with_kafka_spark.sources.tables import load_table, TABLES
+
+__all__ = ["load_table", "TABLES"]

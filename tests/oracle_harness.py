@@ -1,0 +1,70 @@
+"""Local mirror of the driver's t2 correctness gate: run a registered query
+in Spark AND its oracle SQL in DuckDB over the same parquet tables, then
+compare row count + order-insensitive values (columns sorted by name).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import math
+
+import duckdb
+
+from streamprocessing_with_kafka_spark.sources.tables import TABLES
+
+
+def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    return con
+
+
+def _canon(v):
+    if isinstance(v, bool):
+        return ("b", v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return ("f", "nan")
+        return ("f", repr(v))
+    if isinstance(v, int):
+        return ("i", v)
+    if isinstance(v, _dt.datetime):
+        return ("ts", v.replace(tzinfo=None).isoformat())
+    if isinstance(v, _dt.date):
+        return ("d", v.isoformat())
+    if isinstance(v, (bytes, bytearray)):
+        return ("y", bytes(v).hex())
+    if isinstance(v, (list, tuple)):
+        return ("l", tuple(_canon(x) for x in v))
+    if v is None:
+        return ("n",)
+    return ("s", str(v))
+
+
+def compare(spark_df, con, sql: str, name: str = "?") -> list[str]:
+    """Return list of mismatch descriptions; empty == pass."""
+    errs = []
+    cols = sorted(spark_df.columns)
+    s_rows = [tuple(_canon(r[c]) for c in cols) for r in spark_df.collect()]
+
+    cur = con.sql(sql)
+    d_cols = list(cur.columns)
+    if sorted(d_cols) != cols:
+        errs.append(f"{name}: column mismatch spark={cols} duckdb={sorted(d_cols)}")
+        return errs
+    idx = [d_cols.index(c) for c in cols]
+    d_rows = [tuple(_canon(row[i]) for i in idx) for row in cur.fetchall()]
+
+    if len(s_rows) != len(d_rows):
+        errs.append(f"{name}: row count spark={len(s_rows)} duckdb={len(d_rows)}")
+    s_sorted, d_sorted = sorted(s_rows), sorted(d_rows)
+    if s_sorted != d_sorted:
+        diff_s = [r for r in s_sorted if r not in set(d_sorted)][:3]
+        diff_d = [r for r in d_sorted if r not in set(s_sorted)][:3]
+        errs.append(
+            f"{name}: value mismatch; spark-only(sample)={diff_s} duckdb-only(sample)={diff_d}"
+        )
+    return errs
