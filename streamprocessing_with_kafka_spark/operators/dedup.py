@@ -1,0 +1,378 @@
+"""Deduplication operator family over `documents` / `embeddings`
+(BASELINE.json north star): exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding-cosine near-dup.
+
+Scale design (the part that matters at 100 TB):
+  - exact dedup: hash-groupBy on a fingerprint -- one shuffle, map-side
+    combinable; the keeper rule (min doc_id) is deterministic, unlike
+    dropDuplicates' arbitrary-first.
+  - n-gram Jaccard: the pair search is *blocked* on shared shingles
+    (explode -> shuffle on shingle -> per-shingle pair counts), never a
+    cross join. Hot shingles are the skew risk: AQE skew-join splitting
+    handles moderate skew, and a doc-frequency cap on shingles is the
+    production knob (omitted here so the oracle stays exact).
+  - MinHash+LSH: signatures shrink each doc to PERMS ints; candidate
+    generation is an equi-join on (band, band_key) -- the classic
+    sub-quadratic path. All hashes are md5-derived (functions/hashing.py)
+    so the DuckDB oracle reproduces the *exact* candidate set.
+  - SimHash: 60-bit signature; pairing here is brute-force over signatures
+    (fine at test scale, and the oracle stays simple); at 100 TB you band
+    the signature into 4x15-bit blocks and equi-join on any matching block
+    (hamming<=3 guarantees a matching block by pigeonhole).
+  - embedding cosine: brute-force pair scan at test scale; the scale path
+    is the LSH/IVF bucketing in operators/similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from streamprocessing_with_kafka_spark.functions.hashing import md5_long, seeded
+from streamprocessing_with_kafka_spark.operators.similarity import cosine_pairs
+from streamprocessing_with_kafka_spark.operators.text import (
+    CANONICAL_TEXT_SQL,
+    canonical_text,
+)
+from streamprocessing_with_kafka_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------- exact
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by canonical-text fingerprint; deterministic keeper."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.md5(canonical_text()).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+DEDUP_EXACT_SQL = f"""
+SELECT md5({CANONICAL_TEXT_SQL}) AS fingerprint,
+       MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+# ------------------------------------------------------- shingle helpers
+
+SHINGLE_N = 3
+
+# distinct word-3-gram shingles per doc (docs with >= 3 tokens)
+
+
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Fan-out BEFORE the blow-up: the corpus parquet may arrive in a
+    # handful of splits, but shingling multiplies rows ~n_tokens-fold and
+    # hashing them dominates -- repartition so the expansion uses every
+    # core (at 100 TB: size input splits to the post-explode volume).
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    words = F.split("text", " ")
+    sh = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - (SHINGLE_N - 1)),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(words, i),
+                F.element_at(words, i + 1),
+                F.element_at(words, i + 2),
+            ),
+        )
+    )
+    return (
+        d.filter(F.size(words) >= SHINGLE_N)
+        .select("doc_id", F.explode(sh).alias("shingle"))
+    )
+
+
+_SHINGLES_SQL = """
+SELECT doc_id, unnest(list_distinct(list_transform(
+         range(1, len(w) - 1),
+         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingle
+FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+WHERE len(w) >= 3
+"""
+
+# ------------------------------------------------- n-gram Jaccard pairs
+
+
+def ngram_jaccard_pairs(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.8
+) -> DataFrame:
+    """Near-dup pairs by exact Jaccard over 3-gram shingles, blocked on
+    shared shingles (no cross join).
+
+    The shingle frame feeds three plan branches (counts + both join
+    sides); persist it so the explode+hash runs once, like the oracle's
+    CTE materialization. (Cluster analog: a checkpoint/cache of the
+    shingle table before the self-join stage.)"""
+    sh = _shingles(spark, sf_dir).persist()
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"))
+    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"))
+    return (
+        inter.join(F.broadcast(ca), "doc_a")
+        .join(F.broadcast(cb), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+NGRAM_JACCARD_SQL = f"""
+WITH sh AS ({_SHINGLES_SQL}),
+counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(inter / CAST(ca.n + cb.n - inter AS DOUBLE), 6) AS jaccard
+FROM inter
+JOIN counts ca ON doc_a = ca.doc_id
+JOIN counts cb ON doc_b = cb.doc_id
+WHERE round(inter / CAST(ca.n + cb.n - inter AS DOUBLE), 6) >= 0.8
+"""
+
+# --------------------------------------------------------- MinHash + LSH
+
+PERMS = 16
+BANDS = 4
+ROWS_PER_BAND = PERMS // BANDS
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, mh0..mh{PERMS-1}): PERMS independent md5-derived hash
+    families, min over the doc's shingles.
+
+    Columnar mins (not an explode-by-perm): ONE groupBy over the shingle
+    rows with PERMS map-side-combinable min aggregates -- the shuffle
+    carries |docs| rows instead of PERMS x |shingles| (16x less at 100 TB).
+    """
+    sh = _shingles(spark, sf_dir)
+    return sh.groupBy("doc_id").agg(
+        *[
+            F.min(md5_long(F.concat(F.lit(f"0|{p}|"), F.col("shingle")))).alias(f"mh{p}")
+            for p in range(PERMS)
+        ]
+    )
+
+
+def _band_keys(sig: DataFrame) -> DataFrame:
+    """(doc_id, band, band_key): md5 over each band's signature slice."""
+    per_band = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"mh{p}").cast("string")
+                        for p in range(b * ROWS_PER_BAND, (b + 1) * ROWS_PER_BAND)
+                    ],
+                )
+            ).alias("band_key"),
+        )
+        for b in range(BANDS)
+    ]
+    return sig.select(
+        "doc_id", F.explode(F.array(*per_band)).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+
+
+def minhash_lsh_pairs(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.7
+) -> DataFrame:
+    """LSH candidate pairs (equi-join on band keys) verified with exact
+    Jaccard; returns pairs with jaccard >= threshold that LSH surfaced."""
+    sh = _shingles(spark, sf_dir).persist()  # feeds signatures + verify x3
+    bands = _band_keys(sh.groupBy("doc_id").agg(
+        *[
+            F.min(md5_long(F.concat(F.lit(f"0|{p}|"), F.col("shingle")))).alias(f"mh{p}")
+            for p in range(PERMS)
+        ]
+    ))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # verify candidates with exact jaccard over the same persisted shingles
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sa, sb = sh.alias("sa"), sh.alias("sb")
+    inter = (
+        cand.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, (F.col("doc_b") == F.col("sb.doc_id")) & (F.col("sa.shingle") == F.col("sb.shingle")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(F.broadcast(ca), "doc_a")
+        .join(F.broadcast(cb), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+_MH_COLS_SQL = ",\n         ".join(
+    f"MIN(CAST(('0x' || substr(md5('0|{p}|' || shingle), 1, 15)) AS BIGINT)) AS mh{p}"
+    for p in range(PERMS)
+)
+_BANDS_SQL = "\n  UNION ALL\n".join(
+    "  SELECT doc_id, {b} AS band, md5({key}) AS band_key FROM mh".format(
+        b=b,
+        key=" || ',' || ".join(
+            f"CAST(mh{p} AS VARCHAR)"
+            for p in range(b * ROWS_PER_BAND, (b + 1) * ROWS_PER_BAND)
+        ),
+    )
+    for b in range(BANDS)
+)
+
+MINHASH_LSH_SQL = f"""
+WITH sh AS ({_SHINGLES_SQL}),
+mh AS (
+  SELECT doc_id,
+         {_MH_COLS_SQL}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+{_BANDS_SQL}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT doc_a, doc_b, COUNT(*) AS inter
+  FROM cand
+  JOIN sh sa ON sa.doc_id = doc_a
+  JOIN sh sb ON sb.doc_id = doc_b AND sb.shingle = sa.shingle
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(inter / CAST(ca.n + cb.n - inter AS DOUBLE), 6) AS jaccard
+FROM inter
+JOIN counts ca ON doc_a = ca.doc_id
+JOIN counts cb ON doc_b = cb.doc_id
+WHERE round(inter / CAST(ca.n + cb.n - inter AS DOUBLE), 6) >= 0.7
+"""
+
+# --------------------------------------------------------------- SimHash
+
+SIMHASH_BITS = 60  # md5_long yields 60 uniform bits
+HAMMING_MAX = 6
+
+
+def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash per doc: token-frequency-weighted bit voting over
+    md5-derived token hashes."""
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("cnt"))
+    tf = tf.withColumn("h", md5_long(F.col("token")))
+    bits = tf.select(
+        "doc_id",
+        "cnt",
+        "h",
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("j"),
+    ).withColumn(
+        "contrib",
+        F.col("cnt") * (F.expr("shiftright(h, j) & 1") * 2 - 1),
+    )
+    votes = bits.groupBy("doc_id", "j").agg(F.sum("contrib").alias("s"))
+    return votes.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("s") >= 0, F.expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(
+                F.lit(0)
+            )
+        ).alias("simhash")
+    )
+
+
+def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= HAMMING_MAX."""
+    sig = simhash_signatures(spark, sf_dir)
+    a = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
+    b = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+        .filter(F.col("hamming") <= HAMMING_MAX)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+SIMHASH_PAIRS_SQL = f"""
+WITH tf AS (
+  SELECT doc_id, token, COUNT(*) AS cnt,
+         CAST(('0x' || substr(md5(token), 1, 15)) AS BIGINT) AS h
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+  GROUP BY 1, 2
+),
+votes AS (
+  SELECT doc_id, j, SUM(cnt * (((h >> j) & 1) * 2 - 1)) AS s
+  FROM tf, (SELECT unnest(range(0, {SIMHASH_BITS})) AS j)
+  GROUP BY 1, 2
+),
+sig AS (
+  SELECT doc_id,
+         SUM(CASE WHEN s >= 0 THEN (1::BIGINT << j) ELSE 0 END) AS simhash
+  FROM votes GROUP BY 1
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
+"""
+
+# ------------------------------------------- embedding-cosine near-dup
+
+
+def embedding_near_dup(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.4
+) -> DataFrame:
+    """Near-dup vector pairs by cosine >= threshold (brute force at test
+    scale; LSH/IVF in operators/similarity.py is the scale path)."""
+    return cosine_pairs(spark, sf_dir).filter(F.col("cosine") >= threshold)
+
+
+EMBEDDING_NEAR_DUP_SQL = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.4
+"""

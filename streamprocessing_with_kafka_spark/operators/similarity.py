@@ -1,0 +1,249 @@
+"""Similarity search over the `embeddings` table (`embedding:
+array<float>`): brute-force cosine top-k as the exact baseline, plus two
+sub-linear scale paths -- random-hyperplane LSH bucketing and IVF cells.
+
+Determinism contract (what makes these DuckDB-oracle-checkable):
+  - dot products are sequential left folds over the array in BOTH engines
+    (Spark `aggregate(zip_with(...))`, DuckDB `list_dot_product` on
+    DOUBLE[]), so the float addition order is identical -- verified
+    bit-equal in probes.
+  - cosines are rounded to 6dp before ranking; rank ties break on vec_id.
+  - LSH hyperplanes are md5-derived rationals (k/1000), not RNG draws, so
+    both engines build the exact same planes.
+
+Scale notes: brute-force is a broadcast nested-loop -- O(N*Q) dots, fine
+when Q (queries) is small and N streams; for N x N near-dup at 100 TB use
+the LSH buckets (equi-join on bucket id, candidates only) or IVF (assign
+to nearest centroid cell, search only probed cells). Embeddings stay
+array-typed end to end -- no explode on the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W, functions as F
+
+from streamprocessing_with_kafka_spark.functions.hashing import md5_long
+from streamprocessing_with_kafka_spark.sources.tables import load_table
+
+DIM = 64
+N_PLANES = 16
+TOP_K = 5
+N_QUERIES = 5  # vec_id < 5 are the demo query vectors
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product in double (order-deterministic)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return F.round(dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b))), 6)
+
+
+def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed-metadata pass over the vector column: dim + L2 norm."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding")
+    return e.select(
+        "vec_id",
+        "label",
+        F.size(v).alias("dim"),
+        F.round(F.sqrt(dot(v, v)), 6).alias("l2_norm"),
+    )
+
+
+EMBEDDING_STATS_SQL = """
+SELECT vec_id, label, len(embedding) AS dim,
+       round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))), 6) AS l2_norm
+FROM embeddings
+"""
+
+
+def cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All pairwise cosines (a < b). Building block for near-dup dedup."""
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cosine(F.col("va"), F.col("vb")).alias("cosine"))
+    )
+
+
+def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k cosine neighbors for the query vectors: the correctness
+    baseline every ANN variant is judged against."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+    )
+    n = e.select(F.col("vec_id").alias("n_id"), F.col("embedding").alias("nv"))
+    scored = (
+        F.broadcast(q)
+        .join(n, F.col("q_id") != F.col("n_id"))
+        .select("q_id", "n_id", cosine(F.col("qv"), F.col("nv")).alias("cosine"))
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("q_id", "n_id", "cosine", "rank")
+    )
+
+
+ANN_TOPK_BRUTEFORCE_SQL = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+scored AS (
+  SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+         round(list_dot_product(q.v, n.v)
+               / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(n.v, n.v))), 6) AS cosine
+  FROM e q JOIN e n ON q.vec_id < {N_QUERIES} AND q.vec_id <> n.vec_id
+)
+SELECT q_id, n_id, cosine, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                               ORDER BY cosine DESC, n_id ASC) AS rank
+  FROM scored
+)
+WHERE rank <= {TOP_K}
+"""
+
+# ------------------------------------------------ random-hyperplane LSH
+
+
+def _hyperplane(p: int) -> Column:
+    """Deterministic pseudo-random hyperplane p: components are md5-derived
+    rationals in [-1, 1] -- identical in the SQL twin."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(DIM - 1)),
+        lambda c: (
+            md5_long(F.concat(F.lit(f"hp|{p}|"), c.cast("string"))) % 2001 - 1000
+        ).cast("double")
+        / 1000.0,
+    )
+
+
+def _hyperplane_sql(p: int) -> str:
+    return (
+        f"list_transform(range(0, {DIM}), c -> "
+        f"CAST(CAST(('0x' || substr(md5('hp|{p}|' || CAST(c AS VARCHAR)), 1, 15)) AS BIGINT) "
+        f"% 2001 - 1000 AS DOUBLE) / 1000.0)"
+    )
+
+
+def lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, bucket): 16-bit signature of hyperplane-side bits."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding")
+    bucket = None
+    for p in range(N_PLANES):
+        bit = F.when(dot(v, _hyperplane(p)) >= 0, F.lit(1 << p).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        bucket = bit if bucket is None else bucket + bit
+    return e.select("vec_id", "label", bucket.alias("bucket"))
+
+
+def _lsh_buckets_sql() -> str:
+    bits = " + ".join(
+        f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), {_hyperplane_sql(p)}) >= 0 "
+        f"THEN {1 << p}::BIGINT ELSE 0 END)"
+        for p in range(N_PLANES)
+    )
+    return f"SELECT vec_id, label, {bits} AS bucket FROM embeddings"
+
+
+LSH_BUCKETS_SQL = _lsh_buckets_sql()
+
+
+def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via LSH: candidates share the query's bucket; exact rerank
+    inside. Sub-linear candidate generation (equi-join on bucket);
+    recall < 1 by construction -- compare against ann_topk_bruteforce."""
+    e = load_table(spark, sf_dir, "embeddings")
+    buckets = lsh_buckets(spark, sf_dir).select("vec_id", "bucket")
+    withb = e.join(buckets, "vec_id")
+    q = withb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv"), F.col("bucket").alias("qb")
+    )
+    n = withb.select(
+        F.col("vec_id").alias("n_id"), F.col("embedding").alias("nv"), F.col("bucket").alias("nb")
+    )
+    scored = (
+        F.broadcast(q)
+        .join(n, (F.col("qb") == F.col("nb")) & (F.col("q_id") != F.col("n_id")))
+        .select("q_id", "n_id", cosine(F.col("qv"), F.col("nv")).alias("cosine"))
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("q_id", "n_id", "cosine", "rank")
+    )
+
+
+ANN_TOPK_LSH_SQL = f"""
+WITH b AS ({LSH_BUCKETS_SQL}),
+e AS (SELECT e0.vec_id, CAST(e0.embedding AS DOUBLE[]) AS v, b.bucket
+      FROM embeddings e0 JOIN b USING (vec_id)),
+scored AS (
+  SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+         round(list_dot_product(q.v, n.v)
+               / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(n.v, n.v))), 6) AS cosine
+  FROM e q JOIN e n ON q.vec_id < {N_QUERIES} AND q.bucket = n.bucket
+                   AND q.vec_id <> n.vec_id
+)
+SELECT q_id, n_id, cosine, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                               ORDER BY cosine DESC, n_id ASC) AS rank
+  FROM scored
+)
+WHERE rank <= {TOP_K}
+"""
+
+# ----------------------------------------------------------------- IVF
+
+N_PROBE = 2  # cells probed per query
+
+
+def ivf_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, cell): nearest-centroid assignment. Centroids are the
+    vectors with vec_id % 50 == 0 (deterministic seeds; a production IVF
+    would k-means these -- the assignment/search plumbing is identical)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cent = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("cv")
+    )
+    scored = e.select("vec_id", "embedding").crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "cell",
+        cosine(F.col("embedding"), F.col("cv")).alias("cos_c"),
+    )
+    w = W.partitionBy("vec_id").orderBy(F.col("cos_c").desc(), F.col("cell").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cell")
+    )
+
+
+IVF_ASSIGNMENTS_SQL = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cent AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id % 50 = 0),
+scored AS (
+  SELECT e.vec_id, cent.cell,
+         round(list_dot_product(e.v, cent.cv)
+               / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cent.cv, cent.cv))), 6) AS cos_c
+  FROM e CROSS JOIN cent
+)
+SELECT vec_id, cell FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                               ORDER BY cos_c DESC, cell ASC) AS rn
+  FROM scored
+)
+WHERE rn = 1
+"""

@@ -1,0 +1,172 @@
+"""Text-analysis operators over the `documents` table -- the
+training-data-pipeline surface (BASELINE.json north star): token stats,
+language ID, quality scoring, fingerprinting.
+
+Everything is built-in column expressions (split / higher-order filter /
+regexp / md5): JVM-side, codegen'd, zero Python on the hot path -- at
+100 TB these run as a single narrow projection over the corpus scan with
+full column pruning (only `doc_id`/`text` are read).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from streamprocessing_with_kafka_spark.sources.tables import load_table
+
+# Tiny English function-word list for the n-gram/stopword language
+# heuristic. Real deployments would plug a trained model in via the same
+# column contract.
+EN_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it", "for", "on"]
+
+_STOP_SQL = "[" + ", ".join(f"'{w}'" for w in EN_STOPWORDS) + "]"
+
+
+def _tokens(col: str = "text") -> Column:
+    return F.split(F.col(col), " ")
+
+
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document surface statistics."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(_tokens())
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        F.round(
+            (F.length("text") - (n_tokens - 1)) / n_tokens.cast("double"), 6
+        ).alias("avg_token_len"),
+        F.size(F.array_distinct(_tokens())).alias("n_unique_tokens"),
+    )
+
+
+TEXT_STATS_SQL = """
+SELECT doc_id,
+  length(text) AS n_chars,
+  len(string_split(text, ' ')) AS n_tokens,
+  round((length(text) - (len(string_split(text, ' ')) - 1))
+        / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS avg_token_len,
+  len(list_distinct(string_split(text, ' '))) AS n_unique_tokens
+FROM documents
+"""
+
+
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish regex segmentation
+    (letter runs / digit runs / single punctuation)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(_tokens()).alias("ws_tokens"),
+        F.size(F.expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")).alias(
+            "bpe_ish_tokens"
+        ),
+    )
+
+
+TOKEN_COUNT_SQL = """
+SELECT doc_id,
+  len(string_split(text, ' ')) AS ws_tokens,
+  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)) AS bpe_ish_tokens
+FROM documents
+"""
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-ratio language heuristic, checked against the given lang."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(_tokens())
+    n_stop = F.size(F.filter(_tokens(), lambda x: x.isin(*EN_STOPWORDS)))
+    ratio = F.round(n_stop / n_tokens.cast("double"), 6)
+    return d.select(
+        "doc_id",
+        "lang",
+        n_stop.alias("n_stopwords"),
+        ratio.alias("stop_ratio"),
+        F.when(ratio >= 0.05, F.lit("en")).otherwise(F.lit("unknown")).alias("lang_pred"),
+    )
+
+
+LANG_ID_SQL = f"""
+SELECT doc_id, lang,
+  n_stopwords,
+  stop_ratio,
+  CASE WHEN stop_ratio >= 0.05 THEN 'en' ELSE 'unknown' END AS lang_pred
+FROM (
+  SELECT doc_id, lang,
+    len(list_filter(string_split(text, ' '),
+                    x -> list_contains({_STOP_SQL}, x))) AS n_stopwords,
+    round(len(list_filter(string_split(text, ' '),
+                          x -> list_contains({_STOP_SQL}, x)))
+          / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS stop_ratio
+  FROM documents
+)
+"""
+
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite heuristic quality score in [0,1]: length band + stopword
+    density + size sanity -- the shape of a pretraining quality filter."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(_tokens())
+    n_stop = F.size(F.filter(_tokens(), lambda x: x.isin(*EN_STOPWORDS)))
+    stop_ratio = n_stop / n_tokens.cast("double")
+    score = F.round(
+        F.least(n_tokens / F.lit(200.0), F.lit(1.0)) * 0.5
+        + F.least(stop_ratio * 10.0, F.lit(1.0)) * 0.3
+        + F.when(F.length("text").between(100, 2000), F.lit(1.0)).otherwise(0.5) * 0.2,
+        6,
+    )
+    return d.select(
+        "doc_id",
+        score.alias("quality"),
+        (score >= 0.6).alias("keep"),
+    )
+
+
+QUALITY_SCORE_SQL = f"""
+SELECT doc_id, quality, quality >= 0.6 AS keep
+FROM (
+  SELECT doc_id,
+    round(
+      least(n_tokens / CAST(200.0 AS DOUBLE), 1.0) * 0.5
+      + least((n_stop / CAST(n_tokens AS DOUBLE)) * 10.0, 1.0) * 0.3
+      + (CASE WHEN length(text) BETWEEN 100 AND 2000 THEN 1.0 ELSE 0.5 END) * 0.2,
+    6) AS quality
+  FROM (
+    SELECT doc_id, text,
+      len(string_split(text, ' ')) AS n_tokens,
+      len(list_filter(string_split(text, ' '),
+                      x -> list_contains({_STOP_SQL}, x))) AS n_stop
+    FROM documents
+  )
+)
+"""
+
+
+def canonical_text(col: str = "text") -> Column:
+    """Normalization under fingerprinting: lowercase, trim, collapse runs
+    of spaces."""
+    return F.lower(F.trim(F.regexp_replace(F.col(col), " +", " ")))
+
+
+CANONICAL_TEXT_SQL = "lower(trim(regexp_replace(text, ' +', ' ', 'g')))"
+
+
+def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic document fingerprint: md5 over canonicalized text."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5(canonical_text()).alias("fingerprint"),
+        F.substring(F.md5(canonical_text()), 1, 8).alias("shard_key"),
+    )
+
+
+FINGERPRINT_SQL = f"""
+SELECT doc_id,
+  md5({CANONICAL_TEXT_SQL}) AS fingerprint,
+  substr(md5({CANONICAL_TEXT_SQL}), 1, 8) AS shard_key
+FROM documents
+"""

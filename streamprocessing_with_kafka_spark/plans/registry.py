@@ -15,7 +15,16 @@ from typing import Callable, Optional
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from streamprocessing_with_kafka_spark.functions.numeric import dec_sum, dec_sum_sql
-from streamprocessing_with_kafka_spark.operators import analytics, crud, windows
+from streamprocessing_with_kafka_spark.operators import (
+    analytics,
+    crud,
+    dedup,
+    multimodal,
+    similarity,
+    text,
+    windows,
+)
+from streamprocessing_with_kafka_spark.sources import generator, json_source
 from streamprocessing_with_kafka_spark.operators.route import ROUTE_SQL, route
 from streamprocessing_with_kafka_spark.operators.validate import (
     VALIDATE_ENRICH_SQL,
@@ -258,3 +267,70 @@ register("events_sliding", windows.SLIDING_EVENTS_SQL)(windows.sliding_events)
 register("events_session", windows.SESSION_EVENTS_SQL, bench=True)(windows.session_events)
 register("events_dedup", windows.DEDUP_EVENTS_SQL)(windows.dedup_events)
 register("events_props_metrics", windows.PROPS_METRICS_SQL)(windows.props_metrics)
+
+# --------------------------------------------------------------------------
+# Text analysis (documents)
+# --------------------------------------------------------------------------
+
+register("text_stats", text.TEXT_STATS_SQL, bench=True)(text.text_stats)
+register("text_token_count", text.TOKEN_COUNT_SQL)(text.token_count)
+register("text_lang_id", text.LANG_ID_SQL)(text.lang_id)
+register("text_quality_score", text.QUALITY_SCORE_SQL)(text.quality_score)
+register("text_fingerprint", text.FINGERPRINT_SQL)(text.fingerprint)
+
+# --------------------------------------------------------------------------
+# Deduplication (documents / embeddings)
+# --------------------------------------------------------------------------
+
+register("dedup_exact", dedup.DEDUP_EXACT_SQL)(dedup.dedup_exact)
+register("dedup_ngram_jaccard", dedup.NGRAM_JACCARD_SQL, bench=True)(
+    dedup.ngram_jaccard_pairs
+)
+register("dedup_minhash_lsh", dedup.MINHASH_LSH_SQL, bench=True)(dedup.minhash_lsh_pairs)
+register("dedup_simhash", dedup.SIMHASH_PAIRS_SQL)(dedup.simhash_pairs)
+register("dedup_embedding_cosine", dedup.EMBEDDING_NEAR_DUP_SQL)(
+    dedup.embedding_near_dup
+)
+
+# --------------------------------------------------------------------------
+# Similarity search (embeddings)
+# --------------------------------------------------------------------------
+
+register("embedding_stats", similarity.EMBEDDING_STATS_SQL)(similarity.embedding_stats)
+register("ann_topk_bruteforce", similarity.ANN_TOPK_BRUTEFORCE_SQL, bench=True)(
+    similarity.ann_topk_bruteforce
+)
+register("ann_topk_lsh", similarity.ANN_TOPK_LSH_SQL)(similarity.ann_topk_lsh)
+register("ann_ivf_assignments", similarity.IVF_ASSIGNMENTS_SQL)(
+    similarity.ivf_assignments
+)
+
+# --------------------------------------------------------------------------
+# Multimodal columns (binary payloads + Pandas-UDF decode plumbing)
+# --------------------------------------------------------------------------
+
+register("mm_binary_meta", multimodal.MM_BINARY_META_SQL)(multimodal.mm_binary_meta)
+register(
+    "mm_decode",
+    multimodal.MM_DECODE_SQL,
+    doc="Arrow-batched mapInPandas decode (stub codec, real plumbing)",
+)(multimodal.mm_decode)
+register("mm_frame_sample", multimodal.MM_FRAME_SAMPLE_SQL)(multimodal.mm_frame_sample)
+
+# --------------------------------------------------------------------------
+# Generators + JSON sources (S3/S4/S5)
+# --------------------------------------------------------------------------
+
+register(
+    "gen_orders",
+    generator.generator_sql(100),
+    doc="S5 seeded synthetic order generator (LCG, engine-independent)",
+)(lambda spark, sf_dir: generator.generate_orders(spark, 100))
+register("json_parse_orders", json_source.JSON_PARSE_ORDERS_SQL)(
+    json_source.json_parse_orders
+)
+register(
+    "json_order_collection",
+    json_source.ORDER_COLLECTION_SQL,
+    doc="S4 json-server-style collection file source",
+)(json_source.order_collection_query)
