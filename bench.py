@@ -26,10 +26,18 @@ def main() -> None:
 
     bench_queries = {n: q for n, q in registry().items() if q.bench}
 
-    # warmup: touch every table + JIT the session on the smallest frame
-    bench_queries["agg_pricing_summary"].fn(spark, sf_dir).write.format(
-        "noop"
-    ).mode("overwrite").save()
+    # warmup: JIT every bench plan shape once at the smallest scale factor
+    # (whole-stage codegen compiles per plan shape; first run of a novel
+    # plan costs seconds regardless of data volume), then touch every
+    # table's footers at the bench SF so timings measure the query.
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir):
+        for q in bench_queries.values():
+            q.fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
+    from streamprocessing_with_kafka_spark.sources.tables import TABLES, load_table
+
+    for t in TABLES:
+        load_table(spark, sf_dir, t).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name, q in sorted(bench_queries.items()):

@@ -27,7 +27,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from streamprocessing_with_kafka_spark.functions.hashing import md5_long, seeded
+from streamprocessing_with_kafka_spark.functions.hashing import (
+    family_hashes_from_h,
+    family_hashes_sql,
+    md5_long,
+    md5_long_sql,
+)
 from streamprocessing_with_kafka_spark.operators.similarity import cosine_pairs
 from streamprocessing_with_kafka_spark.operators.text import (
     CANONICAL_TEXT_SQL,
@@ -66,10 +71,15 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # handful of splits, but shingling multiplies rows ~n_tokens-fold and
     # hashing them dominates -- repartition so the expansion uses every
     # core (at 100 TB: size input splits to the post-explode volume).
-    d = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
+    # Tokenize BEFORE the repartition: the exchange materializes the token
+    # array, so the split runs once per doc instead of being re-inlined
+    # into every element_at by projection collapse (measured 2x).
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("w"))
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
     )
-    words = F.split("text", " ")
+    words = F.col("w")
     sh = F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), F.size(words) - (SHINGLE_N - 1)),
@@ -98,29 +108,43 @@ WHERE len(w) >= 3
 # ------------------------------------------------- n-gram Jaccard pairs
 
 
+def _shingles_with_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted (doc_id, shingle, n) -- n = the doc's shingle-set size,
+    attached by a window so downstream joins carry it along instead of
+    re-deriving it through separate broadcast branches.
+
+    Why this shape: Spark launches broadcast-exchange subtrees as
+    concurrent jobs BEFORE the main stages run, so a not-yet-materialized
+    persist() under a broadcast branch gets recomputed once per branch in
+    parallel (measured 2-3x the shingle explode). One persisted frame that
+    already carries n has a single parent job, and the eager count() below
+    materializes the cache before any consumer branches off. (Cluster
+    analog: checkpoint the exploded table before the self-join fan-out.)
+    """
+    from pyspark.sql import Window as W
+
+    sh = _shingles(spark, sf_dir).withColumn(
+        "n", F.count(F.lit(1)).over(W.partitionBy("doc_id"))
+    ).persist()
+    sh.count()  # materialize ONCE before dependent branches race
+    return sh
+
+
 def ngram_jaccard_pairs(
     spark: SparkSession, sf_dir: str, threshold: float = 0.8
 ) -> DataFrame:
     """Near-dup pairs by exact Jaccard over 3-gram shingles, blocked on
-    shared shingles (no cross join).
-
-    The shingle frame feeds three plan branches (counts + both join
-    sides); persist it so the explode+hash runs once, like the oracle's
-    CTE materialization. (Cluster analog: a checkpoint/cache of the
-    shingle table before the self-join stage.)"""
-    sh = _shingles(spark, sf_dir).persist()
-    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    shared shingles (no cross join)."""
+    sh = _shingles_with_count(spark, sf_dir)
     a, b = sh.alias("a"), sh.alias("b")
-    inter = (
+    return (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"))
-    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"))
-    return (
-        inter.join(F.broadcast(ca), "doc_a")
-        .join(F.broadcast(cb), "doc_b")
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.first(F.col("a.n")).alias("na"),
+            F.first(F.col("b.n")).alias("nb"),
+        )
         .withColumn(
             "jaccard",
             F.round(
@@ -155,21 +179,28 @@ BANDS = 4
 ROWS_PER_BAND = PERMS // BANDS
 
 
-def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, mh0..mh{PERMS-1}): PERMS independent md5-derived hash
-    families, min over the doc's shingles.
+def _signature_agg(sh: DataFrame) -> DataFrame:
+    """groupBy(doc_id) -> PERMS columnar min-hash columns mh0..mh{PERMS-1}.
 
-    Columnar mins (not an explode-by-perm): ONE groupBy over the shingle
-    rows with PERMS map-side-combinable min aggregates -- the shuffle
-    carries |docs| rows instead of PERMS x |shingles| (16x less at 100 TB).
+    One md5 per shingle row, expanded to PERMS permutations by the
+    Carter-Wegman family (functions/hashing.py) -- measured ~16x cheaper
+    than one md5 per permutation. Columnar mins (not an explode-by-perm):
+    ONE groupBy with PERMS map-side-combinable min aggregates -- the
+    shuffle carries |docs| rows instead of PERMS x |shingles|.
     """
-    sh = _shingles(spark, sf_dir)
-    return sh.groupBy("doc_id").agg(
+    hashed = sh.withColumn("_h", md5_long(F.col("shingle")))
+    return hashed.groupBy("doc_id").agg(
         *[
-            F.min(md5_long(F.concat(F.lit(f"0|{p}|"), F.col("shingle")))).alias(f"mh{p}")
-            for p in range(PERMS)
+            F.min(hp).alias(f"mh{p}")
+            for p, hp in enumerate(family_hashes_from_h(F.col("_h"), PERMS))
         ]
     )
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, mh0..mh{PERMS-1}): PERMS independent hash permutations,
+    min over the doc's shingles."""
+    return _signature_agg(_shingles(spark, sf_dir))
 
 
 def _band_keys(sig: DataFrame) -> DataFrame:
@@ -199,13 +230,8 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """LSH candidate pairs (equi-join on band keys) verified with exact
     Jaccard; returns pairs with jaccard >= threshold that LSH surfaced."""
-    sh = _shingles(spark, sf_dir).persist()  # feeds signatures + verify x3
-    bands = _band_keys(sh.groupBy("doc_id").agg(
-        *[
-            F.min(md5_long(F.concat(F.lit(f"0|{p}|"), F.col("shingle")))).alias(f"mh{p}")
-            for p in range(PERMS)
-        ]
-    ))
+    sh = _shingles_with_count(spark, sf_dir)  # feeds signatures + verify
+    bands = _band_keys(_signature_agg(sh))
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -217,20 +243,18 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    # verify candidates with exact jaccard over the same persisted shingles
-    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    # verify candidates with exact jaccard over the same persisted shingles;
+    # the window-attached n rides the joins, so no extra count branches
     sa, sb = sh.alias("sa"), sh.alias("sb")
-    inter = (
+    return (
         cand.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
         .join(sb, (F.col("doc_b") == F.col("sb.doc_id")) & (F.col("sa.shingle") == F.col("sb.shingle")))
         .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    return (
-        inter.join(F.broadcast(ca), "doc_a")
-        .join(F.broadcast(cb), "doc_b")
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.first(F.col("sa.n")).alias("na"),
+            F.first(F.col("sb.n")).alias("nb"),
+        )
         .withColumn(
             "jaccard",
             F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"), 6),
@@ -241,8 +265,8 @@ def minhash_lsh_pairs(
 
 
 _MH_COLS_SQL = ",\n         ".join(
-    f"MIN(CAST(('0x' || substr(md5('0|{p}|' || shingle), 1, 15)) AS BIGINT)) AS mh{p}"
-    for p in range(PERMS)
+    f"MIN({expr}) AS mh{p}"
+    for p, expr in enumerate(family_hashes_sql("_h", PERMS))
 )
 _BANDS_SQL = "\n  UNION ALL\n".join(
     "  SELECT doc_id, {b} AS band, md5({key}) AS band_key FROM mh".format(
@@ -260,7 +284,8 @@ WITH sh AS ({_SHINGLES_SQL}),
 mh AS (
   SELECT doc_id,
          {_MH_COLS_SQL}
-  FROM sh GROUP BY doc_id
+  FROM (SELECT doc_id, {md5_long_sql('shingle')} AS _h FROM sh)
+  GROUP BY doc_id
 ),
 bands AS (
 {_BANDS_SQL}

@@ -44,7 +44,11 @@ def get_spark(app_name: str = "streamprocessing-spark-engine") -> SparkSession:
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", cpus)
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "90g"))
+        # NOT sized to the machine: an oversized heap (90g tested) gives G1
+        # a huge young gen and multi-second stop-the-world pauses that
+        # dominate sub-second queries; 16g covers the bench working set
+        # with room to spare and keeps pauses in the tens of ms.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
     )

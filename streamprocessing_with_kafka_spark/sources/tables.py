@@ -11,6 +11,8 @@ microsecond precision in a double).
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from streamprocessing_with_kafka_spark.session import ensure_runtime_confs
@@ -29,10 +31,33 @@ TABLES = [
 ]
 
 
+@lru_cache(maxsize=None)
+def _parquet_layout(path: str) -> tuple[int, int]:
+    """(num_rows, num_row_groups) from the footer -- cheap driver-side read."""
+    try:
+        import pyarrow.parquet as pq
+
+        m = pq.ParquetFile(path).metadata
+        return m.num_rows, m.num_row_groups
+    except Exception:
+        return 0, 1 << 30
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_runtime_confs(spark)
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.parquet(path)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # nanos -> microsecond timestamp; integer division keeps precision.
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Row groups are parquet's split granularity: a large single-row-group
+    # file is unsplittable, so every downstream map-side stage (scan,
+    # partial agg, broadcast-join probe) runs on ONE core no matter how
+    # many the session has. Rebalance those explicitly (explicit
+    # numPartitions, so AQE does not coalesce it back). At lake scale
+    # inputs carry thousands of row groups and this branch never fires.
+    rows, rgs = _parquet_layout(path)
+    cores = spark.sparkContext.defaultParallelism
+    if rows >= 200_000 and rgs < cores:
+        df = df.repartition(cores)
     return df
