@@ -1,0 +1,145 @@
+"""Temporal join operators over `events`: as-of join and range join.
+
+The reference has no joins at all (SURVEY.md §2.6 -- verified; its only
+join-like behavior is the JDBC sink PK upsert), but these two are the
+canonical "operators Spark lacks built-in syntax for" in a streaming/
+time-series engine, so the north-star surface includes them re-expressed
+Spark-first:
+
+  - AS-OF JOIN: for each left row, the single most recent right row with
+    right.ts <= left.ts on the same key. NOT implemented as an inequality
+    join (that's a per-key nested loop, O(n*m) at 100 TB): both sides go
+    through ONE shuffle+sort on (key, ts, side) and a running
+    last-non-null window carries the right side's latest values forward.
+    Cost = sort-merge on the key -- the same plan shape Spark uses for a
+    regular equi-join, and it streams at any scale.
+
+  - RANGE JOIN (interval containment): events falling inside per-user
+    intervals. NOT a nested loop either: intervals are exploded to the
+    fixed-width time buckets they overlap, events map to exactly one
+    bucket, and the join is a plain equi-join on (user_id, bucket) plus a
+    residual range filter. With interval length <= bucket width each
+    interval lands in at most 2 buckets, so the blow-up factor is
+    bounded by 2 regardless of data volume (the standard trick behind
+    Spark's own range-join optimizations in Delta/Photon).
+
+The DuckDB oracles intentionally use *different* formulations (native
+ASOF JOIN, plain inequality join) -- independent implementations agreeing
+on every row is the point of the gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from streamprocessing_with_kafka_spark.functions.numeric import dec_sum, dec_sum_sql
+from streamprocessing_with_kafka_spark.sources.tables import load_table
+
+# --------------------------------------------------------------- as-of join
+
+LEFT_TYPE = "purchase"
+RIGHT_TYPE = "view"
+
+
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each purchase joined to the same user's most recent view at-or-
+    before it (left join: unmatched purchases keep null view columns).
+
+    Single shuffle: window over (user_id) ordered by (ts, side) with the
+    right side sorted first at equal ts, so the match is inclusive
+    (right.ts <= left.ts), mirroring ASOF JOIN's >= bound.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    both = ev.filter(F.col("event_type").isin(LEFT_TYPE, RIGHT_TYPE)).withColumn(
+        "side", F.when(F.col("event_type") == RIGHT_TYPE, 0).otherwise(1)
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "side")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    right_ts = F.last(
+        F.when(F.col("side") == 0, F.col("ts")), ignorenulls=True
+    ).over(w)
+    right_value = F.last(
+        F.when(F.col("side") == 0, F.col("value")), ignorenulls=True
+    ).over(w)
+    return (
+        both.withColumn("view_ts", right_ts)
+        .withColumn("view_value", right_value)
+        .filter(F.col("side") == 1)
+        .select("event_id", "user_id", "ts", "value", "view_ts", "view_value")
+    )
+
+
+ASOF_JOIN_EVENTS_SQL = f"""
+SELECT p.event_id, p.user_id, p.ts, p.value,
+       v.ts AS view_ts, v.value AS view_value
+FROM (SELECT * FROM events WHERE event_type = '{LEFT_TYPE}') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = '{RIGHT_TYPE}') v
+  ON p.user_id = v.user_id AND p.ts >= v.ts
+"""
+
+# --------------------------------------------------------------- range join
+
+INTERVAL_TYPE = "signup"
+RANGE_HOURS = 1  # interval length == bucket width -> <= 2 buckets/interval
+
+
+def range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per signup: count + sum of the user's events in the following hour
+    (strictly after the signup, inclusive of the boundary ts + 1h).
+
+    Equi-join on (user_id, hour-bucket) with a residual range filter --
+    the interval side explodes to the <= 2 buckets it overlaps, the
+    event side maps to exactly 1, so no nested loop at any scale.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    bucket = (F.unix_timestamp("ts") / (3600 * RANGE_HOURS)).cast("long")
+    intervals = (
+        ev.filter(F.col("event_type") == INTERVAL_TYPE)
+        .select(
+            F.col("event_id").alias("signup_id"),
+            F.col("user_id").alias("s_user"),
+            F.col("ts").alias("start_ts"),
+            (F.col("ts") + F.expr(f"INTERVAL {RANGE_HOURS} HOUR")).alias("end_ts"),
+        )
+        .withColumn(
+            "s_bucket",
+            F.explode(
+                F.sequence(
+                    (F.unix_timestamp("start_ts") / (3600 * RANGE_HOURS)).cast("long"),
+                    (F.unix_timestamp("end_ts") / (3600 * RANGE_HOURS)).cast("long"),
+                )
+            ),
+        )
+    )
+    hits = intervals.join(
+        ev.withColumn("e_bucket", bucket),
+        (F.col("s_user") == F.col("user_id"))
+        & (F.col("s_bucket") == F.col("e_bucket"))
+        & (F.col("ts") > F.col("start_ts"))
+        & (F.col("ts") <= F.col("end_ts")),
+        "left",
+    )
+    return hits.groupBy(
+        "signup_id", F.col("s_user").alias("user_id")
+    ).agg(
+        F.count(F.col("event_id")).alias("n_events"),
+        dec_sum(F.col("value")).alias("sum_value"),
+    )
+
+
+RANGE_JOIN_EVENTS_SQL = f"""
+WITH s AS (
+  SELECT event_id AS signup_id, user_id, ts AS start_ts,
+         ts + INTERVAL {RANGE_HOURS} HOUR AS end_ts
+  FROM events WHERE event_type = '{INTERVAL_TYPE}'
+)
+SELECT s.signup_id, s.user_id,
+       COUNT(e.event_id) AS n_events,
+       {dec_sum_sql('e.value')} AS sum_value
+FROM s LEFT JOIN events e
+  ON e.user_id = s.user_id AND e.ts > s.start_ts AND e.ts <= s.end_ts
+GROUP BY s.signup_id, s.user_id
+"""

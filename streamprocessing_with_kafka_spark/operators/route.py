@@ -63,17 +63,20 @@ def to_kafka_records(df: DataFrame) -> DataFrame:
     )
 
 
+ENVELOPE_FIELDS = [
+    ("order_id", "string"),
+    ("product_name", "string"),
+    ("quantity", "double"),
+    ("price", "double"),
+    ("order_date", "string"),
+    ("total_price", "double"),
+]
+
+
 def connect_envelope(df: DataFrame) -> DataFrame:
     """Exact Kafka-Connect envelope {"schema": ..., "payload": ...} as in
     order_validator.py:95-123 -- six optional fields, string/double types."""
-    fields = [
-        ("order_id", "string"),
-        ("product_name", "string"),
-        ("quantity", "double"),
-        ("price", "double"),
-        ("order_date", "string"),
-        ("total_price", "double"),
-    ]
+    fields = ENVELOPE_FIELDS
     schema = F.struct(
         F.lit("struct").alias("type"),
         F.array(
@@ -92,3 +95,30 @@ def connect_envelope(df: DataFrame) -> DataFrame:
     return df.withColumn(
         "value", F.to_json(F.struct(schema.alias("schema"), payload.alias("payload")))
     )
+
+
+def _envelope_sql() -> str:
+    """DuckDB twin of connect_envelope's `value`: the static schema header
+    is generated from the SAME field list, the payload is concatenated
+    field-wise with to_json per value (DuckDB's to_json matches Spark's
+    JSON output for strings and for the plain decimal doubles in play;
+    null fields are omitted by both engines)."""
+    header = (
+        '{"schema":{"type":"struct","fields":['
+        + ",".join(
+            f'{{"type":"{t}","optional":true,"field":"{n}"}}'
+            for n, t in ENVELOPE_FIELDS
+        )
+        + '],"optional":true},"payload":{'
+    )
+    parts = ",\n    ".join(
+        f"CASE WHEN {n} IS NOT NULL THEN '\"{n}\":' || to_json({n}) END"
+        for n, _ in ENVELOPE_FIELDS
+    )
+    return (
+        f"SELECT kafka_key, '{header}' || concat_ws(',',\n    {parts}\n  ) "
+        "|| '}}' AS value FROM routed"
+    )
+
+
+ENVELOPE_SQL = _envelope_sql()

@@ -247,3 +247,76 @@ SELECT vec_id, cell FROM (
 )
 WHERE rn = 1
 """
+
+
+def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search: each query probes its N_PROBE nearest cells and exact-
+    reranks only the vectors assigned there -- the sub-linear path that
+    replaces the brute-force broadcast at scale (search cost ~ N_PROBE /
+    N_CELLS of the corpus per query; recall < 1 by construction, compare
+    against ann_topk_bruteforce).
+
+    Plan shape: centroid scoring is a broadcast (centroids are tiny by
+    definition), candidate generation is an equi-join on cell id.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    cent = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("cv")
+    )
+    # per-vector nearest cell (corpus side) -- same ranking as assignments
+    scored_all = e.select("vec_id", "embedding").crossJoin(F.broadcast(cent)).select(
+        "vec_id", "embedding", "cell", cosine(F.col("embedding"), F.col("cv")).alias("cos_c")
+    )
+    w1 = W.partitionBy("vec_id").orderBy(F.col("cos_c").desc(), F.col("cell").asc())
+    ranked = scored_all.withColumn("rn", F.row_number().over(w1))
+    assigned = ranked.filter(F.col("rn") == 1).select(
+        F.col("vec_id").alias("n_id"), F.col("embedding").alias("nv"), F.col("cell")
+    )
+    # query side probes its N_PROBE nearest cells
+    probes = (
+        ranked.filter((F.col("vec_id") < N_QUERIES) & (F.col("rn") <= N_PROBE))
+        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv"), "cell")
+    )
+    cand = F.broadcast(probes).join(assigned, "cell").filter(
+        F.col("q_id") != F.col("n_id")
+    )
+    w2 = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id").asc())
+    return (
+        cand.select("q_id", "n_id", cosine(F.col("qv"), F.col("nv")).alias("cosine"))
+        .withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= TOP_K)
+        .select("q_id", "n_id", "cosine", "rank")
+    )
+
+
+IVF_TOPK_SQL = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cent AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id % 50 = 0),
+scored AS (
+  SELECT e.vec_id, e.v, cent.cell,
+         round(list_dot_product(e.v, cent.cv)
+               / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cent.cv, cent.cv))), 6) AS cos_c
+  FROM e CROSS JOIN cent
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                               ORDER BY cos_c DESC, cell ASC) AS rn
+  FROM scored
+),
+assigned AS (SELECT vec_id AS n_id, v AS nv, cell FROM ranked WHERE rn = 1),
+probes AS (SELECT vec_id AS q_id, v AS qv, cell FROM ranked
+           WHERE vec_id < {N_QUERIES} AND rn <= {N_PROBE}),
+cand AS (
+  SELECT p.q_id, a.n_id,
+         round(list_dot_product(p.qv, a.nv)
+               / (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(a.nv, a.nv))), 6) AS cosine
+  FROM probes p JOIN assigned a USING (cell)
+  WHERE p.q_id <> a.n_id
+)
+SELECT q_id, n_id, cosine, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                               ORDER BY cosine DESC, n_id ASC) AS rank
+  FROM cand
+)
+WHERE rank <= {TOP_K}
+"""

@@ -19,13 +19,19 @@ from streamprocessing_with_kafka_spark.operators import (
     analytics,
     crud,
     dedup,
+    joins,
     multimodal,
     similarity,
     text,
     windows,
 )
 from streamprocessing_with_kafka_spark.sources import generator, json_source
-from streamprocessing_with_kafka_spark.operators.route import ROUTE_SQL, route
+from streamprocessing_with_kafka_spark.operators.route import (
+    ENVELOPE_SQL,
+    ROUTE_SQL,
+    connect_envelope,
+    route,
+)
 from streamprocessing_with_kafka_spark.operators.validate import (
     VALIDATE_ENRICH_SQL,
     validate_and_enrich,
@@ -113,6 +119,18 @@ def route_invalid(spark: SparkSession, sf_dir: str) -> DataFrame:
         flagship_pipeline(spark, sf_dir)
         .filter(F.col("target") == "invalid_orders")
         .select("kafka_key", "status_message")
+    )
+
+
+@register(
+    "schema_envelope",
+    pipeline_sql(ENVELOPE_SQL),
+    doc="T10 Kafka-Connect schema envelope (order_validator.py:95-123), "
+    "byte-identical JSON in both engines",
+)
+def schema_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return connect_envelope(flagship_pipeline(spark, sf_dir)).select(
+        "kafka_key", "value"
     )
 
 
@@ -304,6 +322,23 @@ register("ann_topk_lsh", similarity.ANN_TOPK_LSH_SQL)(similarity.ann_topk_lsh)
 register("ann_ivf_assignments", similarity.IVF_ASSIGNMENTS_SQL)(
     similarity.ivf_assignments
 )
+register("ann_ivf_topk", similarity.IVF_TOPK_SQL)(similarity.ivf_topk)
+
+# --------------------------------------------------------------------------
+# Temporal joins (as-of, range) -- operators Spark lacks native syntax for
+# --------------------------------------------------------------------------
+
+register(
+    "join_asof_events",
+    joins.ASOF_JOIN_EVENTS_SQL,
+    bench=True,
+    doc="as-of join via single-shuffle running-last window (oracle: native ASOF JOIN)",
+)(joins.asof_join_events)
+register(
+    "join_range_events",
+    joins.RANGE_JOIN_EVENTS_SQL,
+    doc="interval-containment join via bucketed equi-join (oracle: inequality join)",
+)(joins.range_join_events)
 
 # --------------------------------------------------------------------------
 # Multimodal columns (binary payloads + Pandas-UDF decode plumbing)
