@@ -171,3 +171,39 @@ JOIN part ON l_partkey = p_partkey
 ORDER BY revenue DESC, p_partkey ASC
 LIMIT 10
 """
+
+
+SALT_BUCKETS = 8
+
+
+def salted_revenue_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation: the skew-proof rewrite of a groupBy
+    on a low-cardinality/hot key (o_orderstatus has 3 values, so a plain
+    groupBy funnels the whole table through 3 reducers at 100 TB).
+
+    Phase 1 groups on (key, salt) -- SALT_BUCKETS x the reducers, each a
+    bounded slice of the hot key; phase 2 combines the per-salt partials.
+    The salt is derived from the row's own PK (deterministic, not rand()),
+    and the partial sums STAY decimal until the final cast so the result
+    is bit-identical to the unsalted single-phase oracle -- salting is a
+    pure physical rewrite, invisible in the answer.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    salted = o.withColumn("_salt", F.pmod(F.col("o_orderkey"), F.lit(SALT_BUCKETS)))
+    partial = salted.groupBy("o_orderstatus", "_salt").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(28,10)")).alias("rev_part"),
+        F.count(F.lit(1)).alias("n_part"),
+    )
+    return partial.groupBy("o_orderstatus").agg(
+        F.sum("rev_part").cast("double").alias("revenue"),
+        F.sum("n_part").alias("n_orders"),
+    )
+
+
+SALTED_REVENUE_BY_STATUS_SQL = f"""
+SELECT o_orderstatus,
+  {dec_sum_sql('o_totalprice')} AS revenue,
+  COUNT(*) AS n_orders
+FROM orders
+GROUP BY o_orderstatus
+"""

@@ -22,6 +22,7 @@ from streamprocessing_with_kafka_spark.operators import (
     joins,
     multimodal,
     similarity,
+    sketches,
     text,
     windows,
 )
@@ -273,6 +274,23 @@ register("setop_urgent_not_fulfilled", analytics.URGENT_NOT_FULFILLED_SQL)(
 register("topk_parts_by_revenue", analytics.TOP_PARTS_BY_REVENUE_SQL, bench=True)(
     analytics.top_parts_by_revenue
 )
+register(
+    "agg_salted_revenue",
+    analytics.SALTED_REVENUE_BY_STATUS_SQL,
+    doc="skew-proof two-phase salted aggregation; oracle is the unsalted "
+    "single-phase groupBy (salting must be answer-invisible)",
+)(analytics.salted_revenue_by_status)
+register(
+    "sketch_distinct_users",
+    None,
+    doc="HLL++ approx distinct (rows-only: sketch algorithms differ across "
+    "engines; error bounded vs exact in tests/test_sketches.py)",
+)(sketches.approx_distinct_users)
+register(
+    "sketch_value_quantiles",
+    None,
+    doc="Greenwald-Khanna approx quantiles (rows-only; error bounded in tests)",
+)(sketches.approx_value_quantiles)
 
 # --------------------------------------------------------------------------
 # Event-time windows (streaming analog, batch-checked)

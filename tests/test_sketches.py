@@ -1,0 +1,45 @@
+"""Error-bound tests for approximate sketches: the correct correctness
+statement for operators whose exact output is implementation-defined."""
+
+from pyspark.sql import functions as F
+
+from streamprocessing_with_kafka_spark.operators.sketches import (
+    approx_distinct_users,
+    approx_value_quantiles,
+)
+from streamprocessing_with_kafka_spark.sources.tables import load_table
+
+
+def test_hll_distinct_within_rsd(spark, sf_dir):
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in approx_distinct_users(spark, sf_dir).collect()
+    }
+    exact = {
+        r["event_type"]: r["exact"]
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("exact"))
+        .collect()
+    }
+    assert approx.keys() == exact.keys()
+    for et, e in exact.items():
+        # 2% requested rsd -- allow 5x slack for small-cardinality noise
+        assert abs(approx[et] - e) <= max(2, 0.10 * e), (et, approx[et], e)
+
+
+def test_quantiles_bracket_exact(spark, sf_dir):
+    qs = {r["event_type"]: r for r in approx_value_quantiles(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events")
+    for et, row in qs.items():
+        vals = [
+            r["value"]
+            for r in ev.filter(F.col("event_type") == et).select("value").collect()
+        ]
+        vals.sort()
+        for p, got in [(0.5, row["p50"]), (0.95, row["p95"]), (0.99, row["p99"])]:
+            # approx quantile must land within +-2% of the rank position
+            lo = vals[max(0, int(len(vals) * (p - 0.02)) - 1)]
+            hi = vals[min(len(vals) - 1, int(len(vals) * (p + 0.02)))]
+            assert lo <= got <= hi, (et, p, got, lo, hi)
+        assert row["p50"] <= row["p95"] <= row["p99"]
