@@ -274,6 +274,13 @@ register("setop_urgent_not_fulfilled", analytics.URGENT_NOT_FULFILLED_SQL)(
 register("topk_parts_by_revenue", analytics.TOP_PARTS_BY_REVENUE_SQL, bench=True)(
     analytics.top_parts_by_revenue
 )
+register("join_shipping_priority", analytics.SHIPPING_PRIORITY_SQL, bench=True)(
+    analytics.shipping_priority
+)
+register("join_semi_urgent_customers", analytics.CUSTOMERS_WITH_URGENT_SQL)(
+    analytics.customers_with_urgent_orders
+)
+register("agg_order_cube", analytics.ORDER_CUBE_SQL)(analytics.order_cube)
 register(
     "agg_salted_revenue",
     analytics.SALTED_REVENUE_BY_STATUS_SQL,
