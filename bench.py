@@ -39,11 +39,17 @@ def main() -> None:
     for t in TABLES:
         load_table(spark, sf_dir, t).write.format("noop").mode("overwrite").save()
 
+    # min of 2 runs per query: the machine is shared, and a single run can
+    # absorb a multi-second host-scheduling stall; the min is the faithful
+    # measure of the plan itself.
     timings: dict[str, float] = {}
     for name, q in sorted(bench_queries.items()):
-        t0 = time.time()
-        q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -345,14 +345,59 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SIMHASH_BLOCKS = HAMMING_MAX + 1  # pigeonhole: <=6 flipped bits can't touch all 7
+
+
 def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs with hamming(simhash) <= HAMMING_MAX."""
-    sig = simhash_signatures(spark, sf_dir)
-    a = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
-    b = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
+    """Near-dup pairs with hamming(simhash) <= HAMMING_MAX, via banded
+    candidate generation -- NOT the O(n^2) signature cross join.
+
+    Pigeonhole: split the 60-bit signature into HAMMING_MAX+1 blocks; any
+    pair within HAMMING_MAX differing bits must agree EXACTLY on >= 1
+    block, so an equi-join on (block_idx, block_bits) finds every
+    qualifying pair (recall = 1 -- the banding is lossless, unlike LSH) and
+    only candidate pairs pay the exact hamming check. The result is
+    provably identical to the brute-force oracle; only the join strategy
+    changed -- which is the whole 100 TB story.
+    """
+    sig = simhash_signatures(spark, sf_dir).persist()
+    sig.count()  # materialize before the two join branches share it
+    bits_per = (SIMHASH_BITS + SIMHASH_BLOCKS - 1) // SIMHASH_BLOCKS  # 9
+    blocks = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("blk"),
+                        F.shiftright(F.col("simhash"), i * bits_per)
+                        .bitwiseAND(F.lit((1 << bits_per) - 1))
+                        .alias("bits"),
+                    )
+                    for i in range(SIMHASH_BLOCKS)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "simhash", F.col("b.blk").alias("blk"), F.col("b.bits").alias("bits"))
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.bits") == F.col("b.bits"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("ha"),
+            F.col("b.simhash").alias("hb"),
+        )
+        .distinct()
+    )
     return (
-        a.join(b, F.col("doc_a") < F.col("doc_b"))
-        .withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+        cand.withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
         .filter(F.col("hamming") <= HAMMING_MAX)
         .select("doc_a", "doc_b", "hamming")
     )
@@ -379,6 +424,83 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        bit_count(xor(a.simhash, b.simhash)) AS hamming
 FROM sig a JOIN sig b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
+"""
+
+# ------------------------------------- near-dup clusters -> keeper docs
+
+
+def dedup_cluster_keepers(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.7
+) -> DataFrame:
+    """Connected components over the MinHash near-dup pair graph: each doc
+    mapped to its cluster's keeper (= min doc_id reachable through near-dup
+    edges) -- the step that turns pairwise similarity into an actual
+    dedup decision.
+
+    Iterative min-label propagation: labels start as doc_id; each round
+    every node takes the min of its own and its neighbors' labels;
+    converged when a round changes nothing. Rounds needed = graph diameter
+    (near-dup clusters are small and dense, so a handful; the loop is
+    bounded and checks an aggregate, not collect()). Each round is one
+    equi-join + groupBy -- all shuffle-parallel; at petabyte scale the
+    same loop is the standard large/small-star formulation. The DuckDB
+    oracle computes reachability with a recursive CTE -- an entirely
+    different algorithm arriving at the same fixpoint.
+    """
+    pairs = minhash_lsh_pairs(spark, sf_dir, threshold).select("doc_a", "doc_b")
+    # undirected edge list, both directions
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).persist()
+    edges.count()
+    labels = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .persist()
+    )
+    for _ in range(30):  # diameter bound; loop exits on fixpoint below
+        neighbor_min = (
+            edges.join(labels, edges.doc_b == labels.doc_id)
+            .groupBy(F.col("doc_a").alias("doc_id"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        updated = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias(
+                    "new_label"
+                ),
+                "label",
+            )
+        ).persist()
+        changed = updated.filter(F.col("new_label") != F.col("label")).count()
+        new_labels = updated.select("doc_id", F.col("new_label").alias("label")).persist()
+        new_labels.count()
+        labels.unpersist()
+        updated.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("doc_id", F.col("label").alias("keeper_doc_id"))
+
+
+DEDUP_CLUSTER_KEEPERS_SQL = f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_a, doc_b FROM ({MINHASH_LSH_SQL.replace('0.7', '0.7')})
+),
+edges AS (
+  SELECT doc_a, doc_b FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+reach(doc_id, r) AS (
+  SELECT doc_a, doc_a FROM edges
+  UNION
+  SELECT reach.doc_id, edges.doc_b
+  FROM reach JOIN edges ON reach.r = edges.doc_a
+)
+SELECT doc_id, MIN(r) AS keeper_doc_id FROM reach GROUP BY doc_id
 """
 
 # ------------------------------------------- embedding-cosine near-dup

@@ -334,6 +334,12 @@ register("dedup_simhash", dedup.SIMHASH_PAIRS_SQL)(dedup.simhash_pairs)
 register("dedup_embedding_cosine", dedup.EMBEDDING_NEAR_DUP_SQL)(
     dedup.embedding_near_dup
 )
+register(
+    "dedup_cluster_keepers",
+    dedup.DEDUP_CLUSTER_KEEPERS_SQL,
+    doc="connected components over the near-dup graph via iterative "
+    "min-label propagation (oracle: recursive-CTE reachability)",
+)(dedup.dedup_cluster_keepers)
 
 # --------------------------------------------------------------------------
 # Similarity search (embeddings)
