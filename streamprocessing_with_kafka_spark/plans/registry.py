@@ -175,6 +175,22 @@ def date_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+@register(
+    "sql_enriched_orders",
+    pipeline_sql(
+        "SELECT order_id, product_name, total_price FROM routed WHERE is_valid"
+    ),
+    doc="Q1: the reference's documented end-to-end check (SELECT * FROM "
+    "enriched_orders, README.md:157) through the spark.sql text front end",
+)
+def sql_enriched_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    flagship_pipeline(spark, sf_dir).createOrReplaceTempView("enriched_orders_view")
+    return spark.sql(
+        "SELECT order_id, product_name, total_price "
+        "FROM enriched_orders_view WHERE is_valid"
+    )
+
+
 @register("crud_scan", "SELECT * FROM orders", doc="Q2 full collection scan")
 def crud_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "orders")

@@ -88,3 +88,22 @@ FROM (
   SELECT unnest(orders) AS o FROM read_json('{FIXTURE_PATH}')
 )
 """
+
+
+def write_order_collection(df: DataFrame, path: str) -> None:
+    """K4: JSON collection file sink -- the generator's `{"orders":
+    [...]}` envelope (src/data/random_orders_generator.py:65-66).
+
+    The envelope is a single JSON document, so this is inherently a
+    single-file write: collect_list into one row, one task writes it.
+    Deliberately NOT for big data (a 100 TB result does not belong in one
+    JSON document) -- the distributed path is `df.write.json(dir)`; this
+    sink exists for reference-shape interchange with json-server."""
+    doc = df.agg(
+        F.to_json(
+            F.struct(F.collect_list(F.struct(*df.columns)).alias("orders"))
+        ).alias("doc")
+    )
+    row = doc.collect()[0]["doc"]
+    with open(path, "w") as f:
+        f.write(row)
