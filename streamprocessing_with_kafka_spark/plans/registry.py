@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from streamprocessing_with_kafka_spark.functions.numeric import dec_sum, dec_sum_sql
 from streamprocessing_with_kafka_spark.operators import (
     analytics,
+    bucketing,
     crud,
     dedup,
     joins,
@@ -297,6 +298,13 @@ register("join_semi_urgent_customers", analytics.CUSTOMERS_WITH_URGENT_SQL)(
     analytics.customers_with_urgent_orders
 )
 register("agg_order_cube", analytics.ORDER_CUBE_SQL)(analytics.order_cube)
+register(
+    "join_bucketed_colocated",
+    bucketing.BUCKETED_JOIN_SQL,
+    doc="fact-to-fact join over bucketed tables: zero exchanges on the "
+    "join (asserted in tests/test_bucketing.py); one ingest-time shuffle "
+    "amortized over every downstream join",
+)(bucketing.bucketed_order_lineitem_join)
 register(
     "agg_salted_revenue",
     analytics.SALTED_REVENUE_BY_STATUS_SQL,
