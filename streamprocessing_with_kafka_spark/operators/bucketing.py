@@ -38,10 +38,18 @@ def _tag(sf_dir: str) -> str:
 def ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> None:
     """Materialize bucketed copies of orders + lineitem keyed by the join
     key (idempotent per session/warehouse): the one-time ingest shuffle."""
+    import shutil
+    from urllib.parse import urlparse
+
     tag = _tag(sf_dir)
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
     for name, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
         table = f"bkt_{name}_{tag}"
         if not spark.catalog.tableExists(table):
+            # a managed-table location can survive from a previous
+            # session's warehouse while the in-memory catalog starts
+            # empty; saveAsTable refuses to reuse it, so clear it first
+            shutil.rmtree(f"{warehouse}/{table}", ignore_errors=True)
             (
                 load_table(spark, sf_dir, name)
                 .write.bucketBy(N_BUCKETS, key)

@@ -121,6 +121,117 @@ SELECT doc_id,
 FROM documents
 """
 
+EMB_DIM = 16
+
+
+def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary -> embedding feature extraction (Arrow-batched).
+
+    STUB featurizer: EMB_DIM floats derived from md5 chunks of the
+    payload (a real deployment puts the vision/audio model call in the
+    batch loop -- the Arrow batch shape is exactly what a GPU featurizer
+    wants: contiguous batches, one model call per batch, not per row).
+    Output is a typed `array<float>` column -- the same shape the
+    similarity operators consume, so extract -> ANN composes.
+    """
+    c = mm_corpus(spark, sf_dir)
+
+    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def vec(payload: bytes) -> list[float]:
+            h = hashlib.md5(payload).hexdigest()
+            h2 = hashlib.md5(payload + b"|f").hexdigest()
+            hexstr = h + h2
+            return [
+                round(int(hexstr[4 * i : 4 * i + 4], 16) / 65535.0, 6)
+                for i in range(EMB_DIM)
+            ]
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "mm_type": pdf["mm_type"],
+                    "feature": pdf["payload"].map(vec),
+                }
+            )
+
+    return c.mapInPandas(
+        featurize,
+        schema=T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("mm_type", T.StringType()),
+                T.StructField("feature", T.ArrayType(T.FloatType())),
+            ]
+        ),
+    )
+
+
+MM_FEATURE_EXTRACT_SQL = f"""
+SELECT doc_id,
+  (['image', 'audio', 'video'])[doc_id % 3 + 1] AS mm_type,
+  list_transform(range(0, {EMB_DIM}), i ->
+    CAST(round(CAST(('0x' || substr(md5(text) || md5(text || '|f'),
+                                    4 * i + 1, 4)) AS INTEGER) / 65535.0,
+               6) AS FLOAT)) AS feature
+FROM documents
+"""
+
+TARGET_BOX = 224
+
+
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize plumbing: fit decoded dims into a TARGET_BOX square
+    preserving aspect ratio; the resized payload is content-addressed.
+
+    The dimension math runs JVM-side (it needs no pixels); only the
+    actual resample belongs in the Pandas-UDF decode body. Keeping the
+    arithmetic out of Python is the point -- a 100 TB resize job should
+    ship ONLY pixel work to the UDF."""
+    dec = mm_decode(spark, sf_dir).filter(F.col("mm_type") == "image")
+    scale = F.least(
+        F.lit(float(TARGET_BOX)) / F.col("width"),
+        F.lit(float(TARGET_BOX)) / F.col("height"),
+    )
+    c = mm_corpus(spark, sf_dir).select("doc_id", F.md5("payload").alias("content_md5"))
+    return (
+        dec.join(c, "doc_id")
+        .select(
+            "doc_id",
+            "width",
+            "height",
+            F.greatest(F.floor(F.col("width") * scale), F.lit(1)).cast("int").alias("out_w"),
+            F.greatest(F.floor(F.col("height") * scale), F.lit(1)).cast("int").alias("out_h"),
+            "content_md5",
+        )
+        .withColumn(
+            "resized_md5",
+            F.md5(
+                F.concat_ws("|", F.col("content_md5"), F.col("out_w"), F.col("out_h"))
+            ),
+        )
+        .select("doc_id", "width", "height", "out_w", "out_h", "resized_md5")
+    )
+
+
+MM_RESIZE_SQL = f"""
+WITH dec AS ({MM_DECODE_SQL}),
+d AS (SELECT doc_id, md5(text) AS content_md5 FROM documents),
+r AS (
+  SELECT dec.doc_id, width, height, content_md5,
+         least(CAST({TARGET_BOX} AS DOUBLE) / width,
+               CAST({TARGET_BOX} AS DOUBLE) / height) AS scale
+  FROM dec JOIN d ON dec.doc_id = d.doc_id
+  WHERE mm_type = 'image'
+)
+SELECT doc_id, width, height,
+  CAST(greatest(floor(width * scale), 1) AS INTEGER) AS out_w,
+  CAST(greatest(floor(height * scale), 1) AS INTEGER) AS out_h,
+  md5(content_md5 || '|' || CAST(CAST(greatest(floor(width * scale), 1) AS INTEGER) AS VARCHAR)
+                 || '|' || CAST(CAST(greatest(floor(height * scale), 1) AS INTEGER) AS VARCHAR)) AS resized_md5
+FROM r
+"""
+
 FRAME_STRIDE = 5
 
 

@@ -406,6 +406,18 @@ register(
     doc="Arrow-batched mapInPandas decode (stub codec, real plumbing)",
 )(multimodal.mm_decode)
 register("mm_frame_sample", multimodal.MM_FRAME_SAMPLE_SQL)(multimodal.mm_frame_sample)
+register(
+    "mm_feature_extract",
+    multimodal.MM_FEATURE_EXTRACT_SQL,
+    doc="binary -> array<float> featurization via Arrow-batched mapInPandas "
+    "(stub model; batch shape is the GPU-featurizer contract)",
+)(multimodal.mm_feature_extract)
+register(
+    "mm_resize",
+    multimodal.MM_RESIZE_SQL,
+    doc="aspect-preserving resize dims JVM-side; only pixel work belongs "
+    "in the decode UDF",
+)(multimodal.mm_resize)
 
 # --------------------------------------------------------------------------
 # Generators + JSON sources (S3/S4/S5)
