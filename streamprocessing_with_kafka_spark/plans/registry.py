@@ -275,29 +275,29 @@ def crud_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Relational analytics (bench workload)
 # --------------------------------------------------------------------------
 
-register("agg_pricing_summary", analytics.PRICING_SUMMARY_SQL, bench=True)(
+register("agg_pricing_summary", analytics.PRICING_SUMMARY_SQL, bench=True, doc="TPC-H Q1-style pricing summary: filtered scan + map-side-combinable decimal aggregates")(
     analytics.pricing_summary
 )
-register("join_revenue_by_nation", analytics.REVENUE_BY_NATION_SQL, bench=True)(
+register("join_revenue_by_nation", analytics.REVENUE_BY_NATION_SQL, bench=True, doc="orders |X| customer |X| nation with both dimensions explicitly broadcast")(
     analytics.revenue_by_nation
 )
-register("window_top_orders", analytics.TOP_ORDERS_PER_CUSTOMER_SQL, bench=True)(
+register("window_top_orders", analytics.TOP_ORDERS_PER_CUSTOMER_SQL, bench=True, doc="ranking window top-k per customer with deterministic tie-break")(
     analytics.top_orders_per_customer
 )
-register("agg_order_rollup", analytics.ORDER_ROLLUP_SQL)(analytics.order_rollup)
-register("setop_urgent_not_fulfilled", analytics.URGENT_NOT_FULFILLED_SQL)(
+register("agg_order_rollup", analytics.ORDER_ROLLUP_SQL, doc="ROLLUP grouping sets in one Expand pass")(analytics.order_rollup)
+register("setop_urgent_not_fulfilled", analytics.URGENT_NOT_FULFILLED_SQL, doc="EXCEPT DISTINCT set operation")(
     analytics.urgent_not_fulfilled
 )
-register("topk_parts_by_revenue", analytics.TOP_PARTS_BY_REVENUE_SQL, bench=True)(
+register("topk_parts_by_revenue", analytics.TOP_PARTS_BY_REVENUE_SQL, bench=True, doc="fact-side aggregate joined to a broadcast dimension, global top-k")(
     analytics.top_parts_by_revenue
 )
-register("join_shipping_priority", analytics.SHIPPING_PRIORITY_SQL, bench=True)(
+register("join_shipping_priority", analytics.SHIPPING_PRIORITY_SQL, bench=True, doc="TPC-H Q3-style 3-way filtered join, filters pushed below the joins")(
     analytics.shipping_priority
 )
-register("join_semi_urgent_customers", analytics.CUSTOMERS_WITH_URGENT_SQL)(
+register("join_semi_urgent_customers", analytics.CUSTOMERS_WITH_URGENT_SQL, doc="EXISTS as a broadcast left-semi join (no row duplication)")(
     analytics.customers_with_urgent_orders
 )
-register("agg_order_cube", analytics.ORDER_CUBE_SQL)(analytics.order_cube)
+register("agg_order_cube", analytics.ORDER_CUBE_SQL, doc="CUBE grouping sets in one Expand pass")(analytics.order_cube)
 register(
     "join_bucketed_colocated",
     bucketing.BUCKETED_JOIN_SQL,
@@ -327,35 +327,35 @@ register(
 # Event-time windows (streaming analog, batch-checked)
 # --------------------------------------------------------------------------
 
-register("events_tumbling", windows.TUMBLING_EVENTS_SQL, bench=True)(
+register("events_tumbling", windows.TUMBLING_EVENTS_SQL, bench=True, doc="fixed event-time windows (streaming twin: window() + watermark)")(
     windows.tumbling_events
 )
-register("events_sliding", windows.SLIDING_EVENTS_SQL)(windows.sliding_events)
-register("events_session", windows.SESSION_EVENTS_SQL, bench=True)(windows.session_events)
-register("events_dedup", windows.DEDUP_EVENTS_SQL)(windows.dedup_events)
-register("events_props_metrics", windows.PROPS_METRICS_SQL)(windows.props_metrics)
+register("events_sliding", windows.SLIDING_EVENTS_SQL, doc="overlapping event-time windows via window(slideDuration)")(windows.sliding_events)
+register("events_session", windows.SESSION_EVENTS_SQL, bench=True, doc="gap-based session windows (session_window) per user")(windows.session_events)
+register("events_dedup", windows.DEDUP_EVENTS_SQL, doc="exact event dedup with deterministic keeper (streaming twin: dropDuplicatesWithinWatermark)")(windows.dedup_events)
+register("events_props_metrics", windows.PROPS_METRICS_SQL, doc="JSON props extraction (get_json_object) + aggregation")(windows.props_metrics)
 
 # --------------------------------------------------------------------------
 # Text analysis (documents)
 # --------------------------------------------------------------------------
 
-register("text_stats", text.TEXT_STATS_SQL, bench=True)(text.text_stats)
-register("text_token_count", text.TOKEN_COUNT_SQL)(text.token_count)
-register("text_lang_id", text.LANG_ID_SQL)(text.lang_id)
-register("text_quality_score", text.QUALITY_SCORE_SQL)(text.quality_score)
-register("text_fingerprint", text.FINGERPRINT_SQL)(text.fingerprint)
+register("text_stats", text.TEXT_STATS_SQL, bench=True, doc="per-document surface statistics (chars/tokens/uniques)")(text.text_stats)
+register("text_token_count", text.TOKEN_COUNT_SQL, doc="whitespace + BPE-ish regex token counting")(text.token_count)
+register("text_lang_id", text.LANG_ID_SQL, doc="stopword-ratio language-ID heuristic")(text.lang_id)
+register("text_quality_score", text.QUALITY_SCORE_SQL, doc="composite length/punctuation/stopword quality score")(text.quality_score)
+register("text_fingerprint", text.FINGERPRINT_SQL, doc="canonical-text md5 fingerprint + content shard key")(text.fingerprint)
 
 # --------------------------------------------------------------------------
 # Deduplication (documents / embeddings)
 # --------------------------------------------------------------------------
 
-register("dedup_exact", dedup.DEDUP_EXACT_SQL)(dedup.dedup_exact)
-register("dedup_ngram_jaccard", dedup.NGRAM_JACCARD_SQL, bench=True)(
+register("dedup_exact", dedup.DEDUP_EXACT_SQL, doc="exact dedup by canonical fingerprint, hash-groupBy, deterministic keeper")(dedup.dedup_exact)
+register("dedup_ngram_jaccard", dedup.NGRAM_JACCARD_SQL, bench=True, doc="exact Jaccard over 3-gram shingles, blocked on shared shingles (no cross join)")(
     dedup.ngram_jaccard_pairs
 )
-register("dedup_minhash_lsh", dedup.MINHASH_LSH_SQL, bench=True)(dedup.minhash_lsh_pairs)
-register("dedup_simhash", dedup.SIMHASH_PAIRS_SQL)(dedup.simhash_pairs)
-register("dedup_embedding_cosine", dedup.EMBEDDING_NEAR_DUP_SQL)(
+register("dedup_minhash_lsh", dedup.MINHASH_LSH_SQL, bench=True, doc="MinHash signatures (single-md5 hash family) + banded LSH candidates + exact verify")(dedup.minhash_lsh_pairs)
+register("dedup_simhash", dedup.SIMHASH_PAIRS_SQL, doc="60-bit SimHash with lossless pigeonhole banding (recall 1 vs brute force)")(dedup.simhash_pairs)
+register("dedup_embedding_cosine", dedup.EMBEDDING_NEAR_DUP_SQL, doc="embedding near-dup pairs by cosine threshold (exact baseline)")(
     dedup.embedding_near_dup
 )
 register(
@@ -369,15 +369,15 @@ register(
 # Similarity search (embeddings)
 # --------------------------------------------------------------------------
 
-register("embedding_stats", similarity.EMBEDDING_STATS_SQL)(similarity.embedding_stats)
-register("ann_topk_bruteforce", similarity.ANN_TOPK_BRUTEFORCE_SQL, bench=True)(
+register("embedding_stats", similarity.EMBEDDING_STATS_SQL, doc="typed vector-column metadata: dim + L2 norm")(similarity.embedding_stats)
+register("ann_topk_bruteforce", similarity.ANN_TOPK_BRUTEFORCE_SQL, bench=True, doc="exact cosine top-k via broadcast probe (the recall baseline)")(
     similarity.ann_topk_bruteforce
 )
-register("ann_topk_lsh", similarity.ANN_TOPK_LSH_SQL)(similarity.ann_topk_lsh)
-register("ann_ivf_assignments", similarity.IVF_ASSIGNMENTS_SQL)(
+register("ann_topk_lsh", similarity.ANN_TOPK_LSH_SQL, doc="ANN via random-hyperplane LSH buckets + exact rerank")(similarity.ann_topk_lsh)
+register("ann_ivf_assignments", similarity.IVF_ASSIGNMENTS_SQL, doc="IVF nearest-centroid cell assignment (broadcast centroids)")(
     similarity.ivf_assignments
 )
-register("ann_ivf_topk", similarity.IVF_TOPK_SQL)(similarity.ivf_topk)
+register("ann_ivf_topk", similarity.IVF_TOPK_SQL, doc="IVF search: probe nearest cells, rerank candidates only")(similarity.ivf_topk)
 
 # --------------------------------------------------------------------------
 # Temporal joins (as-of, range) -- operators Spark lacks native syntax for
@@ -399,13 +399,13 @@ register(
 # Multimodal columns (binary payloads + Pandas-UDF decode plumbing)
 # --------------------------------------------------------------------------
 
-register("mm_binary_meta", multimodal.MM_BINARY_META_SQL)(multimodal.mm_binary_meta)
+register("mm_binary_meta", multimodal.MM_BINARY_META_SQL, doc="typed metadata over opaque binary payloads (no decode): size, content md5, shard key")(multimodal.mm_binary_meta)
 register(
     "mm_decode",
     multimodal.MM_DECODE_SQL,
     doc="Arrow-batched mapInPandas decode (stub codec, real plumbing)",
 )(multimodal.mm_decode)
-register("mm_frame_sample", multimodal.MM_FRAME_SAMPLE_SQL)(multimodal.mm_frame_sample)
+register("mm_frame_sample", multimodal.MM_FRAME_SAMPLE_SQL, doc="per-frame fan-out for video rows: strided sample, content-addressed frames")(multimodal.mm_frame_sample)
 register(
     "mm_feature_extract",
     multimodal.MM_FEATURE_EXTRACT_SQL,
@@ -428,7 +428,7 @@ register(
     generator.generator_sql(100),
     doc="S5 seeded synthetic order generator (LCG, engine-independent)",
 )(lambda spark, sf_dir: generator.generate_orders(spark, 100))
-register("json_parse_orders", json_source.JSON_PARSE_ORDERS_SQL)(
+register("json_parse_orders", json_source.JSON_PARSE_ORDERS_SQL, doc="S3 null-safe JSON parse: corrupt records yield nulls, never exceptions")(
     json_source.json_parse_orders
 )
 register(
