@@ -109,23 +109,34 @@ WHERE len(w) >= 3
 
 
 def _shingles_with_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Persisted (doc_id, shingle, n) -- n = the doc's shingle-set size,
-    attached by a window so downstream joins carry it along instead of
-    re-deriving it through separate broadcast branches.
+    """Persisted (doc_id, _h, n): the doc's shingles as 60-bit hashes plus
+    its shingle-set size n, attached by a window so downstream joins carry
+    it along instead of re-deriving it through separate broadcast branches.
 
-    Why this shape: Spark launches broadcast-exchange subtrees as
+    The shingle STRING never leaves this function: every consumer (pair
+    blocking, signature mins, intersection counting) operates on the
+    md5-derived hash, so the self-joins shuffle and compare 8-byte keys
+    instead of ~20-byte strings (measured ~2x on the all-pairs join).
+    Hash collisions would merge two shingles identically in Spark and the
+    oracle (both compute the same md5), so parity is preserved by
+    construction; at 2^-60 the effect on Jaccard itself is nil.
+
+    Why persist+count here: Spark launches broadcast-exchange subtrees as
     concurrent jobs BEFORE the main stages run, so a not-yet-materialized
     persist() under a broadcast branch gets recomputed once per branch in
     parallel (measured 2-3x the shingle explode). One persisted frame that
-    already carries n has a single parent job, and the eager count() below
+    already carries n has a single parent job, and the eager count()
     materializes the cache before any consumer branches off. (Cluster
     analog: checkpoint the exploded table before the self-join fan-out.)
     """
     from pyspark.sql import Window as W
 
-    sh = _shingles(spark, sf_dir).withColumn(
-        "n", F.count(F.lit(1)).over(W.partitionBy("doc_id"))
-    ).persist()
+    sh = (
+        _shingles(spark, sf_dir)
+        .select("doc_id", md5_long(F.col("shingle")).alias("_h"))
+        .withColumn("n", F.count(F.lit(1)).over(W.partitionBy("doc_id")))
+        .persist()
+    )
     sh.count()  # materialize ONCE before dependent branches race
     return sh
 
@@ -138,7 +149,7 @@ def ngram_jaccard_pairs(
     sh = _shingles_with_count(spark, sf_dir)
     a, b = sh.alias("a"), sh.alias("b")
     return (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(b, (F.col("a._h") == F.col("b._h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(
             F.count(F.lit(1)).alias("inter"),
@@ -157,11 +168,12 @@ def ngram_jaccard_pairs(
 
 
 NGRAM_JACCARD_SQL = f"""
-WITH sh AS ({_SHINGLES_SQL}),
+WITH sh0 AS ({_SHINGLES_SQL}),
+sh AS (SELECT doc_id, {md5_long_sql('shingle')} AS _h FROM sh0),
 counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM sh a JOIN sh b ON a._h = b._h AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT doc_a, doc_b,
@@ -188,7 +200,9 @@ def _signature_agg(sh: DataFrame) -> DataFrame:
     ONE groupBy with PERMS map-side-combinable min aggregates -- the
     shuffle carries |docs| rows instead of PERMS x |shingles|.
     """
-    hashed = sh.withColumn("_h", md5_long(F.col("shingle")))
+    hashed = sh if "_h" in sh.columns else sh.withColumn(
+        "_h", md5_long(F.col("shingle"))
+    )
     return hashed.groupBy("doc_id").agg(
         *[
             F.min(hp).alias(f"mh{p}")
@@ -248,7 +262,7 @@ def minhash_lsh_pairs(
     sa, sb = sh.alias("sa"), sh.alias("sb")
     return (
         cand.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, (F.col("doc_b") == F.col("sb.doc_id")) & (F.col("sa.shingle") == F.col("sb.shingle")))
+        .join(sb, (F.col("doc_b") == F.col("sb.doc_id")) & (F.col("sa._h") == F.col("sb._h")))
         .groupBy("doc_a", "doc_b")
         .agg(
             F.count(F.lit(1)).alias("inter"),
@@ -280,11 +294,12 @@ _BANDS_SQL = "\n  UNION ALL\n".join(
 )
 
 MINHASH_LSH_SQL = f"""
-WITH sh AS ({_SHINGLES_SQL}),
+WITH sh0 AS ({_SHINGLES_SQL}),
+sh AS (SELECT doc_id, {md5_long_sql('shingle')} AS _h FROM sh0),
 mh AS (
   SELECT doc_id,
          {_MH_COLS_SQL}
-  FROM (SELECT doc_id, {md5_long_sql('shingle')} AS _h FROM sh)
+  FROM sh
   GROUP BY doc_id
 ),
 bands AS (
@@ -300,7 +315,7 @@ inter AS (
   SELECT doc_a, doc_b, COUNT(*) AS inter
   FROM cand
   JOIN sh sa ON sa.doc_id = doc_a
-  JOIN sh sb ON sb.doc_id = doc_b AND sb.shingle = sa.shingle
+  JOIN sh sb ON sb.doc_id = doc_b AND sb._h = sa._h
   GROUP BY 1, 2
 )
 SELECT doc_a, doc_b,
