@@ -20,6 +20,74 @@ from streamprocessing_with_kafka_spark.functions.numeric import dec_sum, dec_sum
 from streamprocessing_with_kafka_spark.sources.tables import load_table
 
 
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def pivot_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event counts pivoted to one column per event type.
+
+    The pivot values are DECLARED (not discovered): passing the value
+    list skips the extra distinct-scan Spark otherwise runs to infer
+    columns, and pins the output schema -- both required at scale and for
+    oracle comparison."""
+    ev = load_table(spark, sf_dir, "events")
+    p = (
+        ev.groupBy("user_id")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    return p.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in EVENT_TYPES],
+    )
+
+
+PIVOT_USER_ACTIVITY_SQL = "SELECT user_id, " + ", ".join(
+    f"COUNT(*) FILTER (WHERE event_type = '{t}') AS n_{t}" for t in EVENT_TYPES
+) + " FROM events GROUP BY user_id"
+
+
+def running_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window functions: running total + previous-event delta per
+    user in event-time order.
+
+    The running sum accumulates DECIMALS inside the frame (engines
+    disagree on float accumulation order within window frames -- DuckDB
+    uses segment trees -- but decimal addition is exact so any order
+    agrees); ties broken on event_id for a total order."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.sum(F.col("value").cast("decimal(28,10)")).over(run).cast("double").alias(
+            "running_value"
+        ),
+        F.round(
+            F.col("value") - F.lag("value").over(w), 6
+        ).alias("delta_prev"),
+        F.row_number().over(w).alias("event_seq"),
+    )
+
+
+RUNNING_USER_VALUE_SQL = """
+SELECT user_id, event_id, ts, value,
+  CAST(CAST(SUM(CAST(value AS DECIMAL(28,10)))
+       OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE)
+    AS running_value,
+  round(value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 6)
+    AS delta_prev,
+  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS event_seq
+FROM events
+"""
+
+
 def tumbling_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """10-minute tumbling windows per event_type."""
     ev = load_table(spark, sf_dir, "events")

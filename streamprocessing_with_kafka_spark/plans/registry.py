@@ -334,6 +334,16 @@ register("events_sliding", windows.SLIDING_EVENTS_SQL, doc="overlapping event-ti
 register("events_session", windows.SESSION_EVENTS_SQL, bench=True, doc="gap-based session windows (session_window) per user")(windows.session_events)
 register("events_dedup", windows.DEDUP_EVENTS_SQL, doc="exact event dedup with deterministic keeper (streaming twin: dropDuplicatesWithinWatermark)")(windows.dedup_events)
 register("events_props_metrics", windows.PROPS_METRICS_SQL, doc="JSON props extraction (get_json_object) + aggregation")(windows.props_metrics)
+register(
+    "events_pivot_activity",
+    windows.PIVOT_USER_ACTIVITY_SQL,
+    doc="pivot with declared values (no inference scan, pinned schema)",
+)(windows.pivot_user_activity)
+register(
+    "events_running_value",
+    windows.RUNNING_USER_VALUE_SQL,
+    doc="analytic windows: decimal-exact running sum + lag delta + row_number",
+)(windows.running_user_value)
 
 # --------------------------------------------------------------------------
 # Text analysis (documents)
