@@ -145,6 +145,91 @@ FROM (
 """
 
 
+EMAIL_RE = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+PHONE_RE = "\\+?[0-9][0-9 ()-]{7,}[0-9]"
+
+
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing pass: redact email/phone patterns, report counts.
+
+    Pure regexp_replace/regexp_extract_all -- JVM-side, codegen'd, no UDF;
+    at 100 TB this runs at scan speed as a narrow map. Counting BEFORE
+    redaction gives the audit trail a compliance pipeline needs."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(EMAIL_RE), F.lit(0))).alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(PHONE_RE), F.lit(0))).alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace("text", EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+        ).alias("scrubbed"),
+    )
+
+
+PII_SCRUB_SQL = f"""
+SELECT doc_id,
+  len(regexp_extract_all(text, '{EMAIL_RE}', 0)) AS n_emails,
+  len(regexp_extract_all(text, '{PHONE_RE}', 0)) AS n_phones,
+  regexp_replace(regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                 '{PHONE_RE}', '<PHONE>', 'g') AS scrubbed
+FROM documents
+"""
+
+CHUNK_TOKENS = 32
+CHUNK_OVERLAP = 8
+
+
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size token chunking with overlap -- the standard prep step
+    before embedding/training on long documents.
+
+    Chunk starts stride by (CHUNK_TOKENS - CHUNK_OVERLAP); each chunk
+    joins its token slice back to text. All array ops (split, sequence,
+    slice, explode) -- a narrow map + generate, no shuffle, no UDF."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    stride = CHUNK_TOKENS - CHUNK_OVERLAP
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(
+            F.floor((F.size("w") - 1 - F.lit(CHUNK_OVERLAP)).cast("double") / stride)
+            .cast("int"),
+            F.lit(0),
+        ),
+    )
+    return (
+        d.select("doc_id", "w", F.explode(starts).alias("chunk_id"))
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.array_join(
+                F.slice("w", F.col("chunk_id") * stride + 1, CHUNK_TOKENS), " "
+            ).alias("chunk_text"),
+            F.least(
+                F.size("w") - F.col("chunk_id") * stride, F.lit(CHUNK_TOKENS)
+            ).alias("n_tokens"),
+        )
+    )
+
+
+CHUNK_DOCUMENTS_SQL = f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+c AS (
+  SELECT doc_id, w,
+         unnest(range(0, greatest(
+           CAST(floor(CAST(len(w) - 1 - {CHUNK_OVERLAP} AS DOUBLE)
+                      / {CHUNK_TOKENS - CHUNK_OVERLAP}) AS INTEGER), 0) + 1)) AS chunk_id
+  FROM d
+)
+SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
+  array_to_string(w[chunk_id * {CHUNK_TOKENS - CHUNK_OVERLAP} + 1 :
+                    chunk_id * {CHUNK_TOKENS - CHUNK_OVERLAP} + {CHUNK_TOKENS}], ' ') AS chunk_text,
+  least(len(w) - chunk_id * {CHUNK_TOKENS - CHUNK_OVERLAP}, {CHUNK_TOKENS}) AS n_tokens
+FROM c
+"""
+
+
 def canonical_text(col: str = "text") -> Column:
     """Normalization under fingerprinting: lowercase, trim, collapse runs
     of spaces."""

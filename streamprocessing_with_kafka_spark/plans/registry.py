@@ -354,6 +354,17 @@ register("text_token_count", text.TOKEN_COUNT_SQL, doc="whitespace + BPE-ish reg
 register("text_lang_id", text.LANG_ID_SQL, doc="stopword-ratio language-ID heuristic")(text.lang_id)
 register("text_quality_score", text.QUALITY_SCORE_SQL, doc="composite length/punctuation/stopword quality score")(text.quality_score)
 register("text_fingerprint", text.FINGERPRINT_SQL, doc="canonical-text md5 fingerprint + content shard key")(text.fingerprint)
+register(
+    "text_pii_scrub",
+    text.PII_SCRUB_SQL,
+    doc="email/phone redaction with pre-redaction audit counts; pure "
+    "regexp, codegen'd, runs at scan speed",
+)(text.pii_scrub)
+register(
+    "text_chunk",
+    text.CHUNK_DOCUMENTS_SQL,
+    doc="fixed-token chunking with overlap (array slice + explode, no UDF)",
+)(text.chunk_documents)
 
 # --------------------------------------------------------------------------
 # Deduplication (documents / embeddings)
