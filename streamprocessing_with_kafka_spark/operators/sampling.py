@@ -1,0 +1,97 @@
+"""Deterministic sampling operators over the `documents` table -- the
+dataset-curation surface of a training-data pipeline (north star in
+BASELINE.json): stratified down-sampling and per-source weighted mixing.
+
+Randomness is replaced by the cross-engine md5 hash (functions/hashing.py)
+so every sample is reproducible, oracle-checkable, and -- critically at
+100 TB -- re-runnable to the byte: a retried task or a re-executed stage
+selects exactly the same rows, which Spark's recompute-on-failure model
+requires (`rand()` inside a filter breaks exactly-once sinks on retry).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from streamprocessing_with_kafka_spark.functions.hashing import md5_long, md5_long_sql
+from streamprocessing_with_kafka_spark.sources.tables import load_table
+
+STRATUM_K = 5
+
+# Per-source keep rates for the weighted mix -- the "data mixture" dial of
+# a pretraining pipeline (e.g. up-weight curated sources, down-weight web
+# crawl). A real deployment feeds this from config; it stays a broadcast
+# dimension either way.
+MIX_RATES = [(f"src{i}", round(1.0 - 0.08 * i, 2)) for i in range(10)]
+
+_TWO60 = float(1 << 60)
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample: the K smallest md5-ranked docs per
+    (lang, source) stratum.
+
+    One shuffle keyed on the stratum; rank is a window row_number, so each
+    stratum is processed independently. Skew note: at 100 TB a hot stratum
+    (e.g. lang='en', source='web') would bottleneck a single partition --
+    the fix is a two-phase top-K (per-partition K via repartition on a
+    salted key, then global K), which `topk_parts_by_revenue` demonstrates;
+    here strata are balanced so the direct window is the right plan."""
+    d = load_table(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.lit("strat|"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("lang", "source").orderBy(key)
+    return (
+        d.select(
+            "doc_id", "lang", "source", F.row_number().over(w).alias("sample_rank")
+        )
+        .filter(F.col("sample_rank") <= STRATUM_K)
+    )
+
+
+STRATIFIED_SAMPLE_SQL = f"""
+SELECT doc_id, lang, source, CAST(rk AS INTEGER) AS sample_rank
+FROM (
+  SELECT doc_id, lang, source,
+    row_number() OVER (PARTITION BY lang, source
+                       ORDER BY md5('strat|' || CAST(doc_id AS VARCHAR))) AS rk
+  FROM documents
+)
+WHERE rk <= {STRATUM_K}
+"""
+
+
+def weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source weighted subsampling: keep a document iff its uniform
+    hash-fraction falls under the source's keep rate.
+
+    The rates table is a broadcast dim (no shuffle of the corpus); the
+    filter is a narrow map over the scan. This is the scalable shape of
+    'mix sources at ratios r_i' -- no global ordering, no count-based
+    quotas, embarrassingly parallel, stable under retries."""
+    d = load_table(spark, sf_dir, "documents")
+    rates = spark.createDataFrame(MIX_RATES, "source string, keep_rate double")
+    u = md5_long(F.concat(F.lit("mix|"), F.col("doc_id").cast("string"))) / F.lit(
+        _TWO60
+    )
+    return (
+        d.join(F.broadcast(rates), "source")
+        .select("doc_id", "source", "keep_rate", u.alias("u_exact"))
+        .filter(F.col("u_exact") < F.col("keep_rate"))
+        .select("doc_id", "source", "keep_rate", F.round("u_exact", 6).alias("u"))
+    )
+
+
+_RATES_VALUES = ", ".join(f"('{s}', {r})" for s, r in MIX_RATES)
+_U_HASH = md5_long_sql("'mix|' || CAST(doc_id AS VARCHAR)")
+_U_SQL = f"{_U_HASH} / CAST({1 << 60} AS DOUBLE)"
+
+WEIGHTED_MIX_SQL = f"""
+WITH rates(source, keep_rate) AS (VALUES {_RATES_VALUES}),
+u AS (
+  SELECT doc_id, d.source, CAST(keep_rate AS DOUBLE) AS keep_rate,
+         {_U_SQL} AS u_exact
+  FROM documents d JOIN rates USING (source)
+)
+SELECT doc_id, source, keep_rate, round(u_exact, 6) AS u
+FROM u WHERE u_exact < keep_rate
+"""

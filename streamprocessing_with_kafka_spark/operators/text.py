@@ -230,6 +230,95 @@ FROM c
 """
 
 
+def repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals: duplicate-bigram fraction
+    and most-frequent-bigram share, per document.
+
+    Computed entirely with higher-order array functions (transform /
+    filter / array_distinct) inside one narrow projection -- no explode,
+    no shuffle. At 100 TB the alternative (explode bigrams + two
+    groupBys) would shuffle ~20x the corpus bytes; this form touches each
+    row once and is O(distinct * n) per row, bounded by document length."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", _tokens().alias("w"))
+    bigrams = F.when(
+        F.size("w") >= 2,
+        F.expr(
+            "transform(sequence(1, size(w) - 1),"
+            " i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"
+        ),
+    ).otherwise(F.expr("CAST(array() AS array<string>)"))
+    d = d.select("doc_id", bigrams.alias("ng"))
+    n = F.size("ng")
+    denom = F.when(n > 0, n.cast("double"))
+    top = F.expr(
+        "array_max(transform(array_distinct(ng), x -> size(filter(ng, y -> y = x))))"
+    )
+    return d.select(
+        "doc_id",
+        n.alias("n_bigrams"),
+        F.round((n - F.size(F.array_distinct("ng"))) / denom, 6).alias(
+            "dup_bigram_frac"
+        ),
+        F.round(top / denom, 6).alias("top_bigram_frac"),
+    )
+
+
+REPETITION_SQL = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+g AS (
+  SELECT doc_id,
+    CASE WHEN len(w) >= 2
+         THEN [w[i] || ' ' || w[i+1] for i in range(1, len(w))]
+         ELSE [] END AS ng
+  FROM t
+)
+SELECT doc_id,
+  CAST(len(ng) AS INTEGER) AS n_bigrams,
+  round((len(ng) - len(list_distinct(ng)))
+        / CAST(nullif(len(ng), 0) AS DOUBLE), 6) AS dup_bigram_frac,
+  round(list_max(list_transform(list_distinct(ng),
+                                x -> len(list_filter(ng, y -> y = x))))
+        / CAST(nullif(len(ng), 0) AS DOUBLE), 6) AS top_bigram_frac
+FROM g
+"""
+
+
+def term_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus document-frequency table with smoothed IDF -- the shared
+    statistic under TF-IDF ranking and rare-token filtering.
+
+    One explode of per-doc DISTINCT terms (so a term counts once per doc)
+    -> one groupBy(term) with map-side partial aggregation -> broadcast
+    of the single-row corpus count. The only shuffle is keyed on `term`,
+    whose cardinality is the vocabulary, not the corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    total = d.agg(F.count("*").alias("n_docs"))
+    dfreq = (
+        d.select(F.explode(F.array_distinct(_tokens())).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+    )
+    return dfreq.crossJoin(F.broadcast(total)).select(
+        "term",
+        "df",
+        F.round(
+            F.log((F.col("n_docs") + 1).cast("double") / (F.col("df") + 1)), 6
+        ).alias("idf"),
+    )
+
+
+TERM_DF_SQL = """
+WITH e AS (
+  SELECT unnest(list_distinct(string_split(text, ' '))) AS term FROM documents
+),
+n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT term, count(*) AS df,
+  round(ln(CAST(n_docs + 1 AS DOUBLE) / (count(*) + 1)), 6) AS idf
+FROM e, n
+GROUP BY term, n_docs
+"""
+
+
 def canonical_text(col: str = "text") -> Column:
     """Normalization under fingerprinting: lowercase, trim, collapse runs
     of spaces."""

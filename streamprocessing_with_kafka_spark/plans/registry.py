@@ -22,6 +22,7 @@ from streamprocessing_with_kafka_spark.operators import (
     dedup,
     joins,
     multimodal,
+    sampling,
     similarity,
     sketches,
     text,
@@ -365,6 +366,34 @@ register(
     text.CHUNK_DOCUMENTS_SQL,
     doc="fixed-token chunking with overlap (array slice + explode, no UDF)",
 )(text.chunk_documents)
+register(
+    "text_repetition",
+    text.REPETITION_SQL,
+    doc="Gopher-style dup-bigram / top-bigram repetition fractions, all "
+    "higher-order array functions, zero shuffle",
+)(text.repetition_metrics)
+register(
+    "text_term_df",
+    text.TERM_DF_SQL,
+    doc="corpus document-frequency + smoothed IDF (vocab-sized shuffle only)",
+)(text.term_df)
+
+# --------------------------------------------------------------------------
+# Deterministic sampling / data mixing (documents)
+# --------------------------------------------------------------------------
+
+register(
+    "sample_stratified",
+    sampling.STRATIFIED_SAMPLE_SQL,
+    doc="deterministic top-K per (lang, source) stratum by md5 rank; "
+    "retry-stable (no rand())",
+)(sampling.stratified_sample)
+register(
+    "sample_weighted_mix",
+    sampling.WEIGHTED_MIX_SQL,
+    doc="per-source keep-rate mixing via hash-fraction threshold; broadcast "
+    "rates dim, narrow-map filter",
+)(sampling.weighted_mix)
 
 # --------------------------------------------------------------------------
 # Deduplication (documents / embeddings)
