@@ -1,0 +1,110 @@
+"""Physical-plan regression tests: the scale properties the operators are
+designed around (shuffle-free narrow maps, broadcast dims, partial top-K
+pushdown, parquet filter pushdown) asserted against `.explain` output so a
+refactor can't silently trade them away. Correctness is covered by the
+oracle-parity suite; these pin the *plan shape*.
+"""
+
+import re
+
+from pyspark.sql import functions as F
+
+from streamprocessing_with_kafka_spark.operators import sampling, text
+from streamprocessing_with_kafka_spark.plans.registry import registry
+from streamprocessing_with_kafka_spark.sources.tables import load_table
+
+
+def _plan(spark, df, mode: str = "simple") -> str:
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    )
+
+
+def _n_shuffles(plan: str) -> int:
+    # count shuffle exchanges only; BroadcastExchange is the cheap path
+    # we *want* and must not count against the budget
+    return len(re.findall(r"Exchange (?:hash|range|Single)", plan))
+
+
+def test_repetition_metrics_is_shuffle_free(spark, sf_dir):
+    """Per-doc repetition stats are one narrow projection: at 100 TB any
+    Exchange here would shuffle the whole corpus for a per-row metric."""
+    plan = _plan(spark, text.repetition_metrics(spark, sf_dir))
+    assert "Exchange" not in plan, plan
+
+
+def test_per_doc_text_ops_are_shuffle_free(spark, sf_dir):
+    for fn in (
+        text.text_stats,
+        text.token_count,
+        text.lang_id,
+        text.quality_score,
+        text.fingerprint,
+        text.pii_scrub,
+        text.chunk_documents,
+    ):
+        plan = _plan(spark, fn(spark, sf_dir))
+        assert "Exchange" not in plan, (fn.__name__, plan)
+
+
+def test_stratified_sample_pushes_partial_topk(spark, sf_dir):
+    """row_number().over(partitionBy).filter(<=K) must compile to
+    WindowGroupLimit below the Exchange (two-phase top-K): each map task
+    emits at most K rows per stratum, so the shuffle carries O(strata * K)
+    rows, not the corpus."""
+    plan = _plan(spark, sampling.stratified_sample(spark, sf_dir))
+    assert plan.count("WindowGroupLimit") == 2, plan
+    assert _n_shuffles(plan) == 1, plan
+
+
+def test_weighted_mix_broadcasts_rates(spark, sf_dir):
+    """The rates table is a 10-row dim: it must broadcast, never shuffle
+    the corpus side."""
+    plan = _plan(spark, sampling.weighted_mix(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert _n_shuffles(plan) == 0, plan
+
+
+def test_term_df_shuffles_vocab_only(spark, sf_dir):
+    """Two aggregations (vocab DF + corpus count) -> exactly two shuffle
+    exchanges, both with map-side partial aggregation; the corpus-count
+    side joins in via broadcast."""
+    plan = _plan(spark, text.term_df(spark, sf_dir))
+    assert _n_shuffles(plan) <= 2, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    # partial-then-final aggregate pairs (map-side combine)
+    assert plan.count("HashAggregate") >= 4, plan
+
+
+def test_crud_filter_pushes_predicate_to_scan(spark, sf_dir):
+    """Q3 equality filter must reach the parquet reader as a pushed
+    filter, not a post-scan Filter over all row groups."""
+    df = registry()["crud_filter"].fn(spark, sf_dir)
+    plan = _plan(spark, df, "formatted")
+    assert re.search(r"PushedFilters: \[.*o_custkey.*\]", plan), plan
+
+
+def test_projection_prunes_scan_columns(spark, sf_dir):
+    """A 2-column projection must read a 2-column schema, not the table."""
+    df = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    plan = _plan(spark, df, "formatted")
+    m = re.search(r"ReadSchema: (struct<[^\n]*)", plan)
+    assert m, plan
+    read = m.group(1)
+    assert "l_orderkey" in read and "l_quantity" in read, read
+    assert "l_comment" not in read and "l_extendedprice" not in read, read
+
+
+def test_events_scan_prunes_with_filter(spark, sf_dir):
+    """Filter + projection compose: pushed filter AND pruned schema on the
+    same scan."""
+    df = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "click")
+        .select("user_id", "event_type")
+    )
+    plan = _plan(spark, df, "formatted")
+    assert re.search(r"PushedFilters: \[.*event_type.*\]", plan), plan
+    m = re.search(r"ReadSchema: (struct<[^\n]*)", plan)
+    assert m and "props" not in m.group(1), plan
