@@ -298,3 +298,73 @@ SELECT o_orderstatus,
 FROM orders
 GROUP BY o_orderstatus
 """
+
+
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: LEFT OUTER customer->orders so zero-order
+    customers survive, per-customer order count, then the distribution of
+    those counts.
+
+    The order-side filter lives BEFORE the join (equivalent to the
+    spec's ON-clause filter) -- pushing it into the scan shrinks the
+    shuffled fact side. First join shuffles on custkey (both sides large
+    at scale -> SMJ is correct); the second aggregate is on c_count,
+    whose cardinality is tiny."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+CUSTOMER_ORDER_DISTRIBUTION_SQL = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+"""
+
+
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated aggregate subquery (per-part average
+    quantity) decorrelated into a groupBy + equi-join back to the fact,
+    with the brand dim broadcast.
+
+    The avg is dec-safe (exact decimal sum / count) so the threshold
+    comparison is bit-identical to the oracle's. At scale: lineitem
+    shuffles once on l_partkey, reused by both the aggregate and the
+    join back (co-partitioned); the filtered part table broadcasts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    avg_q = li.groupBy("l_partkey").agg(
+        (dec_sum("l_quantity") / F.count(F.lit(1)).cast("double")).alias("avg_qty")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(avg_q, "l_partkey")
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg((dec_sum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly"))
+    )
+
+
+SMALL_QUANTITY_REVENUE_SQL = f"""
+WITH avg_q AS (
+  SELECT l_partkey,
+    {dec_sum_sql('l_quantity')} / CAST(COUNT(*) AS DOUBLE) AS avg_qty
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT {dec_sum_sql('l.l_extendedprice')} / 7.0 AS avg_yearly
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN avg_q a ON l.l_partkey = a.l_partkey
+WHERE p.p_brand = 'Brand#1' AND l.l_quantity < 0.2 * a.avg_qty
+"""

@@ -300,6 +300,18 @@ register("join_semi_urgent_customers", analytics.CUSTOMERS_WITH_URGENT_SQL, doc=
 )
 register("agg_order_cube", analytics.ORDER_CUBE_SQL, doc="CUBE grouping sets in one Expand pass")(analytics.order_cube)
 register(
+    "agg_customer_order_dist",
+    analytics.CUSTOMER_ORDER_DISTRIBUTION_SQL,
+    doc="TPC-H Q13 shape: left-outer join keeps zero-order customers, "
+    "count-per-customer histogram",
+)(analytics.customer_order_distribution)
+register(
+    "agg_small_qty_revenue",
+    analytics.SMALL_QUANTITY_REVENUE_SQL,
+    doc="TPC-H Q17 shape: decorrelated per-part avg-quantity subquery, "
+    "broadcast brand dim, dec-safe threshold",
+)(analytics.small_quantity_revenue)
+register(
     "join_bucketed_colocated",
     bucketing.BUCKETED_JOIN_SQL,
     doc="fact-to-fact join over bucketed tables: zero exchanges on the "
