@@ -218,3 +218,89 @@ SELECT event_type, COUNT(*) AS n_events,
        MAX(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
 FROM events GROUP BY event_type
 """
+
+
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-seen week, counted
+    in each later activity week, with the week offset from their cohort.
+
+    Three keyed stages, all on user_id until the final small rollup:
+    distinct (user, week) and min-week-per-user shuffle on the same key,
+    so the join between them is co-partitioned (AQE reuses the exchange);
+    the final groupBy is (cohorts x weeks) -- tiny at any scale."""
+    e = load_table(spark, sf_dir, "events")
+    wk = F.to_date(F.date_trunc("week", F.col("ts")))
+    firsts = e.groupBy("user_id").agg(F.min(wk).alias("cohort_week"))
+    active = e.select("user_id", wk.alias("week")).distinct()
+    return (
+        active.join(firsts, "user_id")
+        .groupBy("cohort_week", "week")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .select(
+            "cohort_week",
+            "week",
+            F.expr("datediff(week, cohort_week) div 7").alias("week_offset"),
+            "n_users",
+        )
+    )
+
+
+COHORT_RETENTION_SQL = """
+WITH wk AS (
+  SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS week FROM events
+),
+firsts AS (SELECT user_id, min(week) AS cohort_week FROM wk GROUP BY user_id),
+active AS (SELECT DISTINCT user_id, week FROM wk)
+SELECT cohort_week, week,
+  datediff('day', cohort_week, week) // 7 AS week_offset,
+  COUNT(*) AS n_users
+FROM active JOIN firsts USING (user_id)
+GROUP BY cohort_week, week
+"""
+
+
+def funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view -> click -> purchase: a step counts
+    only if its FIRST occurrence is at or after the first occurrence of
+    the previous step.
+
+    min-per-type via conditional aggregation: one groupBy(user_id) with
+    map-side combine carries the whole funnel; no self-joins, no
+    per-user sort. This is the scalable funnel shape -- an N-step funnel
+    is N conditional mins in the same single-shuffle aggregate."""
+    e = load_table(spark, sf_dir, "events")
+
+    def first_ts(t: str):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+
+    per_user = e.groupBy("user_id").agg(
+        first_ts("view").alias("t_view"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    reached_view = F.col("t_view").isNotNull()
+    reached_click = reached_view & (F.col("t_click") >= F.col("t_view"))
+    reached_purchase = reached_click & (F.col("t_purchase") >= F.col("t_click"))
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count_if(reached_view).alias("n_view"),
+        F.count_if(reached_click).alias("n_click_after_view"),
+        F.count_if(reached_purchase).alias("n_purchase_after_click"),
+    )
+
+
+FUNNEL_STEPS_SQL = """
+WITH per_user AS (
+  SELECT user_id,
+    min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+    min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+    min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events GROUP BY user_id
+)
+SELECT COUNT(*) AS n_users,
+  count_if(t_view IS NOT NULL) AS n_view,
+  count_if(t_view IS NOT NULL AND t_click >= t_view) AS n_click_after_view,
+  count_if(t_view IS NOT NULL AND t_click >= t_view AND t_purchase >= t_click)
+    AS n_purchase_after_click
+FROM per_user
+"""

@@ -348,6 +348,18 @@ register("events_session", windows.SESSION_EVENTS_SQL, bench=True, doc="gap-base
 register("events_dedup", windows.DEDUP_EVENTS_SQL, doc="exact event dedup with deterministic keeper (streaming twin: dropDuplicatesWithinWatermark)")(windows.dedup_events)
 register("events_props_metrics", windows.PROPS_METRICS_SQL, doc="JSON props extraction (get_json_object) + aggregation")(windows.props_metrics)
 register(
+    "events_cohort_retention",
+    windows.COHORT_RETENTION_SQL,
+    doc="weekly first-seen cohorts x activity weeks; co-partitioned "
+    "user_id stages, tiny final rollup",
+)(windows.cohort_retention)
+register(
+    "events_funnel",
+    windows.FUNNEL_STEPS_SQL,
+    doc="ordered view->click->purchase funnel via conditional mins in one "
+    "single-shuffle aggregate (no self-joins)",
+)(windows.funnel_steps)
+register(
     "events_pivot_activity",
     windows.PIVOT_USER_ACTIVITY_SQL,
     doc="pivot with declared values (no inference scan, pinned schema)",
