@@ -35,3 +35,25 @@ def dec_sum_sql(expr: str) -> str:
 def dec_avg(col: Column | str, count_col: Column) -> Column:
     """avg = decimal-sum / count, divided in double (deterministic)."""
     return dec_sum(col) / count_col.cast("double")
+
+
+def round_sql(expr: str, n: int) -> str:
+    """DuckDB twin of Spark's round() on doubles.
+
+    Spark rounds HALF_UP on the shortest decimal repr of the double
+    (BigDecimal.valueOf); DuckDB's native double round disagrees on some
+    exact-trailing-5 reprs whose binary value sits just below the half
+    (round(0.285, 2): DuckDB 0.28, Spark 0.29). Route through
+    VARCHAR -> DECIMAL -> HALF_UP round -> VARCHAR -> DOUBLE: every hop is
+    correctly rounded, reproducing Spark bit-for-bit. Non-finite and
+    >=1e18 magnitudes pass through unchanged (Spark's round is identity
+    there, and they would overflow DECIMAL(38,18))."""
+    e = f"({expr})"
+    dec = (
+        f"CAST(CAST(round(CAST(CAST({e} AS VARCHAR) AS DECIMAL(38,18)), {n}) "
+        f"AS VARCHAR) AS DOUBLE)"
+    )
+    return (
+        f"CASE WHEN NOT isfinite({e}) OR abs({e}) >= 1e18 THEN {e} "
+        f"ELSE {dec} END"
+    )

@@ -27,6 +27,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from streamprocessing_with_kafka_spark.functions.numeric import round_sql
+
 REQUIRED_FIELDS = ["order_id", "product_name", "quantity", "price", "order_date"]
 
 VALID_STATUS = "Validated and enriched successfully"
@@ -88,7 +90,7 @@ def validate_and_enrich(df: DataFrame) -> DataFrame:
 
 # ANSI-SQL twin for the DuckDB oracle; expects a relation named `raw` with
 # the orders_raw columns, produces the same output columns.
-VALIDATE_ENRICH_SQL = """
+VALIDATE_ENRICH_SQL = f"""
 SELECT
   order_id,
   product_name,
@@ -98,7 +100,7 @@ SELECT
        THEN strftime(DATE '1970-01-01' + TRY_CAST(order_date AS INTEGER), '%Y-%m-%d')
        ELSE order_date END AS order_date,
   CASE WHEN missing = '' AND errors = ''
-       THEN round(quantity_d * price_d, 2) END AS total_price,
+       THEN {round_sql('quantity_d * price_d', 2)} END AS total_price,
   (missing = '' AND errors = '') AS is_valid,
   CASE WHEN missing <> '' THEN 'Missing required fields: ' || missing
        WHEN errors <> '' THEN errors

@@ -57,3 +57,26 @@ def test_dec_sum_is_partition_order_independent(spark):
     b = df.repartition(32).agg(dec_sum("v").alias("s")).collect()[0]["s"]
     c = df.orderBy(F.rand(7)).repartition(7).agg(dec_sum("v").alias("s")).collect()[0]["s"]
     assert a == b == c  # bit-identical, not just close
+
+
+def test_round_sql_matches_spark_round(spark):
+    """round_sql must reproduce Spark's HALF_UP-on-shortest-repr double
+    rounding bit-for-bit, including the cases where DuckDB's native
+    round() disagrees (0.285 -> 0.28 natively, 0.29 in Spark)."""
+    import duckdb
+
+    from streamprocessing_with_kafka_spark.functions.numeric import round_sql
+
+    vals = [0.285, 2.675, 4.125, 1.005, 0.125, -0.285, -2.675,
+            123.456789, 1e18, 2.5, 0.1 + 0.2, 1 / 3, 9999999.995]
+    con = duckdb.connect()
+    duck = [
+        con.sql(f"SELECT {round_sql(repr(v), 2)} AS r").fetchone()[0]
+        for v in vals
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    spk = [r["r"] for r in df.select(F.round("x", 2).alias("r")).collect()]
+    assert [repr(s) for s in spk] == [repr(d) for d in duck]
+    # and the native DuckDB round really does diverge -- the helper exists
+    # for a reason; if this starts passing, round_sql can be retired
+    assert con.sql("SELECT round(CAST(0.285 AS DOUBLE), 2)").fetchone()[0] != 0.29

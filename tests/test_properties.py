@@ -3,6 +3,7 @@
 one branch, enrichment matches the reference formula, and the pipeline is
 deterministic."""
 
+import decimal
 import math
 
 from hypothesis import HealthCheck, given, settings, strategies as st
@@ -73,7 +74,16 @@ def test_pipeline_invariants(spark, rows):
                 assert math.isnan(r["total_price"])
             else:
                 assert r["quantity"] >= 0 and r["price"] >= 0
-                expect = round(r["quantity"] * r["price"], 2)
+                # Spark's round() is HALF_UP on the shortest decimal repr
+                # of the double (BigDecimal.valueOf), matching the DuckDB
+                # oracle. Python's round() is banker's on the binary value
+                # and disagrees on exact .xx5 products (e.g. 3 * 1.375),
+                # so the expectation must model HALF_UP explicitly.
+                expect = float(
+                    decimal.Decimal(repr(r["quantity"] * r["price"])).quantize(
+                        decimal.Decimal("0.01"), rounding=decimal.ROUND_HALF_UP
+                    )
+                )
                 assert math.isclose(
                     r["total_price"], expect, rel_tol=0, abs_tol=1e-9
                 )
