@@ -143,3 +143,47 @@ FROM s LEFT JOIN events e
   ON e.user_id = s.user_id AND e.ts > s.start_ts AND e.ts <= s.end_ts
 GROUP BY s.signup_id, s.user_id
 """
+
+
+SKEW_SALT = 8
+
+
+def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted join: the skew-proof rewrite for a shuffle join whose key
+    distribution is hot (one supplier taking 30% of lineitem would pin
+    one reducer at 100 TB; AQE skew-split helps per-stage, salting fixes
+    the layout).
+
+    The fact side derives a salt from its own PK (deterministic, retry
+    stable); the dim side replicates each row SKEW_SALT times via
+    explode(sequence(...)), so every (key, salt) bucket finds its match
+    and the hot key spreads over SKEW_SALT reducers. Pure physical
+    rewrite: the oracle is the plain unsalted join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    fact = li.withColumn("_salt", F.pmod(F.col("l_orderkey"), F.lit(SKEW_SALT)))
+    dim = s.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(SKEW_SALT - 1)))
+    )
+    return (
+        fact.join(
+            dim,
+            (fact.l_suppkey == dim.s_suppkey) & (fact._salt == dim._salt),
+        )
+        .groupBy("s_suppkey", "s_name")
+        .agg(
+            dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+SALTED_SKEW_JOIN_SQL = f"""
+SELECT s_suppkey, s_name,
+  {dec_sum_sql('l_extendedprice * (1 - l_discount)')} AS revenue,
+  COUNT(*) AS n_lines
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_suppkey, s_name
+"""

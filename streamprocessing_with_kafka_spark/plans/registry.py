@@ -306,6 +306,12 @@ register(
     "count-per-customer histogram",
 )(analytics.customer_order_distribution)
 register(
+    "join_salted_skew",
+    joins.SALTED_SKEW_JOIN_SQL,
+    doc="skew-proof salted shuffle join (fact salt from PK, dim replicated "
+    "via explode); oracle is the plain join",
+)(joins.salted_skew_join)
+register(
     "agg_small_qty_revenue",
     analytics.SMALL_QUANTITY_REVENUE_SQL,
     doc="TPC-H Q17 shape: decorrelated per-part avg-quantity subquery, "
