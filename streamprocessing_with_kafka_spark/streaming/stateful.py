@@ -121,3 +121,79 @@ def running_counters_stateful(routed: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 arbitrary state v2 (transformWithStateInPandas)
+# ---------------------------------------------------------------------------
+
+try:  # Spark >= 4.0, and the TWS runner's protobuf transport must import;
+    # environments without either degrade to applyInPandasWithState above
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from google.protobuf import descriptor as _pb_descriptor  # noqa: F401
+
+    HAS_TWS = True
+except ImportError:  # pragma: no cover
+    StatefulProcessor = object  # type: ignore[assignment,misc]
+    HAS_TWS = False
+
+
+class CounterProcessor(StatefulProcessor):
+    """Per-key running counters on the transformWithState API -- the
+    successor to applyInPandasWithState with typed state variables and
+    store-native TTL: idle keys are evicted by the state store itself
+    (no manual timeout bookkeeping), which is what bounds state on an
+    unbounded key space (e.g. per-customer counters at 100 TB).
+    """
+
+    def __init__(self, ttl_ms: int | None = None):
+        self._ttl_ms = ttl_ms
+
+    def init(self, handle: "StatefulProcessorHandle") -> None:
+        self._totals = handle.getValueState(
+            "totals",
+            "processed BIGINT, valid BIGINT, invalid BIGINT",
+            ttlDurationMs=self._ttl_ms,
+        )
+
+    def handleInputRows(self, key, rows, timer_values) -> Iterator[pd.DataFrame]:
+        processed = valid = 0
+        for pdf in rows:
+            processed += len(pdf)
+            valid += int(pdf["is_valid"].sum())
+        invalid = processed - valid
+        prev = self._totals.get()
+        if prev is not None:
+            processed += prev[0]
+            valid += prev[1]
+            invalid += prev[2]
+        self._totals.update((processed, valid, invalid))
+        yield pd.DataFrame(
+            {
+                "target": [key[0]],
+                "processed": [processed],
+                "valid": [valid],
+                "invalid": [invalid],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def running_counters_tws(
+    routed: DataFrame, ttl_ms: int | None = None
+) -> DataFrame:
+    """ST3 counters on transformWithStateInPandas (state v2). Same
+    semantics as `running_counters_stateful`; state schema is declared,
+    TTL is store-enforced, and the operator composes with timers /
+    list / map state for richer monitors."""
+    return routed.groupBy("target").transformWithStateInPandas(
+        CounterProcessor(ttl_ms),
+        outputStructType=COUNTER_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

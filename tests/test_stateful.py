@@ -97,3 +97,54 @@ def test_running_counters_accumulate_across_batches(spark, tmp_path):
     second = run_once()
     assert second["enriched_orders"] == (4, 4, 0)
     assert second["invalid_orders"] == (2, 0, 2)
+
+
+def test_tws_counters_accumulate_across_batches(spark, tmp_path):
+    """transformWithStateInPandas (Spark 4 state v2): same durable totals
+    as the applyInPandasWithState twin, on the successor API."""
+    from streamprocessing_with_kafka_spark.streaming.stateful import (
+        HAS_TWS,
+        running_counters_tws,
+    )
+
+    if not HAS_TWS:
+        import pytest
+
+        pytest.skip("transformWithState requires Spark >= 4.0")
+
+    inp, ckpt = tmp_path / "in", tmp_path / "ckpt"
+    inp.mkdir()
+    _write_orders(inp / "a.json", ROWS)
+
+    def run_once():
+        routed = transform_orders(file_order_stream(spark, str(inp)))
+        counters = running_counters_tws(routed)
+        emitted = []
+
+        def collect_batch(batch, batch_id):
+            emitted.extend(batch.collect())
+
+        q = (
+            counters.writeStream.foreachBatch(collect_batch)
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .outputMode("update")
+            .start()
+        )
+        q.awaitTermination(120)
+        return {
+            r["target"]: (r["processed"], r["valid"], r["invalid"])
+            for r in emitted
+        }
+
+    first = run_once()
+    assert first["enriched_orders"] == (3, 3, 0)
+    assert first["invalid_orders"] == (1, 0, 1)
+
+    _write_orders(inp / "b.json", [
+        {"order_id": "9", "product_name": "z", "quantity": "2", "price": "3",
+         "order_date": "2024-01-07"},
+    ])
+    second = run_once()
+    assert second["enriched_orders"] == (4, 4, 0)
+    assert second["invalid_orders"] == (1, 0, 1)
