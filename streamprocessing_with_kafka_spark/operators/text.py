@@ -344,3 +344,110 @@ SELECT doc_id,
   substr(md5({CANONICAL_TEXT_SQL}), 1, 8) AS shard_key
 FROM documents
 """
+
+
+QUALITY_KEEP = 0.6
+DUP_BIGRAM_MAX = 0.6
+
+
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation in ONE pass: language gate, quality
+    gate, repetition gate, PII scrub, exact-dedup keeper -- the composed
+    flagship of the training-data surface.
+
+    Structure matters more than any single metric here: every per-doc
+    signal (stopword ratio, quality, dup-bigram fraction, scrubbed text,
+    fingerprint) is computed in a single narrow projection over one scan
+    -- NOT by joining the individual operators, which would re-scan the
+    corpus once per signal. The only shuffle is the final
+    fingerprint-keeper window, and Spark's WindowGroupLimit caps it at
+    one surviving row per fingerprint group per map task."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(_tokens())
+    n_stop = F.size(F.filter(_tokens(), lambda x: x.isin(*EN_STOPWORDS)))
+    stop_ratio = n_stop / n_tokens.cast("double")
+    quality = F.round(
+        F.least(n_tokens / F.lit(200.0), F.lit(1.0)) * 0.5
+        + F.least(stop_ratio * 10.0, F.lit(1.0)) * 0.3
+        + F.when(F.length("text").between(100, 2000), F.lit(1.0)).otherwise(0.5) * 0.2,
+        6,
+    )
+    bigrams = F.expr(
+        "transform(sequence(1, size(split(text, ' ')) - 1),"
+        " i -> concat(element_at(split(text, ' '), i), ' ',"
+        " element_at(split(text, ' '), i + 1)))"
+    )
+    dup_frac = F.round(
+        (F.size(bigrams) - F.size(F.array_distinct(bigrams)))
+        / F.when(F.size(bigrams) > 0, F.size(bigrams).cast("double")),
+        6,
+    )
+    # gates are projected then filtered BY NAME: filtering on expressions
+    # over the pre-projection `text` column makes Spark re-derive the
+    # whole subtree (two scans); this form keeps it one scan
+    scored = d.select(
+        "doc_id",
+        "lang",
+        stop_ratio.alias("stop_ratio"),
+        quality.alias("quality"),
+        dup_frac.alias("dup_bigram_frac"),
+        F.regexp_replace(
+            F.regexp_replace("text", EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+        ).alias("scrubbed"),
+        F.md5(canonical_text()).alias("fingerprint"),
+        n_tokens.alias("n_tokens"),
+    ).filter(
+        (F.col("stop_ratio") >= 0.05)  # lang gate: en heuristic
+        & (F.col("quality") >= QUALITY_KEEP)
+        & (F.col("dup_bigram_frac") < DUP_BIGRAM_MAX)
+    )
+    keeper = W.partitionBy("fingerprint").orderBy("doc_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(keeper))
+        .filter(F.col("rk") == 1)
+        .select(
+            "doc_id", "lang", "quality", "dup_bigram_frac", "n_tokens", "scrubbed"
+        )
+    )
+
+
+CURATION_PIPELINE_SQL = f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+    len(string_split(text, ' ')) AS n_tokens,
+    len(list_filter(string_split(text, ' '),
+                    x -> list_contains({_STOP_SQL}, x)))
+      / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stop_ratio,
+    round(
+      least(len(string_split(text, ' ')) / CAST(200.0 AS DOUBLE), 1.0) * 0.5
+      + least((len(list_filter(string_split(text, ' '),
+                               x -> list_contains({_STOP_SQL}, x)))
+               / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 10.0, 1.0) * 0.3
+      + (CASE WHEN length(text) BETWEEN 100 AND 2000 THEN 1.0 ELSE 0.5 END) * 0.2,
+    6) AS quality,
+    round((len(ng) - len(list_distinct(ng)))
+          / CAST(nullif(len(ng), 0) AS DOUBLE), 6) AS dup_bigram_frac,
+    regexp_replace(regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                   '{PHONE_RE}', '<PHONE>', 'g') AS scrubbed,
+    md5({CANONICAL_TEXT_SQL}) AS fingerprint
+  FROM (
+    SELECT *,
+      [w[i] || ' ' || w[i+1] for i in range(1, len(w))] AS ng
+    FROM (SELECT *, string_split(text, ' ') AS w FROM documents)
+  )
+),
+gated AS (
+  SELECT * FROM scored
+  WHERE stop_ratio >= 0.05 AND quality >= {QUALITY_KEEP}
+    AND dup_bigram_frac < {DUP_BIGRAM_MAX}
+),
+kept AS (
+  SELECT *, row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rk
+  FROM gated
+)
+SELECT doc_id, lang, quality, dup_bigram_frac,
+       CAST(n_tokens AS INTEGER) AS n_tokens, scrubbed
+FROM kept WHERE rk = 1
+"""

@@ -407,6 +407,12 @@ register(
     text.TERM_DF_SQL,
     doc="corpus document-frequency + smoothed IDF (vocab-sized shuffle only)",
 )(text.term_df)
+register(
+    "text_curation_pipeline",
+    text.CURATION_PIPELINE_SQL,
+    doc="composed flagship curation: lang + quality + repetition gates, "
+    "PII scrub, exact-dedup keeper -- one scan, one shuffle",
+)(text.curation_pipeline)
 
 # --------------------------------------------------------------------------
 # Deterministic sampling / data mixing (documents)
