@@ -384,9 +384,14 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         / F.when(F.size(bigrams) > 0, F.size(bigrams).cast("double")),
         6,
     )
-    # gates are projected then filtered BY NAME: filtering on expressions
-    # over the pre-projection `text` column makes Spark re-derive the
-    # whole subtree (two scans); this form keeps it one scan
+    # The gate predicate must NOT sink below this projection: pushdown
+    # would (a) substitute the aliases, re-evaluating every heavy
+    # regex/array expression a second time in the Filter, and (b) on a
+    # row-group-starved local file, land below the rebalance exchange
+    # onto a single core. A nondeterministic column in the projection is
+    # the supported barrier -- Catalyst only pushes predicates through
+    # fully-deterministic projections -- and costs nothing (dropped
+    # right after the gates).
     scored = d.select(
         "doc_id",
         "lang",
@@ -398,11 +403,17 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("scrubbed"),
         F.md5(canonical_text()).alias("fingerprint"),
         n_tokens.alias("n_tokens"),
+        F.monotonically_increasing_id().alias("_nd_barrier"),
     ).filter(
         (F.col("stop_ratio") >= 0.05)  # lang gate: en heuristic
         & (F.col("quality") >= QUALITY_KEEP)
         & (F.col("dup_bigram_frac") < DUP_BIGRAM_MAX)
-    )
+        # always-true conjunct on the nondeterministic column: Catalyst
+        # must not push a nondeterministic predicate, so the whole gate
+        # stays here (pushdown is per-referenced-alias, so a barrier in
+        # the projection alone does not stop it)
+        & (F.col("_nd_barrier") >= 0)
+    ).drop("_nd_barrier")
     keeper = W.partitionBy("fingerprint").orderBy("doc_id")
     return (
         scored.withColumn("rk", F.row_number().over(keeper))

@@ -410,6 +410,7 @@ register(
 register(
     "text_curation_pipeline",
     text.CURATION_PIPELINE_SQL,
+    bench=True,
     doc="composed flagship curation: lang + quality + repetition gates, "
     "PII scrub, exact-dedup keeper -- one scan, one shuffle",
 )(text.curation_pipeline)

@@ -54,10 +54,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # file is unsplittable, so every downstream map-side stage (scan,
     # partial agg, broadcast-join probe) runs on ONE core no matter how
     # many the session has. Rebalance those explicitly (explicit
-    # numPartitions, so AQE does not coalesce it back). At lake scale
-    # inputs carry thousands of row groups and this branch never fires.
+    # numPartitions, so AQE does not coalesce it back). The threshold is
+    # per-row-cost-aware: text/vector tables run regex, n-gram-array and
+    # dot-product work where one core on a few thousand rows dominates the
+    # query, so the one-time sub-MB shuffle always pays; for narrow
+    # numeric rows the exchange overhead exceeds the map gain until a few
+    # hundred thousand rows. At lake scale inputs carry thousands of row
+    # groups and this branch never fires.
     rows, rgs = _parquet_layout(path)
     cores = spark.sparkContext.defaultParallelism
-    if rows >= 200_000 and rgs < cores:
+    threshold = 4096 if name in ("documents", "embeddings") else 200_000
+    if rows >= threshold and rgs < cores:
         df = df.repartition(cores)
     return df
