@@ -1,0 +1,21 @@
+import sys, time
+sys.path.insert(0, "/root/repo")
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master("local[8]")
+         .config("spark.ui.enabled", "false")
+         .config("spark.sql.shuffle.partitions", "8").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+import __spark_entry__ as E
+from tests.oracle_harness import compare, duckdb_conn
+sf = "/root/testdata/sf0.01"
+con = duckdb_conn(sf)
+qs, osql = E.queries(), E.oracle_sql()
+for name in ["text_repetition", "text_term_df", "sample_stratified", "sample_weighted_mix"]:
+    t0 = time.time()
+    try:
+        sdf = qs[name](spark, sf)
+        errs = compare(sdf, con, osql[name], name)
+        print(("OK " if not errs else "FAIL"), name, f"({time.time()-t0:.1f}s)")
+        for e in errs: print("   ", e[:400])
+    except Exception as ex:
+        print("ERR ", name, type(ex).__name__, str(ex)[:300])

@@ -350,21 +350,18 @@ QUALITY_KEEP = 0.6
 DUP_BIGRAM_MAX = 0.6
 
 
-def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end corpus curation in ONE pass: language gate, quality
-    gate, repetition gate, PII scrub, exact-dedup keeper -- the composed
-    flagship of the training-data surface.
-
-    Structure matters more than any single metric here: every per-doc
+def curation_gated(d: DataFrame, *, pushdown_barrier: bool = True) -> DataFrame:
+    """The streaming-safe stage of the curation flagship: every per-doc
     signal (stopword ratio, quality, dup-bigram fraction, scrubbed text,
-    fingerprint) is computed in a single narrow projection over one scan
-    -- NOT by joining the individual operators, which would re-scan the
-    corpus once per signal. The only shuffle is the final
-    fingerprint-keeper window, and Spark's WindowGroupLimit caps it at
-    one surviving row per fingerprint group per map task."""
-    from pyspark.sql import Window as W
+    fingerprint) in a single narrow projection + the gate filter. Pure
+    DataFrame -> DataFrame, so the same code runs in the batch query, the
+    oracle harness, and a readStream (narrow ops are streaming-legal;
+    only the keeper step differs per mode).
 
-    d = load_table(spark, sf_dir, "documents")
+    pushdown_barrier=False for streams: the barrier uses
+    monotonically_increasing_id (illegal on streaming plans), and a
+    micro-batch never has the pushdown-duplication problem it guards
+    against."""
     n_tokens = F.size(_tokens())
     n_stop = F.size(F.filter(_tokens(), lambda x: x.isin(*EN_STOPWORDS)))
     stop_ratio = n_stop / n_tokens.cast("double")
@@ -392,9 +389,9 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the supported barrier -- Catalyst only pushes predicates through
     # fully-deterministic projections -- and costs nothing (dropped
     # right after the gates).
-    scored = d.select(
-        "doc_id",
-        "lang",
+    cols = [
+        F.col("doc_id"),
+        F.col("lang"),
         stop_ratio.alias("stop_ratio"),
         quality.alias("quality"),
         dup_frac.alias("dup_bigram_frac"),
@@ -403,17 +400,38 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("scrubbed"),
         F.md5(canonical_text()).alias("fingerprint"),
         n_tokens.alias("n_tokens"),
-        F.monotonically_increasing_id().alias("_nd_barrier"),
-    ).filter(
+    ]
+    gates = (
         (F.col("stop_ratio") >= 0.05)  # lang gate: en heuristic
         & (F.col("quality") >= QUALITY_KEEP)
         & (F.col("dup_bigram_frac") < DUP_BIGRAM_MAX)
+    )
+    if pushdown_barrier:
+        cols.append(F.monotonically_increasing_id().alias("_nd_barrier"))
         # always-true conjunct on the nondeterministic column: Catalyst
         # must not push a nondeterministic predicate, so the whole gate
         # stays here (pushdown is per-referenced-alias, so a barrier in
         # the projection alone does not stop it)
-        & (F.col("_nd_barrier") >= 0)
-    ).drop("_nd_barrier")
+        gates = gates & (F.col("_nd_barrier") >= 0)
+    return d.select(*cols).filter(gates).drop("_nd_barrier")
+
+
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation in ONE pass: language gate, quality
+    gate, repetition gate, PII scrub, exact-dedup keeper -- the composed
+    flagship of the training-data surface.
+
+    Structure matters more than any single metric here: every per-doc
+    signal is computed in curation_gated's single narrow projection over
+    one scan -- NOT by joining the individual operators, which would
+    re-scan the corpus once per signal. The only shuffle is the final
+    fingerprint-keeper window, and Spark's WindowGroupLimit caps it at
+    one surviving row per fingerprint group per map task. The streaming
+    twin (streaming/curation.py) swaps the window for state-backed
+    dropDuplicates."""
+    from pyspark.sql import Window as W
+
+    scored = curation_gated(load_table(spark, sf_dir, "documents"))
     keeper = W.partitionBy("fingerprint").orderBy("doc_id")
     return (
         scored.withColumn("rk", F.row_number().over(keeper))
