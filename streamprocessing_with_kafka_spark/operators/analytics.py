@@ -368,3 +368,91 @@ JOIN part p ON l.l_partkey = p.p_partkey
 JOIN avg_q a ON l.l_partkey = a.l_partkey
 WHERE p.p_brand = 'Brand#1' AND l.l_quantity < 0.2 * a.avg_qty
 """
+
+
+def large_volume_customers(spark: SparkSession, sf_dir: str, threshold: int = 300) -> DataFrame:
+    """TPC-H Q18 shape: HAVING over a fact-side aggregate, joined back to
+    orders and customer.
+
+    Scale plan: lineitem shuffles ONCE for the per-order quantity sum
+    (map-side combinable); the HAVING filter collapses it to a sliver
+    (~0.005% of orders at the spec threshold), which then BROADCASTS to
+    orders -- the big table never shuffles. The order-level result is
+    itself tiny, so it broadcasts again into customer: two broadcast
+    joins, one shuffle total, regardless of scale factor. The threshold
+    compares dec_sum doubles, bit-identical to the oracle's HAVING."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dec_sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > threshold)
+    )
+    hits = o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
+    return c.join(F.broadcast(hits), hits.o_custkey == c.c_custkey).select(
+        "c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty"
+    )
+
+
+LARGE_VOLUME_CUSTOMERS_SQL = f"""
+SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, sum_qty
+FROM (
+  SELECT l_orderkey, {dec_sum_sql('l_quantity')} AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+) b
+JOIN orders ON o_orderkey = b.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE sum_qty > 300
+"""
+
+
+def order_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS ((status), (priority), ()): the general form
+    behind ROLLUP/CUBE, through the spark.sql text front end (the
+    DataFrame API exposes only the rollup/cube shorthands).
+
+    Same physical plan as rollup/cube: one Expand fans each row into its
+    3 grouping sets map-side, one shuffle totals them -- vs 3 separate
+    aggregations and 3 scans if written naively as a UNION ALL."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(28,10))) AS DOUBLE) AS total_revenue,
+          COUNT(*) AS n_orders
+        FROM orders_v
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+ORDER_GROUPING_SETS_SQL = f"""
+SELECT o_orderstatus, o_orderpriority,
+  {dec_sum_sql('o_totalprice')} AS total_revenue,
+  COUNT(*) AS n_orders
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+def urgent_and_fulfilled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set ops: customers with urgent orders INTERSECT customers with
+    fulfilled ('F') orders -- completes the set-op family next to
+    EXCEPT (urgent_not_fulfilled) and UNION ALL (crud_append).
+
+    Spark plans INTERSECT as a distinct-aggregated left-semi join: one
+    shuffle per side on the full row as key. Both inputs here are
+    single-column projections of the same scan, pruned before the
+    exchange."""
+    o = load_table(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    fulfilled = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return urgent.intersect(fulfilled)  # INTERSECT DISTINCT semantics
+
+
+URGENT_AND_FULFILLED_SQL = """
+SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+"""

@@ -1,0 +1,113 @@
+"""Benchmark decontamination: flag training documents whose token
+n-grams overlap an evaluation set -- the train/test-contamination check
+every LLM data pipeline runs before training (the GPT-3/PaLM appendix
+recipe: exact n-gram collision against the benchmark corpus).
+
+The eval set here is a deterministic slice of `documents` (doc_id % 7),
+standing in for a real benchmark corpus; the contract is the interesting
+part: eval docs reduce to a DISTINCT set of hashed n-grams that is tiny
+relative to the corpus (benchmarks are thousands of docs, the corpus is
+billions), so it BROADCASTS -- the training corpus is scored in one
+narrow pass + one hash aggregate, and never shuffles against the eval
+side. All n-grams are md5-derived 60-bit ints (functions/hashing.py), so
+the DuckDB oracle reproduces the exact hit sets, and joins move 8-byte
+keys instead of ~30-byte strings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from streamprocessing_with_kafka_spark.functions.hashing import md5_long, md5_long_sql
+from streamprocessing_with_kafka_spark.functions.numeric import round_sql
+from streamprocessing_with_kafka_spark.sources.tables import load_table
+
+NGRAM_N = 5  # 3-grams hit ~every doc incidentally; 5-grams are specific
+EVAL_MOD = 7  # doc_id % EVAL_MOD == 0 -> evaluation set
+CONTAM_FRAC = 0.5  # flag when >= half of a doc's n-grams appear in eval
+
+
+def _doc_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, gh): each doc's DISTINCT token 5-grams as 60-bit hashes.
+
+    Same fan-out rationale as dedup's shingles: tokenize, then
+    repartition by doc_id BEFORE the ~n_tokens-fold explode so the
+    expansion uses every core. Distinctness is decided on the gram
+    STRING (pre-hash) in both engines, so a hash collision yields the
+    same rows on both sides."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("w"))
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
+    w = F.col("w")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - (NGRAM_N - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(w, i + k) for k in range(NGRAM_N)]
+            ),
+        )
+    )
+    return (
+        d.filter(F.size(w) >= NGRAM_N)
+        .select("doc_id", F.explode(grams).alias("g"))
+        .select("doc_id", md5_long(F.col("g")).alias("gh"))
+    )
+
+
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-training-doc contamination score against the eval slice.
+
+    Plan: eval n-grams -> distinct -> broadcast; training n-grams LEFT
+    JOIN the broadcast set (narrow, no shuffle), then ONE hash aggregate
+    per doc_id counts total vs hit n-grams. The eval side is at most one
+    distinct-aggregate of a sliver; the corpus-sized side shuffles only
+    for the per-doc count, on doc_id it is already partitioned by."""
+    grams = _doc_ngrams(spark, sf_dir)
+    bench = (
+        grams.filter(F.col("doc_id") % EVAL_MOD == 0)
+        .select("gh")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    train = grams.filter(F.col("doc_id") % EVAL_MOD != 0)
+    frac = F.col("n_hits") / F.col("n_ngrams").cast("double")
+    return (
+        train.join(F.broadcast(bench), "gh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.count("hit").alias("n_hits"),
+        )
+        .select(
+            "doc_id",
+            "n_ngrams",
+            "n_hits",
+            F.round(frac, 6).alias("contamination_frac"),
+            (frac >= CONTAM_FRAC).alias("is_contaminated"),
+        )
+    )
+
+
+_GRAM_CONCAT = " || ' ' || ".join(f"w[i+{k}]" for k in range(NGRAM_N))
+
+DECONTAMINATE_SQL = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+grams AS (
+  SELECT doc_id, {md5_long_sql('g')} AS gh FROM (
+    SELECT doc_id, unnest(list_distinct(list_transform(
+      range(1, len(w) - {NGRAM_N - 2}), i -> {_GRAM_CONCAT}))) AS g
+    FROM toks WHERE len(w) >= {NGRAM_N})
+),
+bench AS (SELECT DISTINCT gh FROM grams WHERE doc_id % {EVAL_MOD} = 0),
+scored AS (
+  SELECT t.doc_id, count(*) AS n_ngrams, count(b.gh) AS n_hits
+  FROM grams t LEFT JOIN bench b ON t.gh = b.gh
+  WHERE t.doc_id % {EVAL_MOD} <> 0 GROUP BY t.doc_id
+)
+SELECT doc_id, n_ngrams, n_hits,
+  {round_sql('n_hits / CAST(n_ngrams AS DOUBLE)', 6)} AS contamination_frac,
+  (n_hits / CAST(n_ngrams AS DOUBLE)) >= {CONTAM_FRAC} AS is_contaminated
+FROM scored
+"""

@@ -304,3 +304,98 @@ SELECT COUNT(*) AS n_users,
     AS n_purchase_after_click
 FROM per_user
 """
+
+
+def gapfill_user_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style time-series gap-fill + LOCF: densify each user's
+    hourly value series over their observed [min, max] hour range, carry
+    the last observation forward across the generated gaps.
+
+    Shape: one hash aggregate to hourly buckets (map-side combinable),
+    a tiny per-user min/max re-aggregate off it, `sequence()` + explode
+    to generate the dense spine (rows materialize executor-side, never
+    on the driver), a left join back on (user_id, bucket), and one
+    user-partitioned window for the LOCF. Every stage keys on user_id,
+    so at scale the same hash partitioning carries through; spine size
+    is users x hours, independent of the event count."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("bucket")
+    ).agg(dec_sum("value").alias("hour_value"))
+    spine = (
+        hourly.groupBy("user_id")
+        .agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+            ).alias("bucket"),
+        )
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("bucket")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return spine.join(hourly, ["user_id", "bucket"], "left").select(
+        "user_id",
+        "bucket",
+        F.col("hour_value").alias("observed_value"),
+        F.last("hour_value", ignorenulls=True).over(w).alias("filled_value"),
+        F.col("hour_value").isNull().alias("is_gap"),
+    )
+
+
+GAPFILL_USER_HOURLY_SQL = f"""
+WITH hourly AS (
+  SELECT user_id, date_trunc('hour', ts) AS bucket,
+         {dec_sum_sql('value')} AS hour_value
+  FROM events GROUP BY user_id, date_trunc('hour', ts)
+),
+spine AS (
+  SELECT user_id,
+         unnest(generate_series(min(bucket), max(bucket), INTERVAL 1 HOUR))
+           AS bucket
+  FROM hourly GROUP BY user_id
+)
+SELECT s.user_id, s.bucket,
+  h.hour_value AS observed_value,
+  last_value(h.hour_value IGNORE NULLS) OVER (
+    PARTITION BY s.user_id ORDER BY s.bucket
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value,
+  h.hour_value IS NULL AS is_gap
+FROM spine s
+LEFT JOIN hourly h ON s.user_id = h.user_id AND s.bucket = h.bucket
+"""
+
+
+def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles per event type -- the exact
+    twin of the Greenwald-Khanna sketch in sketch_value_quantiles.
+
+    `percentile()` is a full-sort-per-group aggregate: fine per
+    moderate-cardinality group (each group sorts in one reducer), and
+    the right recall baseline for the sketch. At 100 TB with heavy
+    groups, use approx_percentile (sketched, mergeable, map-side
+    combinable) -- same call shape, bounded error."""
+    ev = load_table(spark, sf_dir, "events")
+    pct = lambda q: F.round(F.expr(f"percentile(value, {q})"), 6)  # noqa: E731
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        pct(0.25).alias("p25"),
+        pct(0.50).alias("p50"),
+        pct(0.75).alias("p75"),
+        pct(0.99).alias("p99"),
+    )
+
+
+VALUE_PERCENTILES_SQL = """
+SELECT event_type, COUNT(*) AS n_events,
+  round(quantile_cont(value, 0.25), 6) AS p25,
+  round(quantile_cont(value, 0.50), 6) AS p50,
+  round(quantile_cont(value, 0.75), 6) AS p75,
+  round(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY event_type
+"""

@@ -19,6 +19,7 @@ from streamprocessing_with_kafka_spark.operators import (
     analytics,
     bucketing,
     crud,
+    decontaminate,
     dedup,
     joins,
     multimodal,
@@ -331,6 +332,24 @@ register(
     "single-phase groupBy (salting must be answer-invisible)",
 )(analytics.salted_revenue_by_status)
 register(
+    "join_large_volume_customers",
+    analytics.LARGE_VOLUME_CUSTOMERS_SQL,
+    doc="TPC-H Q18 shape: HAVING over a fact aggregate, tiny result "
+    "broadcast back through orders and customer (one shuffle total)",
+)(analytics.large_volume_customers)
+register(
+    "agg_grouping_sets",
+    analytics.ORDER_GROUPING_SETS_SQL,
+    doc="explicit GROUPING SETS via the spark.sql front end: one Expand "
+    "pass, generalizes the rollup/cube shorthands",
+)(analytics.order_grouping_sets)
+register(
+    "setop_intersect",
+    analytics.URGENT_AND_FULFILLED_SQL,
+    doc="INTERSECT DISTINCT set operation (completes the EXCEPT / UNION "
+    "ALL family)",
+)(analytics.urgent_and_fulfilled)
+register(
     "sketch_distinct_users",
     None,
     doc="HLL++ approx distinct (rows-only: sketch algorithms differ across "
@@ -353,6 +372,18 @@ register("events_sliding", windows.SLIDING_EVENTS_SQL, doc="overlapping event-ti
 register("events_session", windows.SESSION_EVENTS_SQL, bench=True, doc="gap-based session windows (session_window) per user")(windows.session_events)
 register("events_dedup", windows.DEDUP_EVENTS_SQL, doc="exact event dedup with deterministic keeper (streaming twin: dropDuplicatesWithinWatermark)")(windows.dedup_events)
 register("events_props_metrics", windows.PROPS_METRICS_SQL, doc="JSON props extraction (get_json_object) + aggregation")(windows.props_metrics)
+register(
+    "events_gapfill",
+    windows.GAPFILL_USER_HOURLY_SQL,
+    doc="hypertable-style gap-fill + LOCF: sequence()-generated dense "
+    "hourly spine per user, last-observation carried across gaps",
+)(windows.gapfill_user_hourly)
+register(
+    "events_value_percentiles",
+    windows.VALUE_PERCENTILES_SQL,
+    doc="exact interpolated percentiles per event type (the recall "
+    "baseline for sketch_value_quantiles)",
+)(windows.value_percentiles)
 register(
     "events_cohort_retention",
     windows.COHORT_RETENTION_SQL,
@@ -445,6 +476,12 @@ register("dedup_simhash", dedup.SIMHASH_PAIRS_SQL, doc="60-bit SimHash with loss
 register("dedup_embedding_cosine", dedup.EMBEDDING_NEAR_DUP_SQL, doc="embedding near-dup pairs by cosine threshold (exact baseline)")(
     dedup.embedding_near_dup
 )
+register(
+    "text_decontaminate",
+    decontaminate.DECONTAMINATE_SQL,
+    doc="benchmark decontamination: exact 5-gram collision vs a broadcast "
+    "eval-set n-gram dictionary; per-doc contamination fraction + flag",
+)(decontaminate.decontaminate)
 register(
     "dedup_cluster_keepers",
     dedup.DEDUP_CLUSTER_KEEPERS_SQL,
