@@ -456,3 +456,142 @@ SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
 INTERSECT
 SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
 """
+
+
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: the 6-table join -- region gates nation, nation
+    gates customer AND supplier, revenue counted only when the lineitem's
+    supplier sits in the customer's own nation.
+
+    Scale plan: region/nation/customer/supplier are all dimension-sized
+    -> every dim hop is a broadcast; the only shuffle is lineitem |X|
+    orders on the order key. The local-supplier condition
+    (s_nationkey = c_nationkey) rides on the supplier broadcast join as
+    an extra predicate instead of a post-join filter, so non-local rows
+    die at the probe. Customer at true 100 TB scale outgrows broadcast:
+    then c joins orders pre-shuffled on custkey and the plan gains one
+    exchange -- the structure is otherwise unchanged."""
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    cn = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("c_custkey", "c_nationkey", "n_name")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(cn), o.o_custkey == cn.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey)
+            & (s.s_nationkey == cn.c_nationkey),
+        )
+        .groupBy("n_name")
+        .agg(
+            dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+LOCAL_SUPPLIER_VOLUME_SQL = f"""
+SELECT n_name,
+  {dec_sum_sql('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'AMERICA'
+  AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+
+def inactive_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar aggregate subquery (global mean balance)
+    feeding a filter, anti-joined against orders, re-aggregated by
+    segment.
+
+    The scalar lives in-plan as a 1-row broadcast cross join (never a
+    driver-side collect -- that would serialize the DAG). The NOT EXISTS
+    is a left-anti join; both sides shuffle on custkey at scale (SMJ),
+    with the order side pre-projected to the join key only. The balance
+    threshold compares dec_avg doubles, bit-identical to the oracle."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        (dec_sum("c_acctbal") / F.count(F.lit(1)).cast("double")).alias("avg_bal")
+    )
+    return (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o.select("o_custkey"), c.c_custkey == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dec_sum("c_acctbal").alias("totacctbal"),
+        )
+    )
+
+
+INACTIVE_RICH_CUSTOMERS_SQL = f"""
+SELECT c_mktsegment, COUNT(*) AS numcust,
+  {dec_sum_sql('c_acctbal')} AS totacctbal
+FROM customer
+WHERE c_acctbal > (
+    SELECT {dec_sum_sql('c_acctbal')} / CAST(COUNT(*) AS DOUBLE)
+    FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_mktsegment
+"""
+
+
+def cheapest_supplier_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 decorrelation pattern: per-group argmin WITHOUT a sort --
+    min over a comparable struct in one hash aggregate.
+
+    The naive shapes are a correlated min subquery (re-scans per group)
+    or a row_number window (full sort per partition). min(struct(...))
+    is a plain map-side-combinable aggregate: each task keeps one
+    candidate per nation, the shuffle moves |nations| rows. The struct
+    compares lexicographically (acctbal, then suppkey), so ties break
+    deterministically on the unique key."""
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    best = (
+        s.groupBy("s_nationkey")
+        .agg(F.min(F.struct("s_acctbal", "s_suppkey", "s_name")).alias("best"))
+        .select(
+            "s_nationkey",
+            F.col("best.s_suppkey").alias("s_suppkey"),
+            F.col("best.s_name").alias("s_name"),
+            F.col("best.s_acctbal").alias("s_acctbal"),
+        )
+    )
+    return best.join(F.broadcast(n), best.s_nationkey == n.n_nationkey).select(
+        "n_name", "s_suppkey", "s_name", "s_acctbal"
+    )
+
+
+CHEAPEST_SUPPLIER_PER_NATION_SQL = """
+SELECT n_name, s_suppkey, s_name, s_acctbal
+FROM (
+  SELECT s_nationkey, s_suppkey, s_name, s_acctbal,
+    ROW_NUMBER() OVER (PARTITION BY s_nationkey
+                       ORDER BY s_acctbal ASC, s_suppkey ASC) AS rk
+  FROM supplier
+)
+JOIN nation ON s_nationkey = n_nationkey
+WHERE rk = 1
+"""

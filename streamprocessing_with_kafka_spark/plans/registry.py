@@ -350,6 +350,25 @@ register(
     "ALL family)",
 )(analytics.urgent_and_fulfilled)
 register(
+    "join_local_supplier_volume",
+    analytics.LOCAL_SUPPLIER_VOLUME_SQL,
+    doc="TPC-H Q5 shape: 6-table join, every dim hop broadcast, single "
+    "lineitem|X|orders shuffle; local-supplier predicate rides the "
+    "supplier broadcast probe",
+)(analytics.local_supplier_volume)
+register(
+    "join_anti_inactive_customers",
+    analytics.INACTIVE_RICH_CUSTOMERS_SQL,
+    doc="TPC-H Q22 shape: in-plan scalar subquery (1-row broadcast) + "
+    "left-anti join + segment rollup",
+)(analytics.inactive_rich_customers)
+register(
+    "agg_argmin_supplier",
+    analytics.CHEAPEST_SUPPLIER_PER_NATION_SQL,
+    doc="TPC-H Q2 decorrelation pattern: sort-free per-group argmin via "
+    "min(struct) hash aggregate (oracle: row_number window)",
+)(analytics.cheapest_supplier_per_nation)
+register(
     "sketch_distinct_users",
     None,
     doc="HLL++ approx distinct (rows-only: sketch algorithms differ across "
