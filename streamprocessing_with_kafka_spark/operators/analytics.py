@@ -558,14 +558,19 @@ GROUP BY c_mktsegment
 
 
 def cheapest_supplier_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q2 decorrelation pattern: per-group argmin WITHOUT a sort --
-    min over a comparable struct in one hash aggregate.
+    """TPC-H Q2 decorrelation pattern: per-group argmin as a single
+    min-over-comparable-struct AGGREGATE instead of a window or a
+    correlated subquery.
 
     The naive shapes are a correlated min subquery (re-scans per group)
-    or a row_number window (full sort per partition). min(struct(...))
-    is a plain map-side-combinable aggregate: each task keeps one
-    candidate per nation, the shuffle moves |nations| rows. The struct
-    compares lexicographically (acctbal, then suppkey), so ties break
+    or a row_number window, which must SHUFFLE EVERY ROW to its
+    partition before sorting. min(struct(...)) is map-side combinable:
+    each map task reduces to one candidate per nation before the
+    exchange, so the shuffle moves |nations| rows, not |suppliers|.
+    (Physically it compiles to SortAggregate -- struct buffers aren't
+    hash-aggregable -- but that sort is per-map-task on the grouping
+    key, upstream of the tiny shuffle.) The struct compares
+    lexicographically (acctbal, then suppkey), so ties break
     deterministically on the unique key."""
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")

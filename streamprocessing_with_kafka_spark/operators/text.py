@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
+from streamprocessing_with_kafka_spark.functions.numeric import round_sql as _round_sql
 from streamprocessing_with_kafka_spark.sources.tables import load_table
 
 # Tiny English function-word list for the n-gram/stopword language
@@ -479,4 +480,49 @@ kept AS (
 SELECT doc_id, lang, quality, dup_bigram_frac,
        CAST(n_tokens AS INTEGER) AS n_tokens, scrubbed
 FROM kept WHERE rk = 1
+"""
+
+
+def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document average unigram negative log-likelihood under an
+    add-one-smoothed corpus language model -- the classic cheap
+    perplexity proxy for pretraining quality filtering (high avg NLL =
+    rare/garbled tokens, low = boilerplate).
+
+    Two shuffles total: one corpus explode -> groupBy(term) builds the
+    vocab (map-side combinable, vocabulary-sized output), one
+    groupBy(doc_id) re-aggregates the scored tokens. The vocab and the
+    1-row totals BROADCAST back onto the token stream -- at 100 TB the
+    LM table is millions of rows, still broadcast range; cap to a top-K
+    vocab (everything else smooths to the unseen-token probability) if
+    it outgrows that. Per-token logs are quantized to DECIMAL(28,10)
+    before summing, so the per-doc sum is order-independent and
+    engine-exact (same pattern as dec_sum)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(_tokens()).alias("term"))
+    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    tot = vocab.agg(F.sum("c").alias("total"), F.count(F.lit(1)).alias("v"))
+    p = (F.col("c") + 1) / (F.col("total") + F.col("v")).cast("double")
+    nll = (-F.log(p)).cast("decimal(28,10)")
+    return (
+        toks.join(F.broadcast(vocab), "term")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.sum(nll).cast("double") / F.count(F.lit(1)).cast("double"), 6
+            ).alias("avg_nll"),
+        )
+    )
+
+
+UNIGRAM_LOGPROB_SQL = f"""
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+vocab AS (SELECT term, count(*) AS c FROM toks GROUP BY term),
+tot AS (SELECT sum(c) AS total, count(*) AS v FROM vocab)
+SELECT doc_id, count(*) AS n_tokens,
+  {_round_sql("CAST(CAST(SUM(CAST(-ln((c + 1) / CAST(total + v AS DOUBLE)) AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) / count(*)", 6)} AS avg_nll
+FROM toks JOIN vocab USING (term), tot
+GROUP BY doc_id
 """

@@ -365,8 +365,9 @@ register(
 register(
     "agg_argmin_supplier",
     analytics.CHEAPEST_SUPPLIER_PER_NATION_SQL,
-    doc="TPC-H Q2 decorrelation pattern: sort-free per-group argmin via "
-    "min(struct) hash aggregate (oracle: row_number window)",
+    doc="TPC-H Q2 decorrelation pattern: per-group argmin via min(struct) "
+    "aggregate -- shuffle moves |groups| rows, not all (oracle: "
+    "row_number window)",
 )(analytics.cheapest_supplier_per_nation)
 register(
     "sketch_distinct_users",
@@ -457,6 +458,13 @@ register(
     text.TERM_DF_SQL,
     doc="corpus document-frequency + smoothed IDF (vocab-sized shuffle only)",
 )(text.term_df)
+register(
+    "text_unigram_logprob",
+    text.UNIGRAM_LOGPROB_SQL,
+    doc="perplexity-proxy quality signal: per-doc avg unigram NLL under "
+    "an add-one-smoothed corpus LM; vocab broadcast, two shuffles, "
+    "decimal-quantized logs for order-independent sums",
+)(text.unigram_logprob)
 register(
     "text_curation_pipeline",
     text.CURATION_PIPELINE_SQL,

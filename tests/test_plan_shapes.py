@@ -108,3 +108,51 @@ def test_events_scan_prunes_with_filter(spark, sf_dir):
     assert re.search(r"PushedFilters: \[.*event_type.*\]", plan), plan
     m = re.search(r"ReadSchema: (struct<[^\n]*)", plan)
     assert m and "props" not in m.group(1), plan
+
+
+def test_large_volume_customers_broadcasts_both_hops(spark, sf_dir):
+    """Q18 shape: the HAVING-filtered aggregate and the order-level
+    result are both slivers -- each must broadcast; the only shuffle is
+    the lineitem per-order aggregate."""
+    plan = _plan(spark, registry()["join_large_volume_customers"].fn(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") == 2, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert _n_shuffles(plan) == 1, plan
+
+
+def test_local_supplier_volume_single_shuffle(spark, sf_dir):
+    """Q5 shape: every dimension hop is a broadcast; lineitem |X| orders
+    is the single shuffle regardless of scale factor."""
+    plan = _plan(spark, registry()["join_local_supplier_volume"].fn(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") == 5, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert _n_shuffles(plan) == 1, plan
+
+
+def test_argmin_supplier_shuffles_groups_only(spark, sf_dir):
+    """Q2-pattern argmin: min(struct) must stay a map-side-combinable
+    aggregate (one exchange carrying |nations| rows) -- NOT a window,
+    which would shuffle every supplier row before sorting."""
+    plan = _plan(spark, registry()["agg_argmin_supplier"].fn(spark, sf_dir))
+    assert "Window" not in plan, plan
+    assert _n_shuffles(plan) == 1, plan
+    # partial + final aggregate pair = map-side combine before the exchange
+    assert plan.count("SortAggregate") + plan.count("HashAggregate") >= 2, plan
+
+
+def test_decontaminate_broadcasts_eval_set(spark, sf_dir):
+    """The eval-set n-gram dictionary must broadcast -- scoring the
+    training corpus must never shuffle it against the eval side."""
+    plan = _plan(spark, registry()["text_decontaminate"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert _n_shuffles(plan) <= 3, plan
+
+
+def test_grouping_sets_single_expand_pass(spark, sf_dir):
+    """GROUPING SETS must compile to ONE Expand + one shuffle, not a
+    union of per-set aggregations re-scanning the table."""
+    plan = _plan(spark, registry()["agg_grouping_sets"].fn(spark, sf_dir))
+    assert plan.count("Expand") == 1, plan
+    assert _n_shuffles(plan) == 1, plan
+    assert "Union" not in plan, plan
