@@ -352,6 +352,7 @@ register(
 register(
     "join_local_supplier_volume",
     analytics.LOCAL_SUPPLIER_VOLUME_SQL,
+    bench=True,
     doc="TPC-H Q5 shape: 6-table join, every dim hop broadcast, single "
     "lineitem|X|orders shuffle; local-supplier predicate rides the "
     "supplier broadcast probe",
@@ -506,6 +507,7 @@ register("dedup_embedding_cosine", dedup.EMBEDDING_NEAR_DUP_SQL, doc="embedding 
 register(
     "text_decontaminate",
     decontaminate.DECONTAMINATE_SQL,
+    bench=True,
     doc="benchmark decontamination: exact 5-gram collision vs a broadcast "
     "eval-set n-gram dictionary; per-doc contamination fraction + flag",
 )(decontaminate.decontaminate)
