@@ -461,18 +461,24 @@ def dedup_cluster_keepers(
     same loop is the standard large/small-star formulation. The DuckDB
     oracle computes reachability with a recursive CTE -- an entirely
     different algorithm arriving at the same fixpoint.
+
+    Every round ends in localCheckpoint, which TRUNCATES LINEAGE --
+    without it the loop unrolls into one plan (measured: 5000+
+    exchanges in the static explain after convergence), and at scale
+    the analyzer/optimizer cost of that plan, not the data, becomes
+    the bottleneck. (Cluster analog: reliable checkpoint() to survive
+    executor loss; local storage suffices in one JVM.)
     """
     pairs = minhash_lsh_pairs(spark, sf_dir, threshold).select("doc_a", "doc_b")
     # undirected edge list, both directions
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).persist()
-    edges.count()
+    ).localCheckpoint()
     labels = (
         edges.select(F.col("doc_a").alias("doc_id"))
         .distinct()
         .withColumn("label", F.col("doc_id"))
-        .persist()
+        .localCheckpoint()
     )
     for _ in range(30):  # diameter bound; loop exits on fixpoint below
         neighbor_min = (
@@ -489,13 +495,9 @@ def dedup_cluster_keepers(
                 ),
                 "label",
             )
-        ).persist()
+        ).localCheckpoint()  # eager: materializes the round, truncates lineage
         changed = updated.filter(F.col("new_label") != F.col("label")).count()
-        new_labels = updated.select("doc_id", F.col("new_label").alias("label")).persist()
-        new_labels.count()
-        labels.unpersist()
-        updated.unpersist()
-        labels = new_labels
+        labels = updated.select("doc_id", F.col("new_label").alias("label"))
         if changed == 0:
             break
     return labels.select("doc_id", F.col("label").alias("keeper_doc_id"))
