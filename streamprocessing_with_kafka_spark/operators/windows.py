@@ -306,10 +306,11 @@ FROM per_user
 """
 
 
-def gapfill_user_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hypertable-style time-series gap-fill + LOCF: densify each user's
-    hourly value series over their observed [min, max] hour range, carry
-    the last observation forward across the generated gaps.
+def gapfill_hourly(ev: DataFrame) -> DataFrame:
+    """Hypertable-style time-series gap-fill + LOCF over any frame with
+    (user_id, ts, value): densify each user's hourly value series over
+    their observed [min, max] hour range, carry the last observation
+    forward across the generated gaps.
 
     Shape: one hash aggregate to hourly buckets (map-side combinable),
     a tiny per-user min/max re-aggregate off it, `sequence()` + explode
@@ -320,7 +321,6 @@ def gapfill_user_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     is users x hours, independent of the event count."""
     from pyspark.sql import Window as W
 
-    ev = load_table(spark, sf_dir, "events")
     hourly = ev.groupBy(
         "user_id", F.date_trunc("hour", F.col("ts")).alias("bucket")
     ).agg(dec_sum("value").alias("hour_value"))
@@ -346,6 +346,11 @@ def gapfill_user_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("hour_value", ignorenulls=True).over(w).alias("filled_value"),
         F.col("hour_value").isNull().alias("is_gap"),
     )
+
+
+def gapfill_user_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry point: gapfill_hourly over the events table."""
+    return gapfill_hourly(load_table(spark, sf_dir, "events"))
 
 
 GAPFILL_USER_HOURLY_SQL = f"""

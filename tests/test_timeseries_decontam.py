@@ -69,3 +69,80 @@ def test_percentiles_are_monotone(spark, sf_dir):
     for r in value_percentiles(spark, sf_dir).collect():
         assert r.p25 <= r.p50 <= r.p75 <= r.p99
         assert r.n_events > 0
+
+
+# -------------------------- property-based gap-fill (hypothesis) ----------
+
+from decimal import ROUND_HALF_UP, Decimal  # noqa: E402
+
+from hypothesis import HealthCheck, given, settings, strategies as st  # noqa: E402
+
+from pyspark.sql.types import (  # noqa: E402
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EV_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("value", DoubleType()),
+    ]
+)
+
+event = st.tuples(
+    st.integers(0, 2),  # few users so series overlap
+    st.datetimes(
+        min_value=dt.datetime(2024, 1, 1), max_value=dt.datetime(2024, 1, 4)
+    ),
+    st.floats(min_value=-100, max_value=100, allow_nan=False, allow_infinity=False),
+)
+
+
+def _dec(v: float) -> Decimal:
+    # Spark's double -> DECIMAL(28,10) cast: HALF_UP on the exact binary value
+    return Decimal(v).quantize(Decimal("1.0000000000"), rounding=ROUND_HALF_UP)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(st.lists(event, min_size=1, max_size=40))
+def test_gapfill_matches_model(spark, rows):
+    from streamprocessing_with_kafka_spark.operators.windows import gapfill_hourly
+
+    out = gapfill_hourly(spark.createDataFrame(rows, EV_SCHEMA)).collect()
+
+    # model: exact decimal hourly sums per (user, hour-bucket)
+    buckets = {}
+    for u, ts, v in rows:
+        b = ts.replace(minute=0, second=0, microsecond=0)
+        buckets.setdefault(u, {}).setdefault(b, Decimal(0))
+        buckets[u][b] += _dec(v)
+
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r.user_id, []).append(r)
+    assert set(by_user) == set(buckets)
+    hour = dt.timedelta(hours=1)
+    for u, series in by_user.items():
+        series.sort(key=lambda r: r.bucket)
+        want = buckets[u]
+        assert series[0].bucket == min(want)
+        assert series[-1].bucket == max(want)
+        last = None
+        for prev, r in zip([None] + series, series):
+            if prev is not None:
+                assert r.bucket - prev.bucket == hour
+            if r.bucket in want:
+                assert not r.is_gap
+                assert r.observed_value == float(want[r.bucket])
+                last = r.observed_value
+            else:
+                assert r.is_gap and r.observed_value is None
+            assert r.filled_value == last
