@@ -1,0 +1,104 @@
+"""Streaming gap-fill twin: the state-backed incremental LOCF must
+converge EXACTLY (bit-identical values) with the batch
+`gapfill_hourly` over the same events when data arrives in hour order,
+and must drop late events below the emitted frontier."""
+
+import json
+import time
+
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from streamprocessing_with_kafka_spark.operators.windows import gapfill_hourly
+from streamprocessing_with_kafka_spark.streaming.gapfill import gapfilled_stream
+
+EV_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("value", DoubleType()),
+    ]
+)
+
+BATCH1 = [
+    # user 0: two observed hours with a 2-hour gap between them
+    {"user_id": 0, "ts": "2024-01-01T00:10:00", "value": 1.25},
+    {"user_id": 0, "ts": "2024-01-01T00:40:00", "value": 2.5},
+    {"user_id": 0, "ts": "2024-01-01T03:05:00", "value": -0.75},
+    # user 1: single hour
+    {"user_id": 1, "ts": "2024-01-01T05:00:00", "value": 10.0},
+]
+BATCH2 = [
+    # user 0: advances 2 hours -> one gap at 04:00 carrying -0.75
+    {"user_id": 0, "ts": "2024-01-01T05:30:00", "value": 7.125},
+    # user 1: jumps 3 hours -> gaps at 06:00, 07:00 carrying 10.0
+    {"user_id": 1, "ts": "2024-01-01T08:59:59", "value": 0.5},
+    # LATE: at the frontier bucket already emitted in batch 1 -> dropped
+    {"user_id": 1, "ts": "2024-01-01T05:20:00", "value": 999.0},
+]
+
+
+def _write(path, rows):
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def _run_stream(spark, tmp_path, name):
+    inp, ckpt = tmp_path / "ev", tmp_path / "ckpt"
+    inp.mkdir()
+    _write(inp / "b1.json", BATCH1)
+    time.sleep(1.1)  # file source orders batches by modification time
+    _write(inp / "b2.json", BATCH2)
+    stream = (
+        spark.readStream.schema(EV_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(inp))
+    )
+    q = (
+        gapfilled_stream(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"SELECT * FROM {name}").collect()
+
+
+def test_streaming_gapfill_converges_to_batch(spark, tmp_path):
+    got = _run_stream(spark, tmp_path, "gapfilled")
+
+    # batch twin over the SAME events minus the late (dropped) one
+    on_time = [r for r in BATCH1 + BATCH2 if r["value"] != 999.0]
+    batch = gapfill_hourly(
+        spark.createDataFrame(
+            [(r["user_id"], r["ts"].replace("T", " "), r["value"]) for r in on_time],
+            "user_id long, ts string, value string",
+        ).selectExpr(
+            "user_id", "CAST(ts AS TIMESTAMP) AS ts", "CAST(value AS DOUBLE) AS value"
+        )
+    ).collect()
+
+    key = lambda r: (r.user_id, r.bucket)  # noqa: E731
+    got_map = {key(r): r for r in got}
+    batch_map = {key(r): r for r in batch}
+    assert got_map.keys() == batch_map.keys()
+    for k, g in got_map.items():
+        b = batch_map[k]
+        assert g.is_gap == b.is_gap, k
+        assert g.observed_value == b.observed_value, k
+        assert g.filled_value == b.filled_value, k  # bit-identical decimals
+
+    # each (user, bucket) emitted exactly once across micro-batches
+    assert len(got) == len(got_map)
+    # the 2-hour gap for user 0 and the 2 gaps for user 1 materialized
+    gaps = sorted((r.user_id, r.bucket.hour) for r in got if r.is_gap)
+    assert gaps == [(0, 1), (0, 2), (0, 4), (1, 6), (1, 7)]
