@@ -268,3 +268,65 @@ SELECT doc_id, CAST(frame_id AS INTEGER) AS frame_id,
        md5(content_md5 || '|' || CAST(frame_id AS VARCHAR)) AS frame_md5
 FROM fr
 """
+
+MM_TOP_K = 3
+MM_N_QUERIES = 6  # doc_id < 6 -> two probe docs per modality
+
+
+def mm_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed multimodal similarity search: Arrow-batched feature
+    extraction -> modality-blocked exact cosine top-k -- the end-to-end
+    shape of 'find images like this image' over a binary corpus, and the
+    proof that the multimodal features (typed array<float>) plug straight
+    into the similarity operators.
+
+    The modality predicate rides the broadcast probe join (cross-modal
+    pairs never materialize), and the per-query top-k compiles to
+    WindowGroupLimit (partial top-k per map task under one shuffle). At
+    100 TB swap the blocked brute-force stage for the LSH/IVF candidate
+    paths in operators/similarity.py -- the feature contract is
+    identical."""
+    from streamprocessing_with_kafka_spark.operators.similarity import cosine
+    from pyspark.sql import Window as W
+
+    feats = mm_feature_extract(spark, sf_dir)
+    q = feats.filter(F.col("doc_id") < MM_N_QUERIES).select(
+        F.col("doc_id").alias("q_id"),
+        F.col("mm_type").alias("q_type"),
+        F.col("feature").alias("qv"),
+    )
+    n = feats.select(
+        F.col("doc_id").alias("n_id"), "mm_type", F.col("feature").alias("nv")
+    )
+    scored = (
+        F.broadcast(q)
+        .join(n, (F.col("q_type") == F.col("mm_type")) & (F.col("q_id") != F.col("n_id")))
+        .select("q_id", "mm_type", "n_id", cosine(F.col("qv"), F.col("nv")).alias("cosine"))
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= MM_TOP_K)
+        .select("q_id", "mm_type", "n_id", "cosine", "rank")
+    )
+
+
+MM_ANN_TOPK_SQL = f"""
+WITH f AS ({MM_FEATURE_EXTRACT_SQL}),
+e AS (SELECT doc_id, mm_type, CAST(feature AS DOUBLE[]) AS v FROM f),
+scored AS (
+  SELECT q.doc_id AS q_id, q.mm_type AS mm_type, n.doc_id AS n_id,
+         round(list_dot_product(q.v, n.v)
+               / (sqrt(list_dot_product(q.v, q.v))
+                  * sqrt(list_dot_product(n.v, n.v))), 6) AS cosine
+  FROM e q JOIN e n
+    ON q.doc_id < {MM_N_QUERIES} AND q.mm_type = n.mm_type
+   AND q.doc_id <> n.doc_id
+)
+SELECT q_id, mm_type, n_id, cosine, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                               ORDER BY cosine DESC, n_id ASC) AS rank
+  FROM scored
+)
+WHERE rank <= {MM_TOP_K}
+"""

@@ -566,6 +566,13 @@ register(
     "(stub model; batch shape is the GPU-featurizer contract)",
 )(multimodal.mm_feature_extract)
 register(
+    "mm_ann_topk",
+    multimodal.MM_ANN_TOPK_SQL,
+    doc="composed multimodal similarity search: Arrow-batched feature "
+    "extraction -> modality-blocked cosine top-k (features plug straight "
+    "into the similarity operators)",
+)(multimodal.mm_ann_topk)
+register(
     "mm_resize",
     multimodal.MM_RESIZE_SQL,
     doc="aspect-preserving resize dims JVM-side; only pixel work belongs "
