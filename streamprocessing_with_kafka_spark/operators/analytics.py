@@ -16,7 +16,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
-from streamprocessing_with_kafka_spark.functions.numeric import dec_sum, dec_sum_sql
+from streamprocessing_with_kafka_spark.functions.numeric import (
+    dec_sum,
+    dec_sum_sql,
+    round_sql,
+)
 from streamprocessing_with_kafka_spark.sources.tables import load_table
 
 
@@ -599,4 +603,191 @@ FROM (
 )
 JOIN nation ON s_nationkey = n_nationkey
 WHERE rk = 1
+"""
+
+
+def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: single-table scan with three range predicates and
+    one aggregate -- the pure filter-pushdown benchmark. All three
+    predicates reach the parquet reader (min/max row-group skipping at
+    scale); the aggregate is one map-side-combinable decimal sum, so the
+    query runs at scan speed with no exchange of row data at all."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount").between(0.03, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(dec_sum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
+    )
+
+
+FORECAST_REVENUE_CHANGE_SQL = f"""
+SELECT {dec_sum_sql('l_extendedprice * l_discount')} AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def returned_item_topk(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
+    """TPC-H Q10 shape: lost-revenue ranking of customers who returned
+    items. lineitem filters to returnflag='R' at the scan, joins orders
+    on the order key (the one big shuffle), re-aggregates per customer
+    (second shuffle, co-keyed on custkey), then the customer dim
+    broadcasts onto the tiny aggregate and global top-k takes one
+    partial-sorted limit."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01 00:00:00").cast("timestamp"))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    lost = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(
+            dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+    )
+    return (
+        lost.join(F.broadcast(c), lost.o_custkey == c.c_custkey)
+        .select("c_custkey", "c_name", "c_mktsegment", "revenue")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(k)
+    )
+
+
+RETURNED_ITEM_TOPK_SQL = f"""
+SELECT c_custkey, c_name, c_mktsegment, revenue
+FROM (
+  SELECT o_custkey, {dec_sum_sql('l_extendedprice * (1 - l_discount)')} AS revenue
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag = 'R'
+    AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+    AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'
+  GROUP BY o_custkey
+) r
+JOIN customer ON o_custkey = c_custkey
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+def promo_revenue_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional-aggregate ratio (promo revenue share)
+    over a broadcast part join. Both sums ride the same aggregate (one
+    pass, no second scan); the ratio divides two exact decimal sums in
+    double, so it is engine-deterministic."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-09-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1995-10-01 00:00:00").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            dec_sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0)).alias(
+                "promo_revenue"
+            ),
+            dec_sum(rev).alias("total_revenue"),
+        )
+        .select(
+            "promo_revenue",
+            "total_revenue",
+            F.round(
+                100.0 * F.col("promo_revenue") / F.col("total_revenue"), 6
+            ).alias("promo_pct"),
+        )
+    )
+
+
+_Q14_REV = "l_extendedprice * (1 - l_discount)"
+
+PROMO_REVENUE_PCT_SQL = f"""
+SELECT promo_revenue, total_revenue,
+  {round_sql('100.0 * promo_revenue / total_revenue', 6)} AS promo_pct
+FROM (
+  SELECT
+    {dec_sum_sql(f"CASE WHEN p_type = 'PROMO' THEN {_Q14_REV} ELSE 0.0 END")}
+      AS promo_revenue,
+    {dec_sum_sql(_Q14_REV)} AS total_revenue
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1995-10-01 00:00:00'
+)
+"""
+
+
+def disjunctive_predicate_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR of conjunct groups mixing join-side columns --
+    the optimizer stress case. Catalyst extracts the common l_partkey
+    equi-condition so the join stays a broadcast HASH join (never a
+    nested-loop over the disjunction); the residual OR evaluates on the
+    probe side, and the per-branch part predicates are pushed into the
+    build side as (brand A OR brand B OR brand C)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    branch = lambda brand, qlo, qhi, smax: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & (F.col("l_quantity") >= qlo)
+        & (F.col("l_quantity") <= qhi)
+        & (F.col("p_size") <= smax)
+    )
+    return j.filter(
+        branch("Brand#12", 1, 11, 5)
+        | branch("Brand#23", 10, 20, 10)
+        | branch("Brand#34", 20, 30, 15)
+    ).agg(
+        dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+DISJUNCTIVE_PREDICATE_REVENUE_SQL = f"""
+SELECT {dec_sum_sql('l_extendedprice * (1 - l_discount)')} AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11 AND p_size <= 5)
+   OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 20 AND p_size <= 10)
+   OR (p_brand = 'Brand#34' AND l_quantity BETWEEN 20 AND 30 AND p_size <= 15)
+"""
+
+
+def late_shipment_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS with a non-equi conjunct
+    (any lineitem shipped > 60 days after the order date), decorrelated
+    into a LEFT SEMI join on the order key carrying the date comparison
+    as a residual condition, then a tiny priority rollup. The semi join
+    probes and short-circuits -- qualifying orders are never duplicated
+    by their matching lineitems."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > F.date_add(o.o_orderdate, 60)),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+LATE_SHIPMENT_PRIORITY_COUNTS_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
 """

@@ -371,6 +371,36 @@ register(
     "row_number window)",
 )(analytics.cheapest_supplier_per_nation)
 register(
+    "agg_forecast_revenue",
+    analytics.FORECAST_REVENUE_CHANGE_SQL,
+    doc="TPC-H Q6 shape: three range predicates pushed to the scan + one "
+    "map-side-combinable aggregate -- runs at scan speed",
+)(analytics.forecast_revenue_change)
+register(
+    "join_returned_item_topk",
+    analytics.RETURNED_ITEM_TOPK_SQL,
+    doc="TPC-H Q10 shape: filtered fact join -> per-customer aggregate -> "
+    "broadcast dim -> global top-k",
+)(analytics.returned_item_topk)
+register(
+    "agg_promo_revenue_pct",
+    analytics.PROMO_REVENUE_PCT_SQL,
+    doc="TPC-H Q14 shape: conditional-aggregate ratio in ONE pass over a "
+    "broadcast part join",
+)(analytics.promo_revenue_pct)
+register(
+    "join_disjunctive_predicates",
+    analytics.DISJUNCTIVE_PREDICATE_REVENUE_SQL,
+    doc="TPC-H Q19 shape: OR-of-conjuncts across join sides; equi-key "
+    "extraction keeps the join a broadcast hash join",
+)(analytics.disjunctive_predicate_revenue)
+register(
+    "join_semi_late_shipments",
+    analytics.LATE_SHIPMENT_PRIORITY_COUNTS_SQL,
+    doc="TPC-H Q4 shape: correlated EXISTS with non-equi conjunct as a "
+    "left-semi join + priority rollup",
+)(analytics.late_shipment_priority_counts)
+register(
     "sketch_distinct_users",
     None,
     doc="HLL++ approx distinct (rows-only: sketch algorithms differ across "
