@@ -102,3 +102,62 @@ def test_streaming_gapfill_converges_to_batch(spark, tmp_path):
     # the 2-hour gap for user 0 and the 2 gaps for user 1 materialized
     gaps = sorted((r.user_id, r.bucket.hour) for r in got if r.is_gap)
     assert gaps == [(0, 1), (0, 2), (0, 4), (1, 6), (1, 7)]
+
+
+def test_streaming_gapfill_state_survives_restart(spark, tmp_path):
+    """The per-user frontier lives in the checkpointed state store: a NEW
+    query started on the same checkpoint must continue from the frontier
+    (no re-emission, no reset) when later files arrive."""
+    inp, ckpt, out = tmp_path / "ev", tmp_path / "ckpt", tmp_path / "out"
+    inp.mkdir()
+    _write(inp / "b1.json", BATCH1)
+
+    def run_once():
+        # parquet sink: durable, checkpoint-recoverable (memory sink is not)
+        stream = (
+            spark.readStream.schema(EV_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(inp))
+        )
+        q = (
+            gapfilled_stream(stream)
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .outputMode("append")
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(str(out)).collect()
+
+    first = run_once()
+    _write(inp / "b2.json", BATCH2)
+    both = run_once()  # fresh query, same checkpoint
+    first_keys = {(r.user_id, r.bucket) for r in first}
+    second = [r for r in both if (r.user_id, r.bucket) not in first_keys]
+
+    # the restarted query appended only post-restart rows: no (user, bucket)
+    # appears twice in the durable sink
+    assert len(both) == len({(r.user_id, r.bucket) for r in both}), (
+        "frontier reset re-emitted rows"
+    )
+    emitted_later = {(r.user_id, r.bucket) for r in second}
+    emitted_first = first_keys
+    assert emitted_first and emitted_later
+
+    # the union still equals the batch twin over all on-time events
+    on_time = [r for r in BATCH1 + BATCH2 if r["value"] != 999.0]
+    batch = gapfill_hourly(
+        spark.createDataFrame(
+            [(r["user_id"], r["ts"].replace("T", " "), r["value"]) for r in on_time],
+            "user_id long, ts string, value string",
+        ).selectExpr(
+            "user_id", "CAST(ts AS TIMESTAMP) AS ts", "CAST(value AS DOUBLE) AS value"
+        )
+    ).collect()
+    assert emitted_first | emitted_later == {(r.user_id, r.bucket) for r in batch}
+    # gap rows carried the pre-restart LOCF value across the restart
+    filled = {(r.user_id, r.bucket): r.filled_value for r in first + second}
+    for b in batch:
+        assert filled[(b.user_id, b.bucket)] == b.filled_value
