@@ -775,7 +775,10 @@ def late_shipment_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame
         o.join(
             li,
             (o.o_orderkey == li.l_orderkey)
-            & (li.l_shipdate > F.date_add(o.o_orderdate, 60)),
+            # interval add, NOT date_add: date_add would truncate the
+            # timestamp to a date (midnight) and shift the comparison for
+            # any non-midnight order timestamps
+            & (li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 60 DAYS")),
             "left_semi",
         )
         .groupBy("o_orderpriority")

@@ -20,7 +20,10 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from streamprocessing_with_kafka_spark.functions.hashing import md5_long, md5_long_sql
 from streamprocessing_with_kafka_spark.functions.numeric import round_sql
-from streamprocessing_with_kafka_spark.sources.tables import load_table
+from streamprocessing_with_kafka_spark.operators.dedup import (
+    word_ngrams,
+    word_ngrams_sql,
+)
 
 NGRAM_N = 5  # 3-grams hit ~every doc incidentally; 5-grams are specific
 EVAL_MOD = 7  # doc_id % EVAL_MOD == 0 -> evaluation set
@@ -28,31 +31,10 @@ CONTAM_FRAC = 0.5  # flag when >= half of a doc's n-grams appear in eval
 
 
 def _doc_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, gh): each doc's DISTINCT token 5-grams as 60-bit hashes.
-
-    Same fan-out rationale as dedup's shingles: tokenize, then
-    repartition by doc_id BEFORE the ~n_tokens-fold explode so the
-    expansion uses every core. Distinctness is decided on the gram
-    STRING (pre-hash) in both engines, so a hash collision yields the
-    same rows on both sides."""
-    d = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id", F.split("text", " ").alias("w"))
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
-    )
-    w = F.col("w")
-    grams = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.size(w) - (NGRAM_N - 1)),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(w, i + k) for k in range(NGRAM_N)]
-            ),
-        )
-    )
-    return (
-        d.filter(F.size(w) >= NGRAM_N)
-        .select("doc_id", F.explode(grams).alias("g"))
-        .select("doc_id", md5_long(F.col("g")).alias("gh"))
+    """(doc_id, gh): each doc's DISTINCT token 5-grams as 60-bit hashes --
+    dedup's shared word_ngrams fan-out at n=5, hashed post-explode."""
+    return word_ngrams(spark, sf_dir, NGRAM_N).select(
+        "doc_id", md5_long(F.col("gram")).alias("gh")
     )
 
 
@@ -90,15 +72,10 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_GRAM_CONCAT = " || ' ' || ".join(f"w[i+{k}]" for k in range(NGRAM_N))
-
 DECONTAMINATE_SQL = f"""
-WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-grams AS (
-  SELECT doc_id, {md5_long_sql('g')} AS gh FROM (
-    SELECT doc_id, unnest(list_distinct(list_transform(
-      range(1, len(w) - {NGRAM_N - 2}), i -> {_GRAM_CONCAT}))) AS g
-    FROM toks WHERE len(w) >= {NGRAM_N})
+WITH grams AS (
+  SELECT doc_id, {md5_long_sql('gram')} AS gh
+  FROM ({word_ngrams_sql(NGRAM_N)})
 ),
 bench AS (SELECT DISTINCT gh FROM grams WHERE doc_id % {EVAL_MOD} = 0),
 scored AS (

@@ -63,47 +63,59 @@ FROM documents GROUP BY 1
 
 SHINGLE_N = 3
 
-# distinct word-3-gram shingles per doc (docs with >= 3 tokens)
 
+def word_ngrams(spark: SparkSession, sf_dir: str, n: int, alias: str = "gram") -> DataFrame:
+    """(doc_id, <alias>): each doc's DISTINCT word n-grams (docs with
+    >= n tokens) -- the shared fan-out under shingle dedup (n=3) and
+    benchmark decontamination (n=5).
 
-def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Fan-out BEFORE the blow-up: the corpus parquet may arrive in a
-    # handful of splits, but shingling multiplies rows ~n_tokens-fold and
-    # hashing them dominates -- repartition so the expansion uses every
-    # core (at 100 TB: size input splits to the post-explode volume).
-    # Tokenize BEFORE the repartition: the exchange materializes the token
-    # array, so the split runs once per doc instead of being re-inlined
-    # into every element_at by projection collapse (measured 2x).
+    Fan-out BEFORE the blow-up: the corpus parquet may arrive in a
+    handful of splits, but n-gramming multiplies rows ~n_tokens-fold and
+    hashing them dominates -- repartition so the expansion uses every
+    core (at 100 TB: size input splits to the post-explode volume).
+    Tokenize BEFORE the repartition: the exchange materializes the token
+    array, so the split runs once per doc instead of being re-inlined
+    into every element_at by projection collapse (measured 2x).
+    Distinctness is decided on the gram STRING (pre-hash), so downstream
+    hashing yields identical rows in Spark and the oracle even under a
+    hash collision."""
     d = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id", F.split("text", " ").alias("w"))
         .repartition(spark.sparkContext.defaultParallelism, "doc_id")
     )
     words = F.col("w")
-    sh = F.array_distinct(
+    grams = F.array_distinct(
         F.transform(
-            F.sequence(F.lit(1), F.size(words) - (SHINGLE_N - 1)),
+            F.sequence(F.lit(1), F.size(words) - (n - 1)),
             lambda i: F.concat_ws(
-                " ",
-                F.element_at(words, i),
-                F.element_at(words, i + 1),
-                F.element_at(words, i + 2),
+                " ", *[F.element_at(words, i + k) for k in range(n)]
             ),
         )
     )
     return (
-        d.filter(F.size(words) >= SHINGLE_N)
-        .select("doc_id", F.explode(sh).alias("shingle"))
+        d.filter(F.size(words) >= n)
+        .select("doc_id", F.explode(grams).alias(alias))
     )
 
 
-_SHINGLES_SQL = """
+def word_ngrams_sql(n: int, alias: str = "gram") -> str:
+    """DuckDB twin of word_ngrams."""
+    gram = " || ' ' || ".join(f"w[i+{k}]" for k in range(n))
+    return f"""
 SELECT doc_id, unnest(list_distinct(list_transform(
-         range(1, len(w) - 1),
-         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingle
+         range(1, len(w) - {n - 2}),
+         i -> {gram}))) AS {alias}
 FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
-WHERE len(w) >= 3
+WHERE len(w) >= {n}
 """
+
+
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return word_ngrams(spark, sf_dir, SHINGLE_N, alias="shingle")
+
+
+_SHINGLES_SQL = word_ngrams_sql(SHINGLE_N, alias="shingle")
 
 # ------------------------------------------------- n-gram Jaccard pairs
 
@@ -467,8 +479,20 @@ def dedup_cluster_keepers(
     exchanges in the static explain after convergence), and at scale
     the analyzer/optimizer cost of that plan, not the data, becomes
     the bottleneck. (Cluster analog: reliable checkpoint() to survive
-    executor loss; local storage suffices in one JVM.)
+    executor loss; local storage suffices in one JVM.) Superseded
+    rounds' checkpoint blocks are freed EAGERLY via the LogicalRDD
+    handle -- waiting for the driver's GC-driven ContextCleaner would
+    let up to 30 rounds of dead label RDDs pile up in executor
+    storage.
     """
+    def _free_checkpoint(df: DataFrame) -> None:
+        """Eagerly drop a localCheckpoint's storage blocks (the LogicalRDD
+        holds the cached RDD; unpersist is a no-op for anything else)."""
+        try:
+            df._jdf.logicalPlan().rdd().unpersist(False)
+        except Exception:
+            pass  # best effort -- ContextCleaner reclaims on GC anyway
+
     pairs = minhash_lsh_pairs(spark, sf_dir, threshold).select("doc_a", "doc_b")
     # undirected edge list, both directions
     edges = pairs.union(
@@ -480,6 +504,7 @@ def dedup_cluster_keepers(
         .withColumn("label", F.col("doc_id"))
         .localCheckpoint()
     )
+    prev = labels
     for _ in range(30):  # diameter bound; loop exits on fixpoint below
         neighbor_min = (
             edges.join(labels, edges.doc_b == labels.doc_id)
@@ -496,10 +521,13 @@ def dedup_cluster_keepers(
                 "label",
             )
         ).localCheckpoint()  # eager: materializes the round, truncates lineage
+        _free_checkpoint(prev)
+        prev = updated
         changed = updated.filter(F.col("new_label") != F.col("label")).count()
         labels = updated.select("doc_id", F.col("new_label").alias("label"))
         if changed == 0:
             break
+    _free_checkpoint(edges)
     return labels.select("doc_id", F.col("label").alias("keeper_doc_id"))
 
 

@@ -64,9 +64,12 @@ GAPFILL_OUTPUT_SCHEMA = StructType(
 
 
 def _dec(v: float) -> Decimal:
-    """Spark's double -> DECIMAL(28,10) cast (HALF_UP on the exact binary
-    value) -- keeps streamed sums bit-identical to the batch dec_sum."""
-    return Decimal(v).quantize(Decimal("1.0000000000"), rounding=ROUND_HALF_UP)
+    """Spark's double -> DECIMAL(28,10) cast, replicated exactly: Spark
+    quantizes the SHORTEST decimal repr of the double (BigDecimal.valueOf
+    == Python repr), not the exact binary expansion -- Decimal(v) would
+    round 1.5e-10 (binary ...49999e-10) down to 1E-10 where Spark says
+    2E-10. Keeps streamed sums bit-identical to the batch dec_sum."""
+    return Decimal(repr(v)).quantize(Decimal("1.0000000000"), rounding=ROUND_HALF_UP)
 
 
 def _fill_user(

@@ -73,9 +73,11 @@ def test_percentiles_are_monotone(spark, sf_dir):
 
 # -------------------------- property-based gap-fill (hypothesis) ----------
 
-from decimal import ROUND_HALF_UP, Decimal  # noqa: E402
+from decimal import Decimal  # noqa: E402
 
 from hypothesis import HealthCheck, given, settings, strategies as st  # noqa: E402
+
+from streamprocessing_with_kafka_spark.streaming.gapfill import _dec  # noqa: E402
 
 from pyspark.sql.types import (  # noqa: E402
     DoubleType,
@@ -100,11 +102,6 @@ event = st.tuples(
     ),
     st.floats(min_value=-100, max_value=100, allow_nan=False, allow_infinity=False),
 )
-
-
-def _dec(v: float) -> Decimal:
-    # Spark's double -> DECIMAL(28,10) cast: HALF_UP on the exact binary value
-    return Decimal(v).quantize(Decimal("1.0000000000"), rounding=ROUND_HALF_UP)
 
 
 @settings(
