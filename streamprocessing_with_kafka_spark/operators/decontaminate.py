@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from streamprocessing_with_kafka_spark.functions.hashing import md5_long, md5_long_sql
 from streamprocessing_with_kafka_spark.functions.numeric import round_sql
 from streamprocessing_with_kafka_spark.operators.dedup import (
-    word_ngrams,
+    word_ngram_rows,
     word_ngrams_sql,
 )
 
@@ -30,23 +30,18 @@ EVAL_MOD = 7  # doc_id % EVAL_MOD == 0 -> evaluation set
 CONTAM_FRAC = 0.5  # flag when >= half of a doc's n-grams appear in eval
 
 
-def _doc_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, gh): each doc's DISTINCT token 5-grams as 60-bit hashes --
-    dedup's shared word_ngrams fan-out at n=5, hashed post-explode."""
-    return word_ngrams(spark, sf_dir, NGRAM_N).select(
-        "doc_id", md5_long(F.col("gram")).alias("gh")
-    )
-
-
-def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-training-doc contamination score against the eval slice.
+def decontaminate_docs(docs: DataFrame) -> DataFrame:
+    """Per-training-doc contamination score against the eval slice, over
+    any frame with (doc_id, text).
 
     Plan: eval n-grams -> distinct -> broadcast; training n-grams LEFT
     JOIN the broadcast set (narrow, no shuffle), then ONE hash aggregate
     per doc_id counts total vs hit n-grams. The eval side is at most one
     distinct-aggregate of a sliver; the corpus-sized side shuffles only
     for the per-doc count, on doc_id it is already partitioned by."""
-    grams = _doc_ngrams(spark, sf_dir)
+    grams = word_ngram_rows(docs, NGRAM_N).select(
+        "doc_id", md5_long(F.col("gram")).alias("gh")
+    )
     bench = (
         grams.filter(F.col("doc_id") % EVAL_MOD == 0)
         .select("gh")
@@ -70,6 +65,13 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             (frac >= CONTAM_FRAC).alias("is_contaminated"),
         )
     )
+
+
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry point: decontaminate_docs over the documents table."""
+    from streamprocessing_with_kafka_spark.sources.tables import load_table
+
+    return decontaminate_docs(load_table(spark, sf_dir, "documents"))
 
 
 DECONTAMINATE_SQL = f"""

@@ -64,10 +64,11 @@ FROM documents GROUP BY 1
 SHINGLE_N = 3
 
 
-def word_ngrams(spark: SparkSession, sf_dir: str, n: int, alias: str = "gram") -> DataFrame:
+def word_ngram_rows(docs: DataFrame, n: int, alias: str = "gram") -> DataFrame:
     """(doc_id, <alias>): each doc's DISTINCT word n-grams (docs with
-    >= n tokens) -- the shared fan-out under shingle dedup (n=3) and
-    benchmark decontamination (n=5).
+    >= n tokens) over any frame with (doc_id, text) -- the shared
+    fan-out under shingle dedup (n=3) and benchmark decontamination
+    (n=5).
 
     Fan-out BEFORE the blow-up: the corpus parquet may arrive in a
     handful of splits, but n-gramming multiplies rows ~n_tokens-fold and
@@ -80,9 +81,8 @@ def word_ngrams(spark: SparkSession, sf_dir: str, n: int, alias: str = "gram") -
     hashing yields identical rows in Spark and the oracle even under a
     hash collision."""
     d = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id", F.split("text", " ").alias("w"))
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        docs.select("doc_id", F.split("text", " ").alias("w"))
+        .repartition(docs.sparkSession.sparkContext.defaultParallelism, "doc_id")
     )
     words = F.col("w")
     grams = F.array_distinct(
@@ -97,6 +97,11 @@ def word_ngrams(spark: SparkSession, sf_dir: str, n: int, alias: str = "gram") -
         d.filter(F.size(words) >= n)
         .select("doc_id", F.explode(grams).alias(alias))
     )
+
+
+def word_ngrams(spark: SparkSession, sf_dir: str, n: int, alias: str = "gram") -> DataFrame:
+    """word_ngram_rows over the documents table."""
+    return word_ngram_rows(load_table(spark, sf_dir, "documents"), n, alias)
 
 
 def word_ngrams_sql(n: int, alias: str = "gram") -> str:

@@ -143,3 +143,35 @@ def test_gapfill_matches_model(spark, rows):
             else:
                 assert r.is_gap and r.observed_value is None
             assert r.filled_value == last
+
+
+def test_decontaminate_counts_known_overlaps(spark):
+    """Hand-built corpus with exactly computable 5-gram overlaps: doc 0
+    is the eval doc; doc 8 shares a 6-token span (two of its four
+    5-grams), doc 9 shares nothing, doc 10 is a verbatim copy (fully
+    contaminated), doc 11 is too short to produce any 5-gram."""
+    from streamprocessing_with_kafka_spark.operators.decontaminate import (
+        decontaminate_docs,
+    )
+
+    eval_text = "alpha beta gamma delta epsilon zeta eta"  # 7 tokens
+    docs = spark.createDataFrame(
+        [
+            (0, eval_text),  # eval slice (0 % 7 == 0)
+            # 8 tokens -> 4 5-grams; the first two cover the shared span
+            # "beta gamma delta epsilon zeta eta" (6 tokens -> 2 5-grams)
+            (8, "beta gamma delta epsilon zeta eta theta iota"),
+            (9, "one two three four five six"),  # 2 5-grams, no overlap
+            (10, eval_text),  # verbatim eval copy
+            (11, "too short now"),  # < 5 tokens -> excluded entirely
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in decontaminate_docs(docs).collect()}
+    assert set(rows) == {8, 9, 10}  # eval doc and short doc never scored
+    assert (rows[8].n_ngrams, rows[8].n_hits) == (4, 2)
+    assert rows[8].contamination_frac == 0.5 and rows[8].is_contaminated
+    assert (rows[9].n_ngrams, rows[9].n_hits) == (2, 0)
+    assert not rows[9].is_contaminated
+    assert (rows[10].n_ngrams, rows[10].n_hits) == (3, 3)
+    assert rows[10].contamination_frac == 1.0 and rows[10].is_contaminated
