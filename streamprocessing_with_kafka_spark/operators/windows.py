@@ -404,3 +404,70 @@ SELECT event_type, COUNT(*) AS n_events,
   round(quantile_cont(value, 0.99), 6) AS p99
 FROM events GROUP BY event_type
 """
+
+
+ZSCORE_LOOKBACK = 12  # trailing events per user feeding the moments
+ZSCORE_MIN_PREV = 6  # below this the estimate is noise -> null score
+_VAR_FLOOR = 1e-12  # constant-series guard: sqrt(0) -> division blow-up
+
+
+def rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series anomaly score: each event's z-score against the
+    trailing ZSCORE_LOOKBACK events of the SAME user (frame excludes the
+    current row, so the score is a true out-of-sample residual).
+
+    The rolling moments come from two decimal window sums (sum, sum of
+    squares) -- stddev_samp/var_samp would hand the accumulation order
+    to the engine (Welford vs naive differ across engines and partition
+    layouts); exact decimal sums make the variance deterministic, then
+    var = E[x^2] - E[x]^2 in double. One user-keyed sort window carries
+    all three aggregates (count, s1, s2) in a single pass."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-ZSCORE_LOOKBACK, -1)
+    )
+    dec = F.col("value").cast("decimal(28,10)")
+    n = F.count(F.lit(1)).over(w)
+    s1 = F.sum(dec).over(w).cast("double")
+    s2 = F.sum((dec * dec).cast("decimal(38,10)")).over(w).cast("double")
+    mean = s1 / n
+    var = s2 / n - mean * mean
+    z = F.when(
+        n >= ZSCORE_MIN_PREV,
+        F.round(
+            (F.col("value") - mean) / F.sqrt(F.greatest(var, F.lit(_VAR_FLOOR))), 6
+        ),
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        n.alias("n_prev"),
+        F.round(mean, 6).alias("roll_mean"),
+        z.alias("z_score"),
+    )
+
+
+ROLLING_ZSCORE_SQL = f"""
+SELECT user_id, event_id, ts, value, n_prev,
+  round(mean, 6) AS roll_mean,
+  CASE WHEN n_prev >= {ZSCORE_MIN_PREV} THEN
+    round((value - mean) / sqrt(greatest(s2 / n_prev - mean * mean, {_VAR_FLOOR})), 6)
+  END AS z_score
+FROM (
+  SELECT user_id, event_id, ts, value,
+    COUNT(*) OVER w AS n_prev,
+    CAST(CAST(SUM(CAST(value AS DECIMAL(28,10))) OVER w AS VARCHAR) AS DOUBLE)
+      / COUNT(*) OVER w AS mean,
+    CAST(CAST(SUM(CAST(CAST(value AS DECIMAL(28,10)) * CAST(value AS DECIMAL(28,10))
+                       AS DECIMAL(38,10))) OVER w AS VARCHAR) AS DOUBLE) AS s2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN {ZSCORE_LOOKBACK} PRECEDING AND 1 PRECEDING)
+)
+"""

@@ -436,6 +436,13 @@ register(
     "baseline for sketch_value_quantiles)",
 )(windows.value_percentiles)
 register(
+    "events_rolling_zscore",
+    windows.ROLLING_ZSCORE_SQL,
+    doc="rolling out-of-sample anomaly z-score per user from decimal-exact "
+    "trailing moments (one sort window, three aggregates, no Welford "
+    "order-dependence)",
+)(windows.rolling_zscore)
+register(
     "events_cohort_retention",
     windows.COHORT_RETENTION_SQL,
     doc="weekly first-seen cohorts x activity weeks; co-partitioned "
