@@ -27,6 +27,7 @@ from streamprocessing_with_kafka_spark.operators import (
     similarity,
     sketches,
     text,
+    tpch_extra,
     windows,
 )
 from streamprocessing_with_kafka_spark.sources import generator, json_source
@@ -400,6 +401,50 @@ register(
     doc="TPC-H Q4 shape: correlated EXISTS with non-equi conjunct as a "
     "left-semi join + priority rollup",
 )(analytics.late_shipment_priority_counts)
+register(
+    "join_volume_shipping",
+    tpch_extra.VOLUME_SHIPPING_SQL,
+    doc="TPC-H Q7 shape: nation-pair trade volume; nation broadcast twice "
+    "under two roles, pair disjunction after both hops, one fact shuffle",
+)(tpch_extra.volume_shipping)
+register(
+    "join_market_share",
+    tpch_extra.MARKET_SHARE_SQL,
+    bench=True,
+    doc="TPC-H Q8 shape: conditional-aggregate market-share ratio across "
+    "a 7-relation join; every dim broadcast, one lineitem|X|orders shuffle",
+)(tpch_extra.market_share)
+register(
+    "join_product_profit",
+    tpch_extra.PRODUCT_TYPE_PROFIT_SQL,
+    doc="TPC-H Q9 shape (no partsupp: profit net of discount): LIKE-filtered "
+    "part broadcast, (nation, year) profit rollup",
+)(tpch_extra.product_type_profit)
+register(
+    "agg_priority_line_counts",
+    tpch_extra.PRIORITY_SHIPMENT_COUNTS_SQL,
+    doc="TPC-H Q12 shape (no l_shipmode: keyed on l_linestatus): join + "
+    "conditional high/low priority counts in one aggregate pass",
+)(tpch_extra.priority_shipment_counts)
+register(
+    "join_top_supplier",
+    tpch_extra.TOP_SUPPLIER_SQL,
+    doc="TPC-H Q15 shape: per-supplier revenue CTE + in-plan scalar max "
+    "(ties preserved via equality, not LIMIT)",
+)(tpch_extra.top_supplier)
+register(
+    "agg_supplier_count_by_part",
+    tpch_extra.SUPPLIER_COUNT_BY_PART_SQL,
+    doc="TPC-H Q16 shape (lineitem as the supply relation): COUNT(DISTINCT) "
+    "two-phase aggregate + NOT IN as broadcast left-anti",
+)(tpch_extra.supplier_count_by_part)
+register(
+    "join_waiting_supplier",
+    tpch_extra.WAITING_SUPPLIER_SQL,
+    doc="TPC-H Q21 shape (latest-shipper-in-order as 'late'): EXISTS/NOT "
+    "EXISTS pair decorrelated into one per-order aggregate + co-partitioned "
+    "join-back, all hops on the order-key shuffle",
+)(tpch_extra.waiting_supplier)
 register(
     "sketch_distinct_users",
     None,
