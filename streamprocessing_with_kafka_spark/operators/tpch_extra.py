@@ -257,13 +257,21 @@ def top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale plan: one lineitem shuffle on l_suppkey for the revenue CTE;
     the CTE is |suppliers|-sized, its max is 1 row, and the supplier dim
-    broadcasts onto the filtered (usually 1-row) result."""
+    broadcasts onto the filtered (usually 1-row) result. The CTE feeds
+    two consumers (the max and the join) and Spark does not reuse the
+    exchange across them -- without materialization lineitem would be
+    scanned and aggregated TWICE, so the dim-sized CTE is pinned with an
+    eager localCheckpoint (asserted in test_plan_shapes.py)."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
     )
     s = load_table(spark, sf_dir, "supplier")
-    rev = li.groupBy("l_suppkey").agg(dec_sum(_rev()).alias("total_revenue"))
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(dec_sum(_rev()).alias("total_revenue"))
+        .localCheckpoint(eager=True)
+    )
     mx = rev.agg(F.max("total_revenue").alias("max_revenue"))
     return (
         rev.join(F.broadcast(mx))
@@ -329,40 +337,34 @@ def waiting_supplier(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame
     means shipping on an order's latest ship date): suppliers who were the
     SOLE latest shipper on multi-supplier fulfilled orders -- the
     EXISTS(another supplier) AND NOT EXISTS(another equally-late supplier)
-    pair, decorrelated into one per-order aggregate plus a join-back.
+    pair, decorrelated into per-order window frontiers instead of a
+    self-join-back (which would scan lineitem twice: Spark does not reuse
+    exchanges across the two consumers).
 
-    Scale plan: both the per-order aggregate and the lineitem join-back
-    hash on l_orderkey, so the second hop reuses the first shuffle's
-    partitioning (exchange-free under AQE); the per-order frontier frame
-    is |orders|-sized but projects to 3 columns; supplier broadcasts at
-    the end; top-k is a partial-sorted limit."""
-    # 'F' orders are fact-sized, so the semi join shuffles on the order
-    # key -- the same key every later hop hashes on, so AQE reuses the
-    # partitioning instead of re-exchanging.
+    Scale plan: everything hashes on l_orderkey ONCE -- the semi join's
+    partitioning satisfies the window's and the aggregate's distribution,
+    so frontier, filter and per-order rollup all ride the same exchange
+    with no further shuffle of row data (asserted in test_plan_shapes.py).
+    collect_set (not countDistinct) keeps the aggregate keyed on
+    l_orderkey alone: per-order supplier sets are small-bounded, while
+    countDistinct would re-exchange on (l_orderkey, l_suppkey). Supplier
+    broadcasts at the end; top-k is a partial-sorted limit."""
+    from pyspark.sql import Window as W
+
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     li = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_suppkey", "l_shipdate")
         .join(o.select("o_orderkey"), F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
     )
-    per_order = li.groupBy("l_orderkey").agg(
-        F.max("l_shipdate").alias("last_ship"),
-        F.countDistinct("l_suppkey").alias("n_supp"),
-    )
-    # join-back is a self-join on li's lineage: rename the aggregate's
-    # columns so resolution is unambiguous.
-    frontier = per_order.filter(F.col("n_supp") > 1).select(
-        F.col("l_orderkey").alias("po_orderkey"), "last_ship"
-    )
+    w = W.partitionBy("l_orderkey")
     last_shippers = (
-        li.join(
-            frontier,
-            (F.col("l_orderkey") == F.col("po_orderkey"))
-            & (F.col("l_shipdate") == F.col("last_ship")),
-        )
-        .groupBy("po_orderkey")
+        li.withColumn("last_ship", F.max("l_shipdate").over(w))
+        .withColumn("n_supp", F.size(F.collect_set("l_suppkey").over(w)))
+        .filter((F.col("l_shipdate") == F.col("last_ship")) & (F.col("n_supp") > 1))
+        .groupBy("l_orderkey")
         .agg(
-            F.countDistinct("l_suppkey").alias("n_last"),
+            F.size(F.collect_set("l_suppkey")).alias("n_last"),
             F.min("l_suppkey").alias("the_suppkey"),
         )
         .filter(F.col("n_last") == 1)

@@ -149,6 +149,54 @@ def test_decontaminate_broadcasts_eval_set(spark, sf_dir):
     assert _n_shuffles(plan) <= 3, plan
 
 
+def test_volume_shipping_single_fact_shuffle(spark, sf_dir):
+    """Q7 shape: nation broadcasts twice under two roles, supplier and
+    customer broadcast -- the aggregate's exchange is the only shuffle."""
+    plan = _plan(spark, registry()["join_volume_shipping"].fn(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") == 5, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert _n_shuffles(plan) == 1, plan
+
+
+def test_market_share_single_fact_shuffle(spark, sf_dir):
+    """Q8 shape: 7 relations, every dimension hop a broadcast, one
+    shuffle for the (year) aggregate."""
+    plan = _plan(spark, registry()["join_market_share"].fn(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") == 7, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert _n_shuffles(plan) == 1, plan
+
+
+def test_top_supplier_materializes_revenue_cte_once(spark, sf_dir):
+    """Q15 shape: the revenue CTE feeds two consumers and Spark does not
+    reuse exchanges across them -- the localCheckpoint must keep lineitem
+    out of the final plan entirely (scanned once, at materialization)."""
+    df = registry()["join_top_supplier"].fn(spark, sf_dir)
+    plan = _plan(spark, df)
+    assert "lineitem" not in plan, plan
+    assert _n_shuffles(plan) <= 1, plan
+
+
+def test_supplier_count_two_phase_distinct(spark, sf_dir):
+    """Q16 shape: COUNT(DISTINCT) must expand to partial-distinct then
+    count (2 exchanges); the blacklist NOT IN must stay a broadcast anti
+    join, never a shuffle of lineitem against the supplier table."""
+    plan = _plan(spark, registry()["agg_supplier_count_by_part"].fn(spark, sf_dir))
+    assert re.search(r"BroadcastHashJoin .*LeftAnti", plan), plan
+    assert "SortMergeJoin" not in plan, plan
+    assert _n_shuffles(plan) == 2, plan
+
+
+def test_waiting_supplier_rides_one_orderkey_exchange(spark, sf_dir):
+    """Q21 shape: window frontier + per-order rollup + filter must all
+    ride the same l_orderkey partitioning -- collect_set keeps the
+    aggregate keyed on l_orderkey alone, so beyond that exchange only the
+    tiny s_name aggregate shuffles."""
+    plan = _plan(spark, registry()["join_waiting_supplier"].fn(spark, sf_dir))
+    assert _n_shuffles(plan) <= 2, plan
+    assert "CartesianProduct" not in plan, plan
+
+
 def test_grouping_sets_single_expand_pass(spark, sf_dir):
     """GROUPING SETS must compile to ONE Expand + one shuffle, not a
     union of per-set aggregations re-scanning the table."""
