@@ -1,4 +1,4 @@
-"""Remaining TPC-H query shapes: Q7, Q8, Q9, Q12, Q15, Q16, Q21.
+"""Remaining TPC-H query shapes: Q7-Q9, Q11-Q12, Q15-Q16, Q20-Q21.
 
 The reference has no joins or aggregations at all (SURVEY.md §2.6 — its one
 query is `SELECT * FROM enriched_orders`, README.md:157), so like
@@ -6,7 +6,7 @@ query is `SELECT * FROM enriched_orders`, README.md:157), so like
 plan patterns a migrating user gains, each with a DuckDB oracle.
 
 The driver's tables lack `partsupp` and lineitem lacks
-`l_shipmode/l_commitdate/l_receiptdate`, so Q9/Q12/Q16/Q21 are *shape*
+`l_shipmode/l_commitdate/l_receiptdate`, so Q9/Q11/Q12/Q16/Q20/Q21 are *shape*
 adaptations onto the available columns: the plan structure (what joins,
 what broadcasts, where the one big shuffle lands, how the subquery
 decorrelates) is the point, not the literal spec predicate.
@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from streamprocessing_with_kafka_spark.functions.numeric import dec_sum, dec_sum_sql
+from streamprocessing_with_kafka_spark.functions.numeric import DEC, dec_sum, dec_sum_sql
 from streamprocessing_with_kafka_spark.sources.tables import load_table
 
 def _rev() -> "F.Column":
@@ -407,4 +407,103 @@ WHERE n_last = 1
 GROUP BY s_name
 ORDER BY numwait DESC, s_name ASC
 LIMIT 10
+"""
+
+
+def important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (adapted: no partsupp, so 'value' is shipped
+    revenue rather than stock value): parts whose revenue exceeds a
+    fraction of GLOBAL revenue -- HAVING against a scalar subquery.
+
+    Scale plan: ONE lineitem pass. The global total is the sum of the
+    per-part decimal partials (algebraically identical to a second scan,
+    but free); the |parts|-sized aggregate is localCheckpoint-pinned
+    because it feeds two consumers (the total and the filter) and Spark
+    would otherwise recompute it -- and lineitem -- twice. The threshold
+    compare is integer-scaled decimal (val * 10000 > total): exact in
+    both engines, no double rounding anywhere until the output cast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = (
+        li.groupBy("l_partkey")
+        .agg(F.sum(_rev().cast(DEC)).alias("val_dec"))
+        .localCheckpoint(eager=True)
+    )
+    total = per_part.agg(F.sum("val_dec").alias("total_dec"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("val_dec") * 10000 > F.col("total_dec"))
+        .select("l_partkey", F.col("val_dec").cast("double").alias("part_value"))
+    )
+
+
+IMPORTANT_PARTS_SQL = """
+WITH per_part AS (
+  SELECT l_partkey,
+         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS val_dec
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT l_partkey, CAST(CAST(val_dec AS VARCHAR) AS DOUBLE) AS part_value
+FROM per_part
+WHERE val_dec * 10000 > (SELECT SUM(val_dec) FROM per_part)
+"""
+
+
+def excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (adapted: no partsupp availqty, so 'excess' means
+    shipping more than half a part's total shipped quantity in the
+    window): suppliers dominating supply of any name-matched part -- the
+    nested-IN-with-correlated-aggregate pattern.
+
+    Decorrelation: per-(part, supplier) quantities in ONE lineitem pass;
+    the per-part total comes from a window SUM over the same aggregate
+    (partition-compatible: the re-exchange to l_partkey is the same one
+    a join-back would need, but with no second scan and no self-join).
+    The dominance test is integer-scaled decimal (qty * 2 > total):
+    exact in both engines. The surviving supplier set is tiny and
+    broadcasts into a left-semi probe of the supplier dim."""
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").contains("widget"))
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast(DEC)).alias("qty_dec")
+    )
+    w = W.partitionBy("l_partkey")
+    excess = (
+        ps.withColumn("tot_dec", F.sum("qty_dec").over(w))
+        .filter(F.col("qty_dec") * 2 > F.col("tot_dec"))
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey, "left_semi")
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    return s.join(
+        F.broadcast(excess), s.s_suppkey == F.col("l_suppkey"), "left_semi"
+    ).select("s_suppkey", "s_name", "s_nationkey")
+
+
+EXCESS_SHIPPERS_SQL = """
+WITH ps AS (
+  SELECT l_partkey, l_suppkey,
+         SUM(CAST(l_quantity AS DECIMAL(28,10))) AS qty_dec
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  GROUP BY l_partkey, l_suppkey
+),
+windowed AS (
+  SELECT l_partkey, l_suppkey, qty_dec,
+         SUM(qty_dec) OVER (PARTITION BY l_partkey) AS tot_dec
+  FROM ps
+)
+SELECT s_suppkey, s_name, s_nationkey
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM windowed
+  WHERE qty_dec * 2 > tot_dec
+    AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%widget%')
+)
 """

@@ -446,6 +446,20 @@ register(
     "join-back, all hops on the order-key shuffle",
 )(tpch_extra.waiting_supplier)
 register(
+    "agg_important_parts",
+    tpch_extra.IMPORTANT_PARTS_SQL,
+    doc="TPC-H Q11 shape (value = shipped revenue): HAVING vs a global "
+    "scalar fraction; total derived from the per-part partials -- ONE "
+    "lineitem pass, integer-scaled decimal threshold",
+)(tpch_extra.important_parts)
+register(
+    "join_excess_shippers",
+    tpch_extra.EXCESS_SHIPPERS_SQL,
+    doc="TPC-H Q20 shape (dominance = >half a part's shipped qty): nested "
+    "IN with correlated aggregate, decorrelated via window SUM over one "
+    "pass; tiny survivor set broadcast into a left-semi probe",
+)(tpch_extra.excess_shippers)
+register(
     "sketch_distinct_users",
     None,
     doc="HLL++ approx distinct (rows-only: sketch algorithms differ across "

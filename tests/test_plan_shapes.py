@@ -197,6 +197,27 @@ def test_waiting_supplier_rides_one_orderkey_exchange(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
 
 
+def test_important_parts_single_lineitem_pass(spark, sf_dir):
+    """Q11 shape: the global total must derive from the per-part partials
+    (checkpointed), so lineitem appears in NO consumer plan -- one scan
+    total, at materialization time."""
+    plan = _plan(spark, registry()["agg_important_parts"].fn(spark, sf_dir))
+    assert "lineitem" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_excess_shippers_one_pass_window_decorrelation(spark, sf_dir):
+    """Q20 shape: the per-part total must come from a window over the
+    (part, supplier) aggregate -- one lineitem scan, no self-join-back;
+    the survivor set broadcasts into the supplier semi probe."""
+    df = registry()["join_excess_shippers"].fn(spark, sf_dir)
+    plan = _plan(spark, df)
+    ex = df._jdf.queryExecution().executedPlan().toString()
+    assert ex.count("lineitem.parquet") <= 1, ex
+    assert re.search(r"BroadcastHashJoin .*LeftSemi", plan), plan
+    assert "Window" in plan, plan
+
+
 def test_grouping_sets_single_expand_pass(spark, sf_dir):
     """GROUPING SETS must compile to ONE Expand + one shuffle, not a
     union of per-set aggregations re-scanning the table."""
