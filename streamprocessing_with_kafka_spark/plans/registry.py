@@ -23,6 +23,7 @@ from streamprocessing_with_kafka_spark.operators import (
     dedup,
     joins,
     multimodal,
+    profile,
     sampling,
     similarity,
     sketches,
@@ -459,6 +460,13 @@ register(
     "IN with correlated aggregate, decorrelated via window SUM over one "
     "pass; tiny survivor set broadcast into a left-semi probe",
 )(tpch_extra.excess_shippers)
+register(
+    "profile_documents",
+    profile.PROFILE_DOCUMENTS_SQL,
+    doc="single-pass per-column table profile (rows/nulls/distincts/"
+    "min/max): one scan, one Expand-based multi-distinct aggregate, "
+    "one unpivot",
+)(profile.profile_documents)
 register(
     "sketch_distinct_users",
     None,
