@@ -25,6 +25,11 @@ _RUNTIME_CONFS = {
     # AQE: runtime shuffle-partition coalescing + skew-join handling.
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    # Spark still defaults parquet timestamps to legacy INT96, which gets
+    # NO min/max statistics -- every time-range predicate on a lake we
+    # wrote would scan all row groups. Micros timestamps carry stats (and
+    # are what modern readers expect).
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
 }
 
 
