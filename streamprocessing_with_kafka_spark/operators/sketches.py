@@ -44,3 +44,42 @@ def approx_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.getItem(1).alias("p95"),
         q.getItem(2).alias("p99"),
     )
+
+
+def kll_daily_value_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(day, sk, n): per-day KLL sketches of `value` -- the materialized
+    summary table of the sketch-rollup pattern. Each sketch is ~KB
+    regardless of row count, built in one map-side-combinable aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.kll_sketch_agg_double("value").alias("sk"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def value_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global p50/p95/p99 of `value` answered from MERGED per-day KLL
+    sketches -- the mergeable-summary pattern that makes quantiles over
+    arbitrary time ranges O(|days|) instead of a rescan of raw data.
+
+    At 100 TB the daily sketch table IS the stored artifact (a few KB per
+    day); any range query folds the covered days' sketches with the
+    binary kll_sketch_merge (KLL merge is lossless w.r.t. its error
+    bound: the merged sketch carries the SAME rank-error guarantee as one
+    built over the concatenated data -- unlike merged GK/percentile_approx
+    summaries, whose error degrades under merge). The fold runs over a
+    collect_list of sketch blobs: summary-sized by construction, never
+    row data."""
+    daily = kll_daily_value_sketches(spark, sf_dir)
+    merged = daily.agg(F.collect_list("sk").alias("sks")).select(
+        F.aggregate(
+            F.slice("sks", 2, 1 << 30),
+            F.element_at("sks", 1),
+            lambda acc, x: F.kll_sketch_merge_double(acc, x),
+        ).alias("sk"),
+    )
+    return merged.select(
+        F.kll_sketch_get_quantile_double("sk", F.lit(0.5)).alias("p50"),
+        F.kll_sketch_get_quantile_double("sk", F.lit(0.95)).alias("p95"),
+        F.kll_sketch_get_quantile_double("sk", F.lit(0.99)).alias("p99"),
+    )

@@ -478,6 +478,13 @@ register(
     None,
     doc="Greenwald-Khanna approx quantiles (rows-only; error bounded in tests)",
 )(sketches.approx_value_quantiles)
+register(
+    "sketch_quantile_rollup",
+    None,
+    doc="mergeable-summary rollup: global quantiles folded from per-day "
+    "KLL sketches (DataSketches; merge preserves the rank-error bound) -- "
+    "rows-only, error bounded in tests/test_sketches.py",
+)(sketches.value_quantile_rollup)
 
 # --------------------------------------------------------------------------
 # Event-time windows (streaming analog, batch-checked)

@@ -43,3 +43,26 @@ def test_quantiles_bracket_exact(spark, sf_dir):
             hi = vals[min(len(vals) - 1, int(len(vals) * (p + 0.02)))]
             assert lo <= got <= hi, (et, p, got, lo, hi)
         assert row["p50"] <= row["p95"] <= row["p99"]
+
+
+def test_kll_rollup_rank_error_bounded(spark, sf_dir):
+    """Quantiles from MERGED per-day KLL sketches must carry the same
+    rank-error guarantee as a single sketch over all the data (~1.65% at
+    the default k; 3% asserted)."""
+    from streamprocessing_with_kafka_spark.operators.sketches import (
+        value_quantile_rollup,
+    )
+
+    row = value_quantile_rollup(spark, sf_dir).collect()[0]
+    vals = sorted(
+        r["value"]
+        for r in load_table(spark, sf_dir, "events").select("value").collect()
+    )
+    n = len(vals)
+    for p, got in [(0.5, row["p50"]), (0.95, row["p95"]), (0.99, row["p99"])]:
+        # true rank of the estimate must sit within p +- 3%
+        import bisect
+
+        rank = bisect.bisect_right(vals, got) / n
+        assert abs(rank - p) <= 0.03, (p, got, rank)
+    assert row["p50"] <= row["p95"] <= row["p99"]
