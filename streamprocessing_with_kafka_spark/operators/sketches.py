@@ -83,3 +83,26 @@ def value_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.kll_sketch_get_quantile_double("sk", F.lit(0.95)).alias("p95"),
         F.kll_sketch_get_quantile_double("sk", F.lit(0.99)).alias("p99"),
     )
+
+
+def hll_daily_user_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(day, sk, n): per-day DataSketches HLL blobs of user_id -- the
+    distinct-count side of the mergeable-summary pattern."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def distinct_users_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global distinct users answered by UNIONING per-day HLL sketches
+    (hll_union_agg is a true aggregate -- no fold needed). The union
+    deduplicates users active on many days, which a sum of daily distinct
+    counts cannot do: summaries stay a few KB per day, and any time range
+    answers in O(|days|) without touching raw events."""
+    daily = hll_daily_user_sketches(spark, sf_dir)
+    return daily.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("distinct_users"),
+        F.sum("n").alias("n_events"),
+    )

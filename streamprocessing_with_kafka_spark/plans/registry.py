@@ -485,6 +485,13 @@ register(
     "KLL sketches (DataSketches; merge preserves the rank-error bound) -- "
     "rows-only, error bounded in tests/test_sketches.py",
 )(sketches.value_quantile_rollup)
+register(
+    "sketch_distinct_rollup",
+    None,
+    doc="mergeable-summary distinct rollup: per-day HLL sketches union-"
+    "aggregated at query time (dedupes users across days, unlike summing "
+    "daily distincts) -- rows-only, error bounded in tests",
+)(sketches.distinct_users_rollup)
 
 # --------------------------------------------------------------------------
 # Event-time windows (streaming analog, batch-checked)

@@ -66,3 +66,29 @@ def test_kll_rollup_rank_error_bounded(spark, sf_dir):
         rank = bisect.bisect_right(vals, got) / n
         assert abs(rank - p) <= 0.03, (p, got, rank)
     assert row["p50"] <= row["p95"] <= row["p99"]
+
+
+def test_hll_rollup_dedupes_across_days(spark, sf_dir):
+    """The unioned estimate must track global distinct users (5% bound)
+    and sit far BELOW the sum of daily distincts (the double-counting a
+    naive rollup would produce)."""
+    from streamprocessing_with_kafka_spark.operators.sketches import (
+        distinct_users_rollup,
+        hll_daily_user_sketches,
+    )
+
+    row = distinct_users_rollup(spark, sf_dir).collect()[0]
+    ev = load_table(spark, sf_dir, "events")
+    exact = ev.select(F.countDistinct("user_id")).collect()[0][0]
+    assert abs(row["distinct_users"] - exact) <= max(2, 0.05 * exact), (
+        row["distinct_users"],
+        exact,
+    )
+    daily_sum = (
+        ev.groupBy(F.to_date("ts"))
+        .agg(F.countDistinct("user_id").alias("d"))
+        .agg(F.sum("d"))
+        .collect()[0][0]
+    )
+    assert daily_sum > 1.5 * exact  # the fixture genuinely repeats users
+    assert row["distinct_users"] < 1.1 * exact < daily_sum
