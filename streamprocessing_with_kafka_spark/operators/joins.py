@@ -187,3 +187,56 @@ SELECT s_suppkey, s_name,
 FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
 GROUP BY s_suppkey, s_name
 """
+
+
+def full_outer_user_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of two per-(user, day) aggregates -- purchase
+    activity vs error activity. Either side can be missing for a given
+    user-day, so both null-extension directions are exercised; coalesced
+    zero counts make the gaps explicit.
+
+    Both inputs aggregate on the SAME (user_id, day) key, so they come out
+    of their groupBys hash-partitioned identically and the full-outer
+    sort-merge join adds no third exchange. A broadcast strategy is
+    impossible for full-outer (both sides must see unmatched rows), which
+    is why key co-partitioning is the lever that matters here."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).alias("day")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", day)
+        .agg(F.count(F.lit(1)).alias("n_purchases"), dec_sum("value").alias("purchase_value"))
+    )
+    errors = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id", day)
+        .agg(F.count(F.lit(1)).alias("n_errors"))
+    )
+    return purchases.join(errors, ["user_id", "day"], "full_outer").select(
+        "user_id",
+        "day",
+        F.coalesce("n_purchases", F.lit(0)).alias("n_purchases"),
+        F.coalesce("n_errors", F.lit(0)).alias("n_errors"),
+        "purchase_value",
+    )
+
+
+FULL_OUTER_USER_DAYS_SQL = f"""
+WITH purchases AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         COUNT(*) AS n_purchases, {dec_sum_sql('value')} AS purchase_value
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+),
+errors AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         COUNT(*) AS n_errors
+  FROM events WHERE event_type = 'error' GROUP BY 1, 2
+)
+SELECT COALESCE(p.user_id, e.user_id) AS user_id,
+       COALESCE(p.day, e.day) AS day,
+       COALESCE(n_purchases, 0) AS n_purchases,
+       COALESCE(n_errors, 0) AS n_errors,
+       purchase_value
+FROM purchases p FULL OUTER JOIN errors e
+  ON p.user_id = e.user_id AND p.day = e.day
+"""

@@ -526,3 +526,125 @@ SELECT doc_id, count(*) AS n_tokens,
 FROM toks JOIN vocab USING (term), tot
 GROUP BY doc_id
 """
+
+
+HH_PHI = 0.002  # heavy-hitter support: tokens covering >= 0.2% of the corpus
+
+
+def token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus heavy hitters (tokens with frequency >= HH_PHI * N) via
+    the classic two-phase candidates-then-recount plan.
+
+    Phase 1 finds CANDIDATES without shuffling the token tail: a
+    mapInPandas pass counts tokens per partition and emits only those with
+    local count >= ceil(T / P). By pigeonhole, any token with global count
+    >= T must clear that bar in at least one of the P partitions, so the
+    candidate set is a superset of the true heavy hitters -- no recall
+    loss, while the long tail (the overwhelming shuffle mass at 100 TB)
+    dies map-side. Phase 2 broadcast-semi-joins the tiny candidate set
+    against the token stream and recounts exactly, so false candidates are
+    filtered by the true global threshold.
+
+    The naive plan (groupBy(token) over every occurrence) shuffles
+    |distinct tokens| rows per map task; this one shuffles only
+    candidates. The oracle is the naive plan in DuckDB -- the two-phase
+    rewrite must be answer-invisible."""
+    import math
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(_tokens()).alias("token"))
+    total = d.select(F.sum(F.size(_tokens())).alias("n")).first()["n"]
+    threshold = max(1, math.ceil(HH_PHI * total))
+    nparts = max(1, toks.rdd.getNumPartitions())
+    local_t = max(1, math.ceil(threshold / nparts))
+
+    def candidates(batches):
+        import pandas as pd
+        from collections import Counter
+
+        counts: Counter = Counter()
+        for pdf in batches:
+            counts.update(pdf["token"])
+        yield pd.DataFrame(
+            {"token": [t for t, n in counts.items() if n >= local_t]}
+        )
+
+    cand = toks.mapInPandas(candidates, schema="token string").distinct()
+    return (
+        toks.join(F.broadcast(cand), "token")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= F.lit(threshold))
+    )
+
+
+TOKEN_HEAVY_HITTERS_SQL = f"""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+),
+thr AS (
+  SELECT GREATEST(1, CAST(ceil({HH_PHI} * COUNT(*)) AS BIGINT)) AS t FROM toks
+)
+SELECT token, COUNT(*) AS n
+FROM toks, thr
+GROUP BY token, thr.t
+HAVING COUNT(*) >= t
+"""
+
+
+PACK_CAPACITY = 512  # tokens per training sequence
+PACK_SHARDS = 8  # parallel packing streams
+
+
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk sequence packing for LLM training: documents are
+    laid end-to-end per shard (deterministic doc_id order) and each doc is
+    assigned the fixed-capacity training sequence its FIRST token falls in
+    (seq_id) plus its offset inside that sequence.
+
+    Sharding first (doc_id % PACK_SHARDS) is what makes this scale: the
+    running-offset window sorts within a shard, so packing parallelism is
+    the shard count and no global single-reducer sort exists. Raising
+    shards only changes which docs share a sequence, not the invariants
+    (offsets dense per shard, every sequence except a shard's last filled
+    to capacity)."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    docs = d.select(
+        "doc_id",
+        F.size(_tokens()).alias("n_tokens"),
+        (F.col("doc_id") % PACK_SHARDS).alias("shard"),
+    )
+    w = (
+        W.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return docs.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        start.alias("start_offset"),
+        F.floor(start / PACK_CAPACITY).alias("seq_id"),
+        (start % PACK_CAPACITY).alias("offset_in_seq"),
+    )
+
+
+PACK_SEQUENCES_SQL = f"""
+WITH docs AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+         doc_id % {PACK_SHARDS} AS shard
+  FROM documents
+),
+off AS (
+  SELECT *, COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset
+  FROM docs
+)
+SELECT doc_id, shard, n_tokens, start_offset,
+  CAST(floor(start_offset / {PACK_CAPACITY}) AS BIGINT) AS seq_id,
+  start_offset % {PACK_CAPACITY} AS offset_in_seq
+FROM off
+"""

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from streamprocessing_with_kafka_spark.functions.numeric import dec_sum, dec_sum_sql
+from streamprocessing_with_kafka_spark.functions.numeric import DEC, dec_sum, dec_sum_sql
 from streamprocessing_with_kafka_spark.sources.tables import load_table
 
 
@@ -470,4 +470,131 @@ FROM (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                ROWS BETWEEN {ZSCORE_LOOKBACK} PRECEDING AND 1 PRECEDING)
 )
+"""
+
+
+def user_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-arrival-time profile: gap statistics between
+    consecutive events of the same user.
+
+    Gaps are computed in integer microseconds (`unix_micros`) so the sums
+    are exact (the per-user sum telescopes to last-first, so no overflow),
+    and only converted to double seconds at the end with a fixed
+    division order both engines reproduce bit-for-bit.
+
+    Scale: the lag window hash-partitions on user_id; the groupBy that
+    follows keys on the same column, so the aggregate reuses the window's
+    partitioning -- one shuffle total, sized |users| out."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts is TIMESTAMP_NTZ; unix_micros needs TIMESTAMP. The session zone is
+    # pinned to UTC (session.py), and gaps are differences, so the cast's
+    # constant offset cancels in any case.
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gaps = (
+        ev.select("user_id", (us - F.lag(us).over(w)).alias("gap_us"))
+        .filter(F.col("gap_us").isNotNull())
+    )
+    n = F.count(F.lit(1))
+    return gaps.groupBy("user_id").agg(
+        n.alias("n_gaps"),
+        (F.sum("gap_us").cast("double") / n.cast("double") / F.lit(1000000.0)).alias(
+            "avg_gap_s"
+        ),
+        (F.min("gap_us").cast("double") / F.lit(1000000.0)).alias("min_gap_s"),
+        (F.max("gap_us").cast("double") / F.lit(1000000.0)).alias("max_gap_s"),
+    )
+
+
+USER_INTERARRIVAL_SQL = """
+WITH gaps AS (
+  SELECT user_id,
+    epoch_us(ts) - lag(epoch_us(ts))
+      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+  FROM events
+)
+SELECT user_id, COUNT(*) AS n_gaps,
+  CAST(SUM(gap_us) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1000000.0 AS avg_gap_s,
+  CAST(MIN(gap_us) AS DOUBLE) / 1000000.0 AS min_gap_s,
+  CAST(MAX(gap_us) AS DOUBLE) / 1000000.0 AS max_gap_s
+FROM gaps WHERE gap_us IS NOT NULL
+GROUP BY user_id
+"""
+
+
+def hourly_value_partials(ev: DataFrame) -> DataFrame:
+    """Hour-grain mergeable partials: (count, exact decimal sum) per
+    (hour, event_type). The decimal sum keeps the partial re-aggregable
+    without float-order drift -- the same contract the continuous
+    aggregate and the sketch rollups rely on."""
+    return ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast(DEC)).alias("value_dec"),
+    )
+
+
+def rollup_cascade_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-granularity rollup cascade: the DAILY rollup is computed
+    from the HOURLY partials, never rescanning raw events (the
+    hypertable / materialized-rollup cascade pattern).
+
+    Correctness hinges on mergeability: count-of-counts and
+    decimal-sum-of-decimal-sums are associative, so folding hour partials
+    into days gives bit-identical answers to a direct daily scan -- which
+    is exactly what the oracle computes. At 100 TB the hourly partials
+    are ~|hours|x|types| rows, so the day fold is dim-sized work."""
+    ev = load_table(spark, sf_dir, "events")
+    h = hourly_value_partials(ev)
+    return (
+        h.groupBy(F.date_trunc("day", F.col("hour")).alias("day"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_hours"),
+            F.sum("n_events").alias("n_events"),
+            F.sum("value_dec").cast("double").alias("total_value"),
+        )
+    )
+
+
+ROLLUP_CASCADE_DAILY_SQL = f"""
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+  COUNT(DISTINCT date_trunc('hour', ts)) AS n_hours,
+  COUNT(*) AS n_events,
+  {dec_sum_sql('value')} AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def props_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured shredding through Spark's VARIANT type: parse the
+    raw JSON props once (`try_parse_json` -- malformed input yields null,
+    never an exception), extract a typed path with `variant_get`, and
+    aggregate over the shredded column.
+
+    Versus get_json_object (props_metrics), VARIANT parses once into a
+    binary-encoded tree, so N path extractions cost one parse -- the right
+    ingestion shape when props grows real nesting. The decile bucketing
+    shows a typed derived column composing with a plain hash aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.try_variant_get(F.try_parse_json("props"), "$.k", "int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type", F.floor(F.col("k") / 10).alias("k_decile"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+        )
+    )
+
+
+PROPS_VARIANT_SHRED_SQL = """
+SELECT event_type,
+  CAST(floor(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) / 10)
+       AS BIGINT) AS k_decile,
+  COUNT(*) AS n_events,
+  CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k
+FROM events GROUP BY 1, 2
 """

@@ -21,6 +21,7 @@ from streamprocessing_with_kafka_spark.operators import (
     crud,
     decontaminate,
     dedup,
+    history,
     joins,
     multimodal,
     profile,
@@ -497,6 +498,13 @@ register(
 # Event-time windows (streaming analog, batch-checked)
 # --------------------------------------------------------------------------
 
+register(
+    "scd2_customer_priority",
+    history.CUSTOMER_PRIORITY_SCD2_SQL,
+    doc="SCD Type-2 dimension versioning: per-key change detection + "
+    "half-open validity intervals + is_current flag, one hash "
+    "partitioning carries both window passes",
+)(history.customer_priority_scd2)
 register("events_tumbling", windows.TUMBLING_EVENTS_SQL, bench=True, doc="fixed event-time windows (streaming twin: window() + watermark)")(
     windows.tumbling_events
 )
@@ -523,6 +531,20 @@ register(
     "trailing moments (one sort window, three aggregates, no Welford "
     "order-dependence)",
 )(windows.rolling_zscore)
+register(
+    "events_interarrival",
+    windows.USER_INTERARRIVAL_SQL,
+    doc="per-user inter-arrival gap profile: exact integer-microsecond "
+    "gaps from one lag window, aggregate reuses the window's user_id "
+    "partitioning (single shuffle)",
+)(windows.user_interarrival)
+register(
+    "events_rollup_cascade",
+    windows.ROLLUP_CASCADE_DAILY_SQL,
+    doc="multi-granularity rollup cascade: daily rollup folded from "
+    "hourly mergeable partials (count + exact decimal sum), never "
+    "rescanning raw events; oracle is the direct daily scan",
+)(windows.rollup_cascade_daily)
 register(
     "events_cohort_retention",
     windows.COHORT_RETENTION_SQL,
@@ -584,6 +606,14 @@ register(
     "an add-one-smoothed corpus LM; vocab broadcast, two shuffles, "
     "decimal-quantized logs for order-independent sums",
 )(text.unigram_logprob)
+register(
+    "text_heavy_hitters",
+    text.TOKEN_HEAVY_HITTERS_SQL,
+    doc="exact corpus heavy hitters via two-phase candidates-then-recount: "
+    "per-partition pigeonhole candidates (mapInPandas, no recall loss), "
+    "broadcast-semi recount -- the token tail never shuffles; oracle is "
+    "the naive full groupBy",
+)(text.token_heavy_hitters)
 register(
     "text_curation_pipeline",
     text.CURATION_PIPELINE_SQL,
@@ -665,6 +695,25 @@ register(
     joins.RANGE_JOIN_EVENTS_SQL,
     doc="interval-containment join via bucketed equi-join (oracle: inequality join)",
 )(joins.range_join_events)
+register(
+    "join_full_outer_user_days",
+    joins.FULL_OUTER_USER_DAYS_SQL,
+    doc="FULL OUTER join of two co-partitioned per-(user, day) aggregates: "
+    "both null-extension sides exercised, no third exchange",
+)(joins.full_outer_user_days)
+register(
+    "events_props_variant",
+    windows.PROPS_VARIANT_SHRED_SQL,
+    doc="VARIANT-typed semi-structured shredding: try_parse_json once, "
+    "typed variant_get path extraction, decile-bucketed aggregate",
+)(windows.props_variant_shred)
+register(
+    "text_pack_sequences",
+    text.PACK_SEQUENCES_SQL,
+    doc="concat-then-chunk LLM sequence packing: shard-parallel running "
+    "token offsets, fixed-capacity seq_id + in-sequence offset per doc "
+    "(no global sort -- parallelism = shard count)",
+)(text.pack_sequences)
 
 # --------------------------------------------------------------------------
 # Multimodal columns (binary payloads + Pandas-UDF decode plumbing)

@@ -225,3 +225,39 @@ def test_grouping_sets_single_expand_pass(spark, sf_dir):
     assert plan.count("Expand") == 1, plan
     assert _n_shuffles(plan) == 1, plan
     assert "Union" not in plan, plan
+
+
+def test_full_outer_join_reuses_aggregate_partitioning(spark, sf_dir):
+    """Both inputs aggregate on (user_id, day); the full-outer join must
+    ride those two exchanges without adding a third."""
+    from streamprocessing_with_kafka_spark.operators import joins
+
+    plan = _plan(spark, joins.full_outer_user_days(spark, sf_dir))
+    assert "FullOuter" in plan, plan
+    assert _n_shuffles(plan) == 2, plan
+
+
+def test_pack_sequences_single_shard_shuffle(spark, sf_dir):
+    """Sequence packing sorts within shards only: exactly one hash
+    exchange on the shard key, never a global (range) sort."""
+    plan = _plan(spark, text.pack_sequences(spark, sf_dir))
+    assert _n_shuffles(plan) == 1, plan
+    assert "Exchange range" not in plan, plan
+
+
+def test_scd2_single_partitioning_carries_both_windows(spark, sf_dir):
+    """Change-detection lag and interval lead/version windows share
+    PARTITION BY o_custkey: one exchange, the filter in between only
+    re-sorts."""
+    from streamprocessing_with_kafka_spark.operators import history
+
+    plan = _plan(spark, history.customer_priority_scd2(spark, sf_dir))
+    assert _n_shuffles(plan) == 1, plan
+
+
+def test_interarrival_aggregate_reuses_window_partitioning(spark, sf_dir):
+    """The user_id groupBy after the lag window must not re-shuffle."""
+    from streamprocessing_with_kafka_spark.operators import windows
+
+    plan = _plan(spark, windows.user_interarrival(spark, sf_dir))
+    assert _n_shuffles(plan) == 1, plan
