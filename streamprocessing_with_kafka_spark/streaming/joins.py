@@ -42,3 +42,25 @@ def join_orders_payments(
     ).select(
         "order_id", "order_ts", "total_price", "pay_ts", "amount"
     )
+
+
+def join_orders_payments_left_outer(
+    orders: DataFrame, payments: DataFrame, within: str = "1 hour"
+) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER join: matched (order, payment)
+    pairs emit as they meet; an UNPAID order emits null-extended only when
+    the watermark has passed order_ts + within -- i.e. when the state
+    store can PROVE no qualifying payment can still arrive. That proof is
+    the difference from batch outer joins: the null side is a deferred,
+    watermark-triggered emission, not an immediate one, which is why the
+    global watermark (min across both sources) must advance past the
+    join window before unmatched rows surface."""
+    o = orders.withWatermark("order_ts", within)
+    p = payments.withWatermark("pay_ts", within)
+    return o.join(
+        p,
+        (o.order_id == p.pay_order_id)
+        & (p.pay_ts >= o.order_ts)
+        & (p.pay_ts <= o.order_ts + F.expr(f"INTERVAL {within}")),
+        "left_outer",
+    ).select("order_id", "order_ts", "total_price", "pay_ts", "amount")
