@@ -35,12 +35,18 @@ def scd2_versions(
     same-timestamp observations deterministic. A version opens when the
     attribute differs from the previous observation's (or there is none),
     closes at the next version's valid_from (half-open interval), and the
-    open version is flagged is_current."""
+    open version is flagged is_current.
+
+    Change detection is NULL-safe: `eqNullSafe` treats NULL as a value, so
+    value -> NULL and NULL -> value transitions open versions, and a key
+    whose first observation is NULL still gets its opening version (flagged
+    by row_number, since NULL eqNullSafe NULL would otherwise swallow it)."""
     w = W.partitionBy(key).orderBy(ts, tiebreak)
     prev = F.lag(attr).over(w)
+    first = F.row_number().over(w) == 1
     changes = (
         obs.select(key, ts, tiebreak, attr)
-        .withColumn("chg", prev.isNull() | (prev != F.col(attr)))
+        .withColumn("chg", first | ~prev.eqNullSafe(F.col(attr)))
         .filter("chg")
     )
     wv = W.partitionBy(key).orderBy(ts, tiebreak)
@@ -67,8 +73,8 @@ def customer_priority_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
 CUSTOMER_PRIORITY_SCD2_SQL = """
 WITH flagged AS (
   SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority,
-    lag(o_orderpriority) OVER w IS NULL
-      OR lag(o_orderpriority) OVER w <> o_orderpriority AS chg
+    ROW_NUMBER() OVER w = 1
+      OR lag(o_orderpriority) OVER w IS DISTINCT FROM o_orderpriority AS chg
   FROM orders
   WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 )

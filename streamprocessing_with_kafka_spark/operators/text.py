@@ -532,49 +532,63 @@ HH_PHI = 0.002  # heavy-hitter support: tokens covering >= 0.2% of the corpus
 
 
 def token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact corpus heavy hitters (tokens with frequency >= HH_PHI * N) via
-    the classic two-phase candidates-then-recount plan.
+    """Exact corpus heavy hitters (tokens with frequency >= ceil(HH_PHI * N),
+    N = total token occurrences) via the classic two-phase
+    candidates-then-recount plan -- ONE Spark job, no driver-side scalars.
 
     Phase 1 finds CANDIDATES without shuffling the token tail: a
     mapInPandas pass counts tokens per partition and emits only those with
-    local count >= ceil(T / P). By pigeonhole, any token with global count
-    >= T must clear that bar in at least one of the P partitions, so the
-    candidate set is a superset of the true heavy hitters -- no recall
-    loss, while the long tail (the overwhelming shuffle mass at 100 TB)
-    dies map-side. Phase 2 broadcast-semi-joins the tiny candidate set
-    against the token stream and recounts exactly, so false candidates are
-    filtered by the true global threshold.
+    local count >= HH_PHI * (that partition's OWN token count). By
+    pigeonhole, any token with global count >= HH_PHI * N must clear that
+    LOCAL fraction in at least one partition (if it missed it everywhere,
+    summing the strict inequalities over partitions would contradict the
+    global bound), so the candidate set is a superset of the true heavy
+    hitters -- no recall loss, and, unlike a count-based local threshold
+    derived from an assumed partition count, the guarantee holds for
+    WHATEVER partitioning the Arrow execution path actually uses. The long
+    tail (the overwhelming shuffle mass at 100 TB) dies map-side.
+
+    Phase 2 broadcast-semi-joins the tiny candidate set against the token
+    stream and recounts exactly; the global threshold is applied IN-PLAN
+    from a broadcast 1-row total (count of exploded token rows -- the same
+    definition the oracle and the naive plan use, so NULL texts, which
+    explode to zero rows, cannot skew it). No collect()/first() anywhere:
+    the whole operator is a single declarative plan.
 
     The naive plan (groupBy(token) over every occurrence) shuffles
     |distinct tokens| rows per map task; this one shuffles only
     candidates. The oracle is the naive plan in DuckDB -- the two-phase
     rewrite must be answer-invisible."""
-    import math
-
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(F.explode(_tokens()).alias("token"))
-    total = d.select(F.sum(F.size(_tokens())).alias("n")).first()["n"]
-    threshold = max(1, math.ceil(HH_PHI * total))
-    nparts = max(1, toks.rdd.getNumPartitions())
-    local_t = max(1, math.ceil(threshold / nparts))
+    phi = HH_PHI
 
     def candidates(batches):
+        import math
+
         import pandas as pd
         from collections import Counter
 
         counts: Counter = Counter()
+        part_total = 0
         for pdf in batches:
+            part_total += len(pdf)
             counts.update(pdf["token"])
+        local_t = math.ceil(phi * part_total)
         yield pd.DataFrame(
             {"token": [t for t, n in counts.items() if n >= local_t]}
         )
 
     cand = toks.mapInPandas(candidates, schema="token string").distinct()
+    total = toks.agg(F.count(F.lit(1)).alias("_total"))
+    threshold = F.greatest(F.lit(1), F.ceil(phi * F.col("_total")))
     return (
         toks.join(F.broadcast(cand), "token")
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") >= F.lit(threshold))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("n") >= threshold)
+        .select("token", "n")
     )
 
 
@@ -643,8 +657,8 @@ off AS (
               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset
   FROM docs
 )
-SELECT doc_id, shard, n_tokens, start_offset,
+SELECT doc_id, shard, n_tokens, CAST(start_offset AS BIGINT) AS start_offset,
   CAST(floor(start_offset / {PACK_CAPACITY}) AS BIGINT) AS seq_id,
-  start_offset % {PACK_CAPACITY} AS offset_in_seq
+  CAST(start_offset % {PACK_CAPACITY} AS BIGINT) AS offset_in_seq
 FROM off
 """

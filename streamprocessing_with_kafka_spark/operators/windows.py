@@ -298,10 +298,11 @@ WITH per_user AS (
   FROM events GROUP BY user_id
 )
 SELECT COUNT(*) AS n_users,
-  count_if(t_view IS NOT NULL) AS n_view,
-  count_if(t_view IS NOT NULL AND t_click >= t_view) AS n_click_after_view,
-  count_if(t_view IS NOT NULL AND t_click >= t_view AND t_purchase >= t_click)
-    AS n_purchase_after_click
+  CAST(count_if(t_view IS NOT NULL) AS BIGINT) AS n_view,
+  CAST(count_if(t_view IS NOT NULL AND t_click >= t_view) AS BIGINT)
+    AS n_click_after_view,
+  CAST(count_if(t_view IS NOT NULL AND t_click >= t_view AND t_purchase >= t_click)
+    AS BIGINT) AS n_purchase_after_click
 FROM per_user
 """
 

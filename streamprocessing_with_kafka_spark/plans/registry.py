@@ -276,8 +276,294 @@ def crud_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return crud.merge_upsert(o, updates, "o_orderkey")
 
 
+
+# ==========================================================================
+# REGISTRATION ORDER IS A CONTRACT. The driver's correctness harness
+# hash-checks only the FIRST 50 registered queries per round, so the order
+# below is budgeted deliberately (VERDICT.md r1, "Next round #1"):
+#   positions  1-12  reference-parity pipeline + CRUD (SURVEY §2 contract)
+#   positions 13-49  the LLM-data-pipeline north star: dedup, similarity
+#                    search, text analysis, sampling, multimodal, temporal
+#   position  50     agg_priority_line_counts (re-proving the r1 hash fix)
+# Everything after position 50 is either already driver-green from r1 (the
+# TPC-H block) or rotates into the window in a later round.
+# ==========================================================================
+
 # --------------------------------------------------------------------------
-# Relational analytics (bench workload)
+# Deduplication (documents / embeddings) -- north star
+# --------------------------------------------------------------------------
+
+register("dedup_exact", dedup.DEDUP_EXACT_SQL, doc="exact dedup by canonical fingerprint, hash-groupBy, deterministic keeper")(dedup.dedup_exact)
+register("dedup_ngram_jaccard", dedup.NGRAM_JACCARD_SQL, bench=True, doc="exact Jaccard over 3-gram shingles, blocked on shared shingles (no cross join); production DF-cap knob unit-tested")(
+    dedup.ngram_jaccard_pairs
+)
+register("dedup_minhash_lsh", dedup.MINHASH_LSH_SQL, bench=True, doc="MinHash signatures (single-md5 hash family) + banded LSH candidates + exact verify")(dedup.minhash_lsh_pairs)
+register("dedup_simhash", dedup.SIMHASH_PAIRS_SQL, doc="60-bit SimHash with lossless pigeonhole banding (recall 1 vs brute force)")(dedup.simhash_pairs)
+register(
+    "dedup_embedding_cosine",
+    dedup.EMBEDDING_NEAR_DUP_SQL,
+    doc="embedding near-dup pairs via banded random-hyperplane LSH "
+    "candidates (equi-join on band key, never all-pairs) + exact cosine "
+    "verify; deterministic md5 planes make the candidate set "
+    "oracle-reproducible; recall vs brute force bounded in tests",
+)(dedup.embedding_near_dup)
+register(
+    "text_decontaminate",
+    decontaminate.DECONTAMINATE_SQL,
+    bench=True,
+    doc="benchmark decontamination: exact 5-gram collision vs a broadcast "
+    "eval-set n-gram dictionary; per-doc contamination fraction + flag",
+)(decontaminate.decontaminate)
+register(
+    "dedup_cluster_keepers",
+    dedup.DEDUP_CLUSTER_KEEPERS_SQL,
+    doc="connected components over the near-dup graph via iterative "
+    "min-label propagation (oracle: recursive-CTE reachability)",
+)(dedup.dedup_cluster_keepers)
+
+# --------------------------------------------------------------------------
+# Similarity search (embeddings) -- north star
+# --------------------------------------------------------------------------
+
+register("embedding_stats", similarity.EMBEDDING_STATS_SQL, doc="typed vector-column metadata: dim + L2 norm")(similarity.embedding_stats)
+register("ann_topk_bruteforce", similarity.ANN_TOPK_BRUTEFORCE_SQL, bench=True, doc="exact cosine top-k via broadcast probe (the recall baseline)")(
+    similarity.ann_topk_bruteforce
+)
+register("ann_topk_lsh", similarity.ANN_TOPK_LSH_SQL, doc="ANN via random-hyperplane LSH buckets + exact rerank")(similarity.ann_topk_lsh)
+register("ann_ivf_assignments", similarity.IVF_ASSIGNMENTS_SQL, doc="IVF nearest-centroid cell assignment (broadcast centroids)")(
+    similarity.ivf_assignments
+)
+register("ann_ivf_topk", similarity.IVF_TOPK_SQL, doc="IVF search: probe nearest cells, rerank candidates only")(similarity.ivf_topk)
+
+# --------------------------------------------------------------------------
+# Text analysis (documents) -- north star
+# --------------------------------------------------------------------------
+
+register("text_stats", text.TEXT_STATS_SQL, bench=True, doc="per-document surface statistics (chars/tokens/uniques)")(text.text_stats)
+register("text_token_count", text.TOKEN_COUNT_SQL, doc="whitespace + BPE-ish regex token counting")(text.token_count)
+register("text_lang_id", text.LANG_ID_SQL, doc="stopword-ratio language-ID heuristic")(text.lang_id)
+register("text_quality_score", text.QUALITY_SCORE_SQL, doc="composite length/punctuation/stopword quality score")(text.quality_score)
+register("text_fingerprint", text.FINGERPRINT_SQL, doc="canonical-text md5 fingerprint + content shard key")(text.fingerprint)
+register(
+    "text_pii_scrub",
+    text.PII_SCRUB_SQL,
+    doc="email/phone redaction with pre-redaction audit counts; pure "
+    "regexp, codegen'd, runs at scan speed",
+)(text.pii_scrub)
+register(
+    "text_chunk",
+    text.CHUNK_DOCUMENTS_SQL,
+    doc="fixed-token chunking with overlap (array slice + explode, no UDF)",
+)(text.chunk_documents)
+register(
+    "text_repetition",
+    text.REPETITION_SQL,
+    doc="Gopher-style dup-bigram / top-bigram repetition fractions, all "
+    "higher-order array functions, zero shuffle",
+)(text.repetition_metrics)
+register(
+    "text_term_df",
+    text.TERM_DF_SQL,
+    doc="corpus document-frequency + smoothed IDF (vocab-sized shuffle only)",
+)(text.term_df)
+register(
+    "text_unigram_logprob",
+    text.UNIGRAM_LOGPROB_SQL,
+    doc="perplexity-proxy quality signal: per-doc avg unigram NLL under "
+    "an add-one-smoothed corpus LM; vocab broadcast, two shuffles, "
+    "decimal-quantized logs for order-independent sums",
+)(text.unigram_logprob)
+register(
+    "text_heavy_hitters",
+    text.TOKEN_HEAVY_HITTERS_SQL,
+    doc="exact corpus heavy hitters via two-phase candidates-then-recount: "
+    "per-partition local-fraction pigeonhole candidates (mapInPandas, no "
+    "recall loss, partition-count-independent), broadcast-semi recount "
+    "with an in-plan global threshold -- ONE job, no driver scalars, the "
+    "token tail never shuffles; oracle is the naive full groupBy",
+)(text.token_heavy_hitters)
+register(
+    "text_curation_pipeline",
+    text.CURATION_PIPELINE_SQL,
+    bench=True,
+    doc="composed flagship curation: lang + quality + repetition gates, "
+    "PII scrub, exact-dedup keeper -- one scan, one shuffle",
+)(text.curation_pipeline)
+register(
+    "text_pack_sequences",
+    text.PACK_SEQUENCES_SQL,
+    doc="concat-then-chunk LLM sequence packing: shard-parallel running "
+    "token offsets, fixed-capacity seq_id + in-sequence offset per doc "
+    "(no global sort -- parallelism = shard count)",
+)(text.pack_sequences)
+
+# --------------------------------------------------------------------------
+# Deterministic sampling / data mixing (documents) -- north star
+# --------------------------------------------------------------------------
+
+register(
+    "sample_stratified",
+    sampling.STRATIFIED_SAMPLE_SQL,
+    doc="deterministic top-K per (lang, source) stratum by md5 rank; "
+    "retry-stable (no rand())",
+)(sampling.stratified_sample)
+register(
+    "sample_weighted_mix",
+    sampling.WEIGHTED_MIX_SQL,
+    doc="per-source keep-rate mixing via hash-fraction threshold; broadcast "
+    "rates dim, narrow-map filter",
+)(sampling.weighted_mix)
+
+# --------------------------------------------------------------------------
+# Multimodal columns (binary payloads + Pandas-UDF decode plumbing)
+# --------------------------------------------------------------------------
+
+register("mm_binary_meta", multimodal.MM_BINARY_META_SQL, doc="typed metadata over opaque binary payloads (no decode): size, content md5, shard key")(multimodal.mm_binary_meta)
+register(
+    "mm_decode",
+    multimodal.MM_DECODE_SQL,
+    doc="Arrow-batched mapInPandas decode: real pure-Python BMP/WAV "
+    "container parse where the payload is a genuine container, md5 stub "
+    "fallback otherwise (no codecs in the sandbox)",
+)(multimodal.mm_decode)
+register("mm_frame_sample", multimodal.MM_FRAME_SAMPLE_SQL, doc="per-frame fan-out for video rows: strided sample, content-addressed frames")(multimodal.mm_frame_sample)
+register(
+    "mm_feature_extract",
+    multimodal.MM_FEATURE_EXTRACT_SQL,
+    doc="binary -> array<float> featurization via Arrow-batched mapInPandas "
+    "(stub model; batch shape is the GPU-featurizer contract)",
+)(multimodal.mm_feature_extract)
+register(
+    "mm_ann_topk",
+    multimodal.MM_ANN_TOPK_SQL,
+    doc="composed multimodal similarity search: Arrow-batched feature "
+    "extraction -> modality-blocked cosine top-k (features plug straight "
+    "into the similarity operators)",
+)(multimodal.mm_ann_topk)
+register(
+    "mm_resize",
+    multimodal.MM_RESIZE_SQL,
+    doc="aspect-preserving resize dims JVM-side; only pixel work belongs "
+    "in the decode UDF",
+)(multimodal.mm_resize)
+
+# --------------------------------------------------------------------------
+# Temporal operators Spark lacks native syntax for + SCD2 + gap-fill
+# --------------------------------------------------------------------------
+
+register(
+    "scd2_customer_priority",
+    history.CUSTOMER_PRIORITY_SCD2_SQL,
+    doc="SCD Type-2 dimension versioning: per-key null-safe change "
+    "detection + half-open validity intervals + is_current flag, one "
+    "hash partitioning carries both window passes",
+)(history.customer_priority_scd2)
+register(
+    "join_asof_events",
+    joins.ASOF_JOIN_EVENTS_SQL,
+    bench=True,
+    doc="as-of join via single-shuffle running-last window (oracle: native ASOF JOIN)",
+)(joins.asof_join_events)
+register(
+    "join_range_events",
+    joins.RANGE_JOIN_EVENTS_SQL,
+    doc="interval-containment join via bucketed equi-join (oracle: inequality join)",
+)(joins.range_join_events)
+register(
+    "events_gapfill",
+    windows.GAPFILL_USER_HOURLY_SQL,
+    doc="hypertable-style gap-fill + LOCF: sequence()-generated dense "
+    "hourly spine per user, last-observation carried across gaps",
+)(windows.gapfill_user_hourly)
+
+# -- position 50: re-prove the r1 hash-mismatch fix (HUGEINT vs BIGINT) ----
+register(
+    "agg_priority_line_counts",
+    tpch_extra.PRIORITY_SHIPMENT_COUNTS_SQL,
+    doc="TPC-H Q12 shape (no l_shipmode: keyed on l_linestatus): join + "
+    "conditional high/low priority counts in one aggregate pass; oracle "
+    "SUMs cast to BIGINT so both engines hash identical result types",
+)(tpch_extra.priority_shipment_counts)
+
+# ==========================================================================
+# Past the driver's 50-query correctness window from here down.
+# ==========================================================================
+
+# --------------------------------------------------------------------------
+# Event-time windows (streaming analog, batch-checked)
+# --------------------------------------------------------------------------
+
+register("events_tumbling", windows.TUMBLING_EVENTS_SQL, bench=True, doc="fixed event-time windows (streaming twin: window() + watermark)")(
+    windows.tumbling_events
+)
+register("events_sliding", windows.SLIDING_EVENTS_SQL, doc="overlapping event-time windows via window(slideDuration)")(windows.sliding_events)
+register("events_session", windows.SESSION_EVENTS_SQL, bench=True, doc="gap-based session windows (session_window) per user")(windows.session_events)
+register("events_dedup", windows.DEDUP_EVENTS_SQL, doc="exact event dedup with deterministic keeper (streaming twin: dropDuplicatesWithinWatermark)")(windows.dedup_events)
+register("events_props_metrics", windows.PROPS_METRICS_SQL, doc="JSON props extraction (get_json_object) + aggregation")(windows.props_metrics)
+register(
+    "events_value_percentiles",
+    windows.VALUE_PERCENTILES_SQL,
+    doc="exact interpolated percentiles per event type (the recall "
+    "baseline for sketch_value_quantiles)",
+)(windows.value_percentiles)
+register(
+    "events_rolling_zscore",
+    windows.ROLLING_ZSCORE_SQL,
+    doc="rolling out-of-sample anomaly z-score per user from decimal-exact "
+    "trailing moments (one sort window, three aggregates, no Welford "
+    "order-dependence)",
+)(windows.rolling_zscore)
+register(
+    "events_interarrival",
+    windows.USER_INTERARRIVAL_SQL,
+    doc="per-user inter-arrival gap profile: exact integer-microsecond "
+    "gaps from one lag window, aggregate reuses the window's user_id "
+    "partitioning (single shuffle)",
+)(windows.user_interarrival)
+register(
+    "events_rollup_cascade",
+    windows.ROLLUP_CASCADE_DAILY_SQL,
+    doc="multi-granularity rollup cascade: daily rollup folded from "
+    "hourly mergeable partials (count + exact decimal sum), never "
+    "rescanning raw events; oracle is the direct daily scan",
+)(windows.rollup_cascade_daily)
+register(
+    "events_cohort_retention",
+    windows.COHORT_RETENTION_SQL,
+    doc="weekly first-seen cohorts x activity weeks; co-partitioned "
+    "user_id stages, tiny final rollup",
+)(windows.cohort_retention)
+register(
+    "events_funnel",
+    windows.FUNNEL_STEPS_SQL,
+    doc="ordered view->click->purchase funnel via conditional mins in one "
+    "single-shuffle aggregate (no self-joins)",
+)(windows.funnel_steps)
+register(
+    "events_pivot_activity",
+    windows.PIVOT_USER_ACTIVITY_SQL,
+    doc="pivot with declared values (no inference scan, pinned schema)",
+)(windows.pivot_user_activity)
+register(
+    "events_running_value",
+    windows.RUNNING_USER_VALUE_SQL,
+    doc="analytic windows: decimal-exact running sum + lag delta + row_number",
+)(windows.running_user_value)
+register(
+    "events_props_variant",
+    windows.PROPS_VARIANT_SHRED_SQL,
+    doc="VARIANT-typed semi-structured shredding: try_parse_json once, "
+    "typed variant_get path extraction, decile-bucketed aggregate",
+)(windows.props_variant_shred)
+register(
+    "join_full_outer_user_days",
+    joins.FULL_OUTER_USER_DAYS_SQL,
+    doc="FULL OUTER join of two co-partitioned per-(user, day) aggregates: "
+    "both null-extension sides exercised, no third exchange",
+)(joins.full_outer_user_days)
+
+# --------------------------------------------------------------------------
+# Relational analytics (bench workload; driver-green in CORRECTNESS_r01)
 # --------------------------------------------------------------------------
 
 register("agg_pricing_summary", analytics.PRICING_SUMMARY_SQL, bench=True, doc="TPC-H Q1-style pricing summary: filtered scan + map-side-combinable decimal aggregates")(
@@ -423,12 +709,6 @@ register(
     "part broadcast, (nation, year) profit rollup",
 )(tpch_extra.product_type_profit)
 register(
-    "agg_priority_line_counts",
-    tpch_extra.PRIORITY_SHIPMENT_COUNTS_SQL,
-    doc="TPC-H Q12 shape (no l_shipmode: keyed on l_linestatus): join + "
-    "conditional high/low priority counts in one aggregate pass",
-)(tpch_extra.priority_shipment_counts)
-register(
     "join_top_supplier",
     tpch_extra.TOP_SUPPLIER_SQL,
     doc="TPC-H Q15 shape: per-supplier revenue CTE + in-plan scalar max "
@@ -493,258 +773,6 @@ register(
     "aggregated at query time (dedupes users across days, unlike summing "
     "daily distincts) -- rows-only, error bounded in tests",
 )(sketches.distinct_users_rollup)
-
-# --------------------------------------------------------------------------
-# Event-time windows (streaming analog, batch-checked)
-# --------------------------------------------------------------------------
-
-register(
-    "scd2_customer_priority",
-    history.CUSTOMER_PRIORITY_SCD2_SQL,
-    doc="SCD Type-2 dimension versioning: per-key change detection + "
-    "half-open validity intervals + is_current flag, one hash "
-    "partitioning carries both window passes",
-)(history.customer_priority_scd2)
-register("events_tumbling", windows.TUMBLING_EVENTS_SQL, bench=True, doc="fixed event-time windows (streaming twin: window() + watermark)")(
-    windows.tumbling_events
-)
-register("events_sliding", windows.SLIDING_EVENTS_SQL, doc="overlapping event-time windows via window(slideDuration)")(windows.sliding_events)
-register("events_session", windows.SESSION_EVENTS_SQL, bench=True, doc="gap-based session windows (session_window) per user")(windows.session_events)
-register("events_dedup", windows.DEDUP_EVENTS_SQL, doc="exact event dedup with deterministic keeper (streaming twin: dropDuplicatesWithinWatermark)")(windows.dedup_events)
-register("events_props_metrics", windows.PROPS_METRICS_SQL, doc="JSON props extraction (get_json_object) + aggregation")(windows.props_metrics)
-register(
-    "events_gapfill",
-    windows.GAPFILL_USER_HOURLY_SQL,
-    doc="hypertable-style gap-fill + LOCF: sequence()-generated dense "
-    "hourly spine per user, last-observation carried across gaps",
-)(windows.gapfill_user_hourly)
-register(
-    "events_value_percentiles",
-    windows.VALUE_PERCENTILES_SQL,
-    doc="exact interpolated percentiles per event type (the recall "
-    "baseline for sketch_value_quantiles)",
-)(windows.value_percentiles)
-register(
-    "events_rolling_zscore",
-    windows.ROLLING_ZSCORE_SQL,
-    doc="rolling out-of-sample anomaly z-score per user from decimal-exact "
-    "trailing moments (one sort window, three aggregates, no Welford "
-    "order-dependence)",
-)(windows.rolling_zscore)
-register(
-    "events_interarrival",
-    windows.USER_INTERARRIVAL_SQL,
-    doc="per-user inter-arrival gap profile: exact integer-microsecond "
-    "gaps from one lag window, aggregate reuses the window's user_id "
-    "partitioning (single shuffle)",
-)(windows.user_interarrival)
-register(
-    "events_rollup_cascade",
-    windows.ROLLUP_CASCADE_DAILY_SQL,
-    doc="multi-granularity rollup cascade: daily rollup folded from "
-    "hourly mergeable partials (count + exact decimal sum), never "
-    "rescanning raw events; oracle is the direct daily scan",
-)(windows.rollup_cascade_daily)
-register(
-    "events_cohort_retention",
-    windows.COHORT_RETENTION_SQL,
-    doc="weekly first-seen cohorts x activity weeks; co-partitioned "
-    "user_id stages, tiny final rollup",
-)(windows.cohort_retention)
-register(
-    "events_funnel",
-    windows.FUNNEL_STEPS_SQL,
-    doc="ordered view->click->purchase funnel via conditional mins in one "
-    "single-shuffle aggregate (no self-joins)",
-)(windows.funnel_steps)
-register(
-    "events_pivot_activity",
-    windows.PIVOT_USER_ACTIVITY_SQL,
-    doc="pivot with declared values (no inference scan, pinned schema)",
-)(windows.pivot_user_activity)
-register(
-    "events_running_value",
-    windows.RUNNING_USER_VALUE_SQL,
-    doc="analytic windows: decimal-exact running sum + lag delta + row_number",
-)(windows.running_user_value)
-
-# --------------------------------------------------------------------------
-# Text analysis (documents)
-# --------------------------------------------------------------------------
-
-register("text_stats", text.TEXT_STATS_SQL, bench=True, doc="per-document surface statistics (chars/tokens/uniques)")(text.text_stats)
-register("text_token_count", text.TOKEN_COUNT_SQL, doc="whitespace + BPE-ish regex token counting")(text.token_count)
-register("text_lang_id", text.LANG_ID_SQL, doc="stopword-ratio language-ID heuristic")(text.lang_id)
-register("text_quality_score", text.QUALITY_SCORE_SQL, doc="composite length/punctuation/stopword quality score")(text.quality_score)
-register("text_fingerprint", text.FINGERPRINT_SQL, doc="canonical-text md5 fingerprint + content shard key")(text.fingerprint)
-register(
-    "text_pii_scrub",
-    text.PII_SCRUB_SQL,
-    doc="email/phone redaction with pre-redaction audit counts; pure "
-    "regexp, codegen'd, runs at scan speed",
-)(text.pii_scrub)
-register(
-    "text_chunk",
-    text.CHUNK_DOCUMENTS_SQL,
-    doc="fixed-token chunking with overlap (array slice + explode, no UDF)",
-)(text.chunk_documents)
-register(
-    "text_repetition",
-    text.REPETITION_SQL,
-    doc="Gopher-style dup-bigram / top-bigram repetition fractions, all "
-    "higher-order array functions, zero shuffle",
-)(text.repetition_metrics)
-register(
-    "text_term_df",
-    text.TERM_DF_SQL,
-    doc="corpus document-frequency + smoothed IDF (vocab-sized shuffle only)",
-)(text.term_df)
-register(
-    "text_unigram_logprob",
-    text.UNIGRAM_LOGPROB_SQL,
-    doc="perplexity-proxy quality signal: per-doc avg unigram NLL under "
-    "an add-one-smoothed corpus LM; vocab broadcast, two shuffles, "
-    "decimal-quantized logs for order-independent sums",
-)(text.unigram_logprob)
-register(
-    "text_heavy_hitters",
-    text.TOKEN_HEAVY_HITTERS_SQL,
-    doc="exact corpus heavy hitters via two-phase candidates-then-recount: "
-    "per-partition pigeonhole candidates (mapInPandas, no recall loss), "
-    "broadcast-semi recount -- the token tail never shuffles; oracle is "
-    "the naive full groupBy",
-)(text.token_heavy_hitters)
-register(
-    "text_curation_pipeline",
-    text.CURATION_PIPELINE_SQL,
-    bench=True,
-    doc="composed flagship curation: lang + quality + repetition gates, "
-    "PII scrub, exact-dedup keeper -- one scan, one shuffle",
-)(text.curation_pipeline)
-
-# --------------------------------------------------------------------------
-# Deterministic sampling / data mixing (documents)
-# --------------------------------------------------------------------------
-
-register(
-    "sample_stratified",
-    sampling.STRATIFIED_SAMPLE_SQL,
-    doc="deterministic top-K per (lang, source) stratum by md5 rank; "
-    "retry-stable (no rand())",
-)(sampling.stratified_sample)
-register(
-    "sample_weighted_mix",
-    sampling.WEIGHTED_MIX_SQL,
-    doc="per-source keep-rate mixing via hash-fraction threshold; broadcast "
-    "rates dim, narrow-map filter",
-)(sampling.weighted_mix)
-
-# --------------------------------------------------------------------------
-# Deduplication (documents / embeddings)
-# --------------------------------------------------------------------------
-
-register("dedup_exact", dedup.DEDUP_EXACT_SQL, doc="exact dedup by canonical fingerprint, hash-groupBy, deterministic keeper")(dedup.dedup_exact)
-register("dedup_ngram_jaccard", dedup.NGRAM_JACCARD_SQL, bench=True, doc="exact Jaccard over 3-gram shingles, blocked on shared shingles (no cross join)")(
-    dedup.ngram_jaccard_pairs
-)
-register("dedup_minhash_lsh", dedup.MINHASH_LSH_SQL, bench=True, doc="MinHash signatures (single-md5 hash family) + banded LSH candidates + exact verify")(dedup.minhash_lsh_pairs)
-register("dedup_simhash", dedup.SIMHASH_PAIRS_SQL, doc="60-bit SimHash with lossless pigeonhole banding (recall 1 vs brute force)")(dedup.simhash_pairs)
-register("dedup_embedding_cosine", dedup.EMBEDDING_NEAR_DUP_SQL, doc="embedding near-dup pairs by cosine threshold (exact baseline)")(
-    dedup.embedding_near_dup
-)
-register(
-    "text_decontaminate",
-    decontaminate.DECONTAMINATE_SQL,
-    bench=True,
-    doc="benchmark decontamination: exact 5-gram collision vs a broadcast "
-    "eval-set n-gram dictionary; per-doc contamination fraction + flag",
-)(decontaminate.decontaminate)
-register(
-    "dedup_cluster_keepers",
-    dedup.DEDUP_CLUSTER_KEEPERS_SQL,
-    doc="connected components over the near-dup graph via iterative "
-    "min-label propagation (oracle: recursive-CTE reachability)",
-)(dedup.dedup_cluster_keepers)
-
-# --------------------------------------------------------------------------
-# Similarity search (embeddings)
-# --------------------------------------------------------------------------
-
-register("embedding_stats", similarity.EMBEDDING_STATS_SQL, doc="typed vector-column metadata: dim + L2 norm")(similarity.embedding_stats)
-register("ann_topk_bruteforce", similarity.ANN_TOPK_BRUTEFORCE_SQL, bench=True, doc="exact cosine top-k via broadcast probe (the recall baseline)")(
-    similarity.ann_topk_bruteforce
-)
-register("ann_topk_lsh", similarity.ANN_TOPK_LSH_SQL, doc="ANN via random-hyperplane LSH buckets + exact rerank")(similarity.ann_topk_lsh)
-register("ann_ivf_assignments", similarity.IVF_ASSIGNMENTS_SQL, doc="IVF nearest-centroid cell assignment (broadcast centroids)")(
-    similarity.ivf_assignments
-)
-register("ann_ivf_topk", similarity.IVF_TOPK_SQL, doc="IVF search: probe nearest cells, rerank candidates only")(similarity.ivf_topk)
-
-# --------------------------------------------------------------------------
-# Temporal joins (as-of, range) -- operators Spark lacks native syntax for
-# --------------------------------------------------------------------------
-
-register(
-    "join_asof_events",
-    joins.ASOF_JOIN_EVENTS_SQL,
-    bench=True,
-    doc="as-of join via single-shuffle running-last window (oracle: native ASOF JOIN)",
-)(joins.asof_join_events)
-register(
-    "join_range_events",
-    joins.RANGE_JOIN_EVENTS_SQL,
-    doc="interval-containment join via bucketed equi-join (oracle: inequality join)",
-)(joins.range_join_events)
-register(
-    "join_full_outer_user_days",
-    joins.FULL_OUTER_USER_DAYS_SQL,
-    doc="FULL OUTER join of two co-partitioned per-(user, day) aggregates: "
-    "both null-extension sides exercised, no third exchange",
-)(joins.full_outer_user_days)
-register(
-    "events_props_variant",
-    windows.PROPS_VARIANT_SHRED_SQL,
-    doc="VARIANT-typed semi-structured shredding: try_parse_json once, "
-    "typed variant_get path extraction, decile-bucketed aggregate",
-)(windows.props_variant_shred)
-register(
-    "text_pack_sequences",
-    text.PACK_SEQUENCES_SQL,
-    doc="concat-then-chunk LLM sequence packing: shard-parallel running "
-    "token offsets, fixed-capacity seq_id + in-sequence offset per doc "
-    "(no global sort -- parallelism = shard count)",
-)(text.pack_sequences)
-
-# --------------------------------------------------------------------------
-# Multimodal columns (binary payloads + Pandas-UDF decode plumbing)
-# --------------------------------------------------------------------------
-
-register("mm_binary_meta", multimodal.MM_BINARY_META_SQL, doc="typed metadata over opaque binary payloads (no decode): size, content md5, shard key")(multimodal.mm_binary_meta)
-register(
-    "mm_decode",
-    multimodal.MM_DECODE_SQL,
-    doc="Arrow-batched mapInPandas decode (stub codec, real plumbing)",
-)(multimodal.mm_decode)
-register("mm_frame_sample", multimodal.MM_FRAME_SAMPLE_SQL, doc="per-frame fan-out for video rows: strided sample, content-addressed frames")(multimodal.mm_frame_sample)
-register(
-    "mm_feature_extract",
-    multimodal.MM_FEATURE_EXTRACT_SQL,
-    doc="binary -> array<float> featurization via Arrow-batched mapInPandas "
-    "(stub model; batch shape is the GPU-featurizer contract)",
-)(multimodal.mm_feature_extract)
-register(
-    "mm_ann_topk",
-    multimodal.MM_ANN_TOPK_SQL,
-    doc="composed multimodal similarity search: Arrow-batched feature "
-    "extraction -> modality-blocked cosine top-k (features plug straight "
-    "into the similarity operators)",
-)(multimodal.mm_ann_topk)
-register(
-    "mm_resize",
-    multimodal.MM_RESIZE_SQL,
-    doc="aspect-preserving resize dims JVM-side; only pixel work belongs "
-    "in the decode UDF",
-)(multimodal.mm_resize)
 
 # --------------------------------------------------------------------------
 # Generators + JSON sources (S3/S4/S5)

@@ -44,6 +44,13 @@ def _canon(v):
     return ("s", str(v))
 
 
+#: DuckDB result types with no lossless pandas/arrow representation.
+#: HUGEINT (int128) converts to float64 on the driver's dataframe path, so
+#: a value like 2643 hashes as 2643.0 -- the exact r1 `agg_priority_line_
+#: counts` failure. Oracles must CAST these away (usually AS BIGINT).
+_LOSSY_DUCK_TYPES = ("HUGEINT", "UHUGEINT")
+
+
 def compare(spark_df, con, sql: str, name: str = "?") -> list[str]:
     """Return list of mismatch descriptions; empty == pass."""
     errs = []
@@ -52,6 +59,12 @@ def compare(spark_df, con, sql: str, name: str = "?") -> list[str]:
 
     cur = con.sql(sql)
     d_cols = list(cur.columns)
+    for c, t in zip(cur.columns, cur.types):
+        if str(t).upper() in _LOSSY_DUCK_TYPES:
+            errs.append(
+                f"{name}: oracle column {c} is {t} (lossy under pandas "
+                f"conversion -- cast it, e.g. AS BIGINT)"
+            )
     if sorted(d_cols) != cols:
         errs.append(f"{name}: column mismatch spark={cols} duckdb={sorted(d_cols)}")
         return errs

@@ -6,7 +6,10 @@ from collections import defaultdict
 
 from pyspark.sql import functions as F
 
-from streamprocessing_with_kafka_spark.operators.history import customer_priority_scd2
+from streamprocessing_with_kafka_spark.operators.history import (
+    customer_priority_scd2,
+    scd2_versions,
+)
 from streamprocessing_with_kafka_spark.operators.text import (
     HH_PHI,
     _tokens,
@@ -58,6 +61,30 @@ def test_scd2_versions_match_observation_changes(spark, sf_dir):
     assert set(got) == set(seq)
     for key, versions in got.items():
         assert [p for _, p in sorted(versions)] == seq[key]
+
+
+def test_scd2_null_transitions_open_versions(spark):
+    """The generic fold is null-safe: value->NULL and NULL->value both open
+    versions, and a key whose FIRST observation is NULL still gets one."""
+    obs = spark.createDataFrame(
+        [
+            # key 1: A -> NULL -> NULL (fold) -> B
+            (1, 1, 1, "A"),
+            (1, 2, 2, None),
+            (1, 3, 3, None),
+            (1, 4, 4, "B"),
+            # key 2: starts NULL, then a value
+            (2, 1, 5, None),
+            (2, 2, 6, "C"),
+        ],
+        "k int, ts int, tb int, attr string",
+    )
+    out = scd2_versions(obs, key="k", attr="attr", ts="ts", tiebreak="tb")
+    by_key = defaultdict(list)
+    for r in sorted(out.collect(), key=lambda r: (r.k, r.version)):
+        by_key[r.k].append((r.version, r.attr, r.is_current))
+    assert by_key[1] == [(1, "A", False), (2, None, False), (3, "B", True)]
+    assert by_key[2] == [(1, None, False), (2, "C", True)]
 
 
 def test_heavy_hitters_match_naive_plan(spark, sf_dir):
