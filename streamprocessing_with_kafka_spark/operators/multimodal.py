@@ -2,13 +2,17 @@
 payloads with typed metadata, decoded via Arrow-batched Pandas UDFs
 (BASELINE.json north star).
 
-The container has no image/audio codecs, so `decode` is a STUB: a
-deterministic md5-derived fake standing in for a real decoder (clearly
-marked below). Everything around it is the real production shape --
-binary column, typed metadata schema, `mapInPandas` batch iteration,
-per-frame fan-out -- and because the fake is pure arithmetic on md5, even
-the Pandas-UDF path is DuckDB-oracle-checkable, which pins the Arrow
-round-trip (binary -> pandas bytes -> arrow) exactly.
+The decoder is REAL for the formats a codec-free container can parse:
+PIL when importable, else pure-Python BMP header parse (true pixel
+dimensions) and stdlib-`wave` WAV parse (sample rate / channels /
+frame count) -- exercised on genuine container bytes in
+tests/test_multimodal.py. Payloads that are not a recognized container
+(including the synthetic text-byte corpus below) fall back to a
+clearly-marked deterministic md5-derived STUB, which keeps the Pandas-UDF
+path DuckDB-oracle-checkable and pins the Arrow round-trip
+(binary -> pandas bytes -> arrow) exactly. Container sniffing validates
+the embedded size fields against the actual payload length, so text
+bytes can never be misparsed as an image.
 
 Scale notes: payloads stay opaque binary end to end (no base64 inflation,
 no driver collect); mapInPandas streams Arrow batches so peak memory is
@@ -78,12 +82,8 @@ _DECODE_SCHEMA = T.StructType(
 
 
 def _fake_decode(payload: bytes) -> tuple[int, int, int]:
-    """STUB decoder -- deterministic md5-derived dimensions.
-
-    A real deployment replaces this body with PIL/ffmpeg/soundfile calls
-    (raise NotImplementedError there if the codec is absent); the Spark
-    plumbing -- schema, batching, partitioning -- is unchanged.
-    """
+    """STUB decoder -- deterministic md5-derived dimensions, used only for
+    payloads that are not a recognized container (the synthetic corpus)."""
     h = hashlib.md5(payload).hexdigest()
     width = 64 + int(h[0:4], 16) % 960
     height = 64 + int(h[4:8], 16) % 540
@@ -91,14 +91,78 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int]:
     return width, height, n_frames
 
 
-def mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched decode: mapInPandas streams (doc_id, payload,
-    mm_type) batches through the (stub) decoder."""
-    c = mm_corpus(spark, sf_dir)
+def _parse_bmp(payload: bytes) -> tuple[int, int, int] | None:
+    """Pure-Python BMP header parse -> (width, height, 1), or None.
+
+    Sniff is strict: the magic AND the embedded file-size field must match
+    the actual payload length, so arbitrary text starting with 'BM' cannot
+    be misparsed."""
+    import struct
+
+    if len(payload) < 26 or payload[:2] != b"BM":
+        return None
+    (file_size,) = struct.unpack_from("<I", payload, 2)
+    if file_size != len(payload):
+        return None
+    (hdr_size,) = struct.unpack_from("<I", payload, 14)
+    if hdr_size >= 40:  # BITMAPINFOHEADER and successors: int32 dims
+        w, h = struct.unpack_from("<ii", payload, 18)
+        return abs(w), abs(h), 1  # negative height = top-down row order
+    if hdr_size == 12:  # BITMAPCOREHEADER: uint16 dims
+        w, h = struct.unpack_from("<HH", payload, 18)
+        return w, h, 1
+    return None
+
+
+def _parse_wav(payload: bytes) -> tuple[int, int, int] | None:
+    """Stdlib-`wave` RIFF/WAVE parse -> (sample_rate, n_channels,
+    n_frames), mapped onto the decode schema's (width, height, n_frames)
+    slots (documented typed-metadata convention for audio), or None."""
+    import io
+    import wave
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    try:
+        with wave.open(io.BytesIO(payload)) as w:
+            return w.getframerate(), w.getnchannels(), w.getnframes()
+    except Exception:
+        return None
+
+
+def _try_pil(payload: bytes) -> tuple[int, int, int] | None:
+    """PIL path when the library exists (absent in this container)."""
+    try:
+        from PIL import Image  # noqa: PLC0415
+    except Exception:
+        return None
+    import io
+
+    try:
+        with Image.open(io.BytesIO(payload)) as im:
+            return im.width, im.height, getattr(im, "n_frames", 1)
+    except Exception:
+        return None
+
+
+def _decode(payload: bytes) -> tuple[int, int, int]:
+    """Real-or-stub decode: genuine containers yield true metadata, other
+    payloads the deterministic stub. Priority: PIL (if importable) ->
+    BMP header -> WAV -> stub."""
+    for parser in (_try_pil, _parse_bmp, _parse_wav):
+        meta = parser(payload)
+        if meta is not None:
+            return meta
+    return _fake_decode(payload)
+
+
+def decode_frame(c: DataFrame) -> DataFrame:
+    """Arrow-batched decode over any (doc_id, payload, mm_type) frame:
+    mapInPandas streams batches through the real-or-stub decoder."""
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            meta = pdf["payload"].map(_fake_decode)
+            meta = pdf["payload"].map(_decode)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -110,6 +174,12 @@ def mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return c.mapInPandas(decode_batches, schema=_DECODE_SCHEMA)
+
+
+def mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode over the synthetic corpus (text payloads -> stub branch;
+    the real BMP/WAV branches are pinned in tests/test_multimodal.py)."""
+    return decode_frame(mm_corpus(spark, sf_dir))
 
 
 MM_DECODE_SQL = """

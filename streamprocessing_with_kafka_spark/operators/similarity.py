@@ -65,7 +65,9 @@ FROM embeddings
 
 
 def cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All pairwise cosines (a < b). Building block for near-dup dedup."""
+    """All pairwise cosines (a < b): O(N^2) brute force. NOT a scale path --
+    kept ONLY as the recall baseline for tests; production near-dup goes
+    through `embedding_near_dup_lsh` (banded candidates, equi-join)."""
     e = load_table(spark, sf_dir, "embeddings")
     a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"))
     b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"))
@@ -73,6 +75,116 @@ def cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, F.col("vec_a") < F.col("vec_b"))
         .select("vec_a", "vec_b", cosine(F.col("va"), F.col("vb")).alias("cosine"))
     )
+
+
+# ------------------------------- banded LSH near-dup (the scale path)
+
+N_DUP_BANDS = 8  # OR over bands: recall 1-(1-p^BITS)^BANDS
+DUP_BAND_BITS = 4  # buckets per band = 2^BITS; raise with corpus size
+
+
+def _band_key(v: Column, band: int) -> Column:
+    """Integer bucket key for one band: DUP_BAND_BITS hyperplane sign bits."""
+    key = F.lit(0).cast("long")
+    for j in range(DUP_BAND_BITS):
+        p = band * DUP_BAND_BITS + j
+        key = key + F.when(dot(v, _hyperplane(p)) >= 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return key
+
+
+def embedding_near_dup_lsh(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.4
+) -> DataFrame:
+    """Near-dup vector pairs (cosine >= threshold) via banded
+    random-hyperplane LSH -- the scale path that replaces the all-pairs
+    theta join.
+
+    Candidate generation is an EQUI-join on (band, band_key): two vectors
+    are candidates iff all DUP_BAND_BITS sign bits agree in at least one
+    of N_DUP_BANDS bands (P[candidate] = 1-(1-p^BITS)^BANDS with
+    p = 1 - theta/pi). Only candidates pay the exact cosine, and the
+    threshold filter runs on that exact value, so precision is 1; recall
+    (< 1, banding is probabilistic) is measured against the brute-force
+    baseline in tests/test_functions.py. The md5-derived planes make the
+    candidate set deterministic, so the DuckDB oracle reproduces it
+    EXACTLY -- the driver hash-checks this operator like any other.
+
+    Scale tuning: buckets per band = 2^DUP_BAND_BITS must grow with the
+    corpus (16 buckets suits the demo table; at 10^9 vectors use 16-20
+    bits and more bands to hold recall) -- the plan shape is unchanged."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding")
+    keys = e.select(
+        "vec_id",
+        "embedding",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"), _band_key(v, b).alias("band_key")
+                    )
+                    for b in range(N_DUP_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select(
+        "vec_id", "embedding", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
+    )
+    a, b = keys.alias("a"), keys.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.embedding").alias("va"),
+            F.col("b.embedding").alias("vb"),
+        )
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    return (
+        cand.select("vec_a", "vec_b", cosine(F.col("va"), F.col("vb")).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def _band_key_sql(vexpr: str, band: int) -> str:
+    bits = " + ".join(
+        f"(CASE WHEN list_dot_product({vexpr}, {_hyperplane_sql(band * DUP_BAND_BITS + j)}) >= 0 "
+        f"THEN {1 << j}::BIGINT ELSE 0 END)"
+        for j in range(DUP_BAND_BITS)
+    )
+    return f"({bits})"
+
+
+def embedding_near_dup_lsh_sql(threshold: float = 0.4) -> str:
+    keys_union = "\n  UNION ALL\n".join(
+        f"  SELECT vec_id, v, {b} AS band, {_band_key_sql('v', b)} AS band_key FROM e"
+        for b in range(N_DUP_BANDS)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+keys AS (
+{keys_union}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM keys a JOIN keys b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b,
+       round(list_dot_product(ea.v, eb.v)
+             / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))), 6) AS cosine
+FROM cand JOIN e ea ON vec_a = ea.vec_id JOIN e eb ON vec_b = eb.vec_id
+WHERE round(list_dot_product(ea.v, eb.v)
+            / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))), 6) >= {threshold}
+"""
 
 
 def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:

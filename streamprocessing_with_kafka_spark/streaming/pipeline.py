@@ -84,20 +84,24 @@ def kafka_order_stream(
 
 
 def kafka_split_sink(
-    routed: DataFrame, bootstrap: str, checkpoint: str
+    routed: DataFrame, bootstrap: str, checkpoint: str, available_now: bool = False
 ) -> StreamingQuery:
     """K1 + R1(c): one kafka writer serves both topics via the per-row
     `topic` column; producer opts mirror the reference's durability config
-    (acks=all, bounded in-flight -- order_validator.py:139-141)."""
+    (acks=all, bounded in-flight -- order_validator.py:139-141).
+    `available_now` drains the source then stops (ST5), for bounded
+    integration runs."""
     records = to_kafka_records(routed)
-    return (
+    writer = (
         records.writeStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap)
         .option("kafka.acks", "all")
         .option("kafka.max.in.flight.requests.per.connection", "1")
         .option("checkpointLocation", checkpoint)
-        .start()
     )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
 def start_file_pipeline(

@@ -1,0 +1,72 @@
+"""Dedup invariants the oracle hash cannot express: the hot-shingle
+DF-cap's subset/recall contract on a synthetic blowup fixture, and the
+SimHash pigeonhole banding's recall-1 guarantee vs brute force."""
+
+from pyspark.sql import functions as F
+
+from streamprocessing_with_kafka_spark.operators.dedup import (
+    HAMMING_MAX,
+    jaccard_pairs_from_shingles,
+    simhash_pairs,
+    simhash_signatures,
+)
+
+
+def _shingle_fixture(spark):
+    """4 docs: (1,2) true near-dups via 5 distinctive shared shingles;
+    (5,6) overlap ONLY on the hot boilerplate shingle 0 (df=4) -- the pair
+    class whose candidate count explodes quadratically with the hot
+    shingle's document frequency."""
+    rows = []
+    for doc in (1, 2):
+        for h in (0, 10, 11, 12, 13, 14):
+            rows.append((doc, h, 6))
+    for doc in (5, 6):
+        rows.append((doc, 0, 1))
+    return spark.createDataFrame(rows, "doc_id long, _h long, n long")
+
+
+def test_shingle_df_cap_is_subset_with_boilerplate_pairs_dropped(spark):
+    sh = _shingle_fixture(spark)
+    uncapped = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in jaccard_pairs_from_shingles(sh, threshold=0.7).collect()
+    }
+    capped = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in jaccard_pairs_from_shingles(sh, threshold=0.7, max_shingle_df=3).collect()
+    }
+    # uncapped finds both the true near-dup and the boilerplate-only pair
+    assert set(uncapped) == {(1, 2), (5, 6)}
+    # capped: subset, true near-dups survive, boilerplate-only pair gone
+    assert set(capped) == {(1, 2)}
+    # capped jaccard UNDERestimates (denominator keeps the uncapped n)
+    assert capped[(1, 2)] == round(5 / 7, 6) < uncapped[(1, 2)] == 1.0
+    # every capped jaccard is a lower bound of its uncapped value
+    for pair, j in capped.items():
+        assert j <= uncapped[pair]
+
+
+def test_simhash_banding_recall_is_one(spark, sf_dir):
+    """The blocked equi-join must find EXACTLY the pairs the O(N^2)
+    signature cross-pairing finds (pigeonhole: <= HAMMING_MAX flipped bits
+    cannot touch all HAMMING_MAX+1 blocks)."""
+    sig = simhash_signatures(spark, sf_dir)
+    a = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
+    b = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
+    brute = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= HAMMING_MAX)
+        .collect()
+    }
+    banded = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in simhash_pairs(spark, sf_dir).collect()
+    }
+    assert banded == brute

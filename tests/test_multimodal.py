@@ -1,0 +1,69 @@
+"""The multimodal decoder must return TRUE container metadata for real
+BMP and WAV bytes through the actual Spark mapInPandas operator, and the
+strict sniff must route non-container payloads (even adversarial ones
+starting with 'BM') to the deterministic stub."""
+
+import io
+import struct
+import wave
+
+from streamprocessing_with_kafka_spark.operators.multimodal import (
+    _fake_decode,
+    decode_frame,
+)
+
+
+def make_bmp(width: int, height: int) -> bytes:
+    """A genuine, viewer-openable 24bpp BMP (BITMAPINFOHEADER, bottom-up,
+    rows padded to 4 bytes)."""
+    row = width * 3
+    pad = (4 - row % 4) % 4
+    pixels = bytes([0x7F] * ((row + pad) * height))
+    dib = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pixels), 2835, 2835, 0, 0)
+    offset = 14 + len(dib)
+    header = b"BM" + struct.pack("<IHHI", offset + len(pixels), 0, 0, offset)
+    return header + dib + pixels
+
+
+def make_wav(sample_rate: int, n_channels: int, n_frames: int) -> bytes:
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(n_channels)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(b"\x00\x00" * n_channels * n_frames)
+    return buf.getvalue()
+
+
+def test_decode_returns_true_dimensions_for_real_containers(spark):
+    bmp = make_bmp(17, 9)
+    wav = make_wav(16000, 2, 321)
+    text = "just some text bytes".encode()
+    bm_text = b"BM but definitely not a bitmap"
+    corpus = spark.createDataFrame(
+        [
+            (1, bmp, "image"),
+            (2, wav, "audio"),
+            (3, text, "image"),
+            (4, bm_text, "image"),
+        ],
+        "doc_id long, payload binary, mm_type string",
+    )
+    got = {r.doc_id: (r.width, r.height, r.n_frames) for r in decode_frame(corpus).collect()}
+    assert got[1] == (17, 9, 1)  # true BMP pixel dimensions
+    assert got[2] == (16000, 2, 321)  # true WAV rate/channels/frames
+    # non-containers hit the deterministic stub -- including the 'BM'
+    # prefix trap, rejected because its size field mismatches
+    assert got[3] == _fake_decode(text)
+    assert got[4] == _fake_decode(bm_text)
+
+
+def test_bmp_edge_cases():
+    from streamprocessing_with_kafka_spark.operators.multimodal import _parse_bmp
+
+    # top-down BMP stores negative height; decoder must return |height|
+    bmp = bytearray(make_bmp(8, 4))
+    struct.pack_into("<i", bmp, 22, -4)
+    assert _parse_bmp(bytes(bmp)) == (8, 4, 1)
+    # truncated payload: size-field mismatch -> rejected
+    assert _parse_bmp(bytes(bmp)[:-1]) is None
