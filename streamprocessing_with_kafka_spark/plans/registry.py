@@ -21,6 +21,7 @@ from streamprocessing_with_kafka_spark.operators import (
     crud,
     decontaminate,
     dedup,
+    features,
     history,
     joins,
     multimodal,
@@ -561,6 +562,14 @@ register(
     doc="FULL OUTER join of two co-partitioned per-(user, day) aggregates: "
     "both null-extension sides exercised, no third exchange",
 )(joins.full_outer_user_days)
+register(
+    "text_hashed_tfidf",
+    features.HASHED_TFIDF_SQL,
+    doc="signed feature-hashing TF-IDF vectors (stateless featurizer, no "
+    "vocabulary table; two map-side-combinable shuffles; decimal-"
+    "quantized weight sums for order-independent floats) -- output is "
+    "the same typed array<float> the ANN operators consume",
+)(features.hashed_tfidf)
 
 # --------------------------------------------------------------------------
 # Relational analytics (bench workload; driver-green in CORRECTNESS_r01)

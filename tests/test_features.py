@@ -1,0 +1,27 @@
+"""Hashed TF-IDF invariants: fixed dimensionality, duplicate documents map
+to identical vectors (the property that makes hashed vectors usable by the
+embedding near-dup path), and the featurizer is vocabulary-stateless."""
+
+from pyspark.sql import functions as F
+
+from streamprocessing_with_kafka_spark.operators.features import (
+    HASH_DIM,
+    hashed_tfidf_frame,
+)
+from streamprocessing_with_kafka_spark.sources.tables import load_table
+
+
+def test_hashed_tfidf_dim_and_duplicate_invariance(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # plant an exact duplicate of doc 0 under a fresh doc_id
+    dup = d.filter(F.col("doc_id") == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+    )
+    vecs = {
+        r.doc_id: r.feature
+        for r in hashed_tfidf_frame(d.unionByName(dup)).collect()
+    }
+    assert vecs and all(len(v) == HASH_DIM for v in vecs.values())
+    assert vecs[10_000_000] == vecs[0]
+    # and distinct documents do differ somewhere (hashing is not collapsing)
+    assert any(vecs[i] != vecs[0] for i in vecs if i not in (0, 10_000_000))

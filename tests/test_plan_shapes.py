@@ -261,3 +261,21 @@ def test_interarrival_aggregate_reuses_window_partitioning(spark, sf_dir):
 
     plan = _plan(spark, windows.user_interarrival(spark, sf_dir))
     assert _n_shuffles(plan) == 1, plan
+
+
+def test_hashed_tfidf_one_doc_partitioning_carries_the_pipeline(spark, sf_dir):
+    """The up-front doc_id repartition must be the ONLY doc-side exchange:
+    term counts, slot sums, and vector assembly all group by a superset of
+    doc_id, so no (doc_id, term) or (doc_id, slot) reshuffles may appear;
+    the remaining exchanges are the vocab-sized DF aggregate and the 1-row
+    corpus count. AQE reuses the repartition under the DF branch at
+    runtime (asserted on the executed plan)."""
+    from streamprocessing_with_kafka_spark.operators import features
+
+    df = features.hashed_tfidf(spark, sf_dir)
+    plan = _plan(spark, df)
+    assert "hashpartitioning(doc_id" in plan, plan
+    assert not re.search(r"hashpartitioning\(doc_id[^)]+, (term|slot)", plan), plan
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in final, final
