@@ -626,3 +626,55 @@ def embedding_near_dup(
 
 
 EMBEDDING_NEAR_DUP_SQL = embedding_near_dup_lsh_sql(0.4)
+
+# --------------------------------- dedup-aware (leakage-safe) data split
+
+
+SPLIT_PCTS = (80, 10)  # train / val; remainder = test
+
+
+def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test assignment where a near-dup CLUSTER is the atomic
+    unit: every document is keyed by its cluster keeper (its own doc_id if
+    it has no near-dups), and the split is a deterministic md5 hash of the
+    KEEPER -- so two near-duplicate documents can never land in different
+    splits. Splitting by raw doc_id is the classic eval-leakage bug
+    (train/test near-dup contamination); this operator is the fix, and the
+    whole point of computing connected components in a curation pipeline.
+
+    Scale: one broadcast-ready |clustered-docs|-row join on top of the CC
+    labels (near-dup clusters are a small fraction of any real corpus);
+    the md5 bucket is a narrow map. The no-straddling invariant is
+    property-tested in tests/test_dedup.py."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    keepers = dedup_cluster_keepers(spark, sf_dir)
+    keyed = d.join(keepers, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("keeper_doc_id"), F.col("doc_id")).alias("split_key"),
+    )
+    bucket = md5_long(F.concat(F.lit("split|"), F.col("split_key").cast("string"))) % 100
+    train, val = SPLIT_PCTS
+    return keyed.select(
+        "doc_id",
+        "split_key",
+        F.when(bucket < train, "train")
+        .when(bucket < train + val, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+SPLIT_LEAKAGE_SAFE_SQL = f"""
+WITH keepers AS ({DEDUP_CLUSTER_KEEPERS_SQL}),
+keyed AS (
+  SELECT d.doc_id, COALESCE(k.keeper_doc_id, d.doc_id) AS split_key
+  FROM documents d LEFT JOIN keepers k ON d.doc_id = k.doc_id
+)
+SELECT doc_id, split_key,
+  CASE WHEN {md5_long_sql("'split|' || CAST(split_key AS VARCHAR)")} % 100 < {SPLIT_PCTS[0]}
+         THEN 'train'
+       WHEN {md5_long_sql("'split|' || CAST(split_key AS VARCHAR)")} % 100 < {SPLIT_PCTS[0] + SPLIT_PCTS[1]}
+         THEN 'val'
+       ELSE 'test' END AS split
+FROM keyed
+"""

@@ -113,3 +113,57 @@ SELECT doc_id,
             ORDER BY s) AS feature
 FROM dense GROUP BY doc_id
 """
+
+
+# ---------------------------------------- text similarity search (composed)
+
+TXT_TOP_K = 5
+TXT_N_QUERIES = 3  # doc_id < 3 are the probe documents
+
+
+def text_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity search over raw text with NO embedding model: hashed
+    TF-IDF vectors -> exact cosine top-k for the probe documents. The
+    composition proof that the stateless featurizer's array<float> output
+    plugs straight into the similarity operators (same plan shape as
+    ann_topk_bruteforce: broadcast probes, WindowGroupLimit partial
+    top-k); at corpus scale swap the scoring stage for the LSH/IVF
+    candidate paths -- the vector contract is identical."""
+    from pyspark.sql import Window as W
+
+    from streamprocessing_with_kafka_spark.operators.similarity import cosine
+
+    vecs = hashed_tfidf(spark, sf_dir)
+    q = vecs.filter(F.col("doc_id") < TXT_N_QUERIES).select(
+        F.col("doc_id").alias("q_id"), F.col("feature").alias("qv")
+    )
+    n = vecs.select(F.col("doc_id").alias("n_id"), F.col("feature").alias("nv"))
+    scored = (
+        F.broadcast(q)
+        .join(n, F.col("q_id") != F.col("n_id"))
+        .select("q_id", "n_id", cosine(F.col("qv"), F.col("nv")).alias("cosine"))
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TXT_TOP_K)
+        .select("q_id", "n_id", "cosine", "rank")
+    )
+
+
+TEXT_ANN_TOPK_SQL = f"""
+WITH vecs AS ({HASHED_TFIDF_SQL}),
+e AS (SELECT doc_id, CAST(feature AS DOUBLE[]) AS v FROM vecs),
+scored AS (
+  SELECT q.doc_id AS q_id, n.doc_id AS n_id,
+         round(list_dot_product(q.v, n.v)
+               / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(n.v, n.v))), 6) AS cosine
+  FROM e q JOIN e n ON q.doc_id < {TXT_N_QUERIES} AND q.doc_id <> n.doc_id
+)
+SELECT q_id, n_id, cosine, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                               ORDER BY cosine DESC, n_id ASC) AS rank
+  FROM scored
+)
+WHERE rank <= {TXT_TOP_K}
+"""

@@ -566,10 +566,25 @@ register(
     "text_hashed_tfidf",
     features.HASHED_TFIDF_SQL,
     doc="signed feature-hashing TF-IDF vectors (stateless featurizer, no "
-    "vocabulary table; two map-side-combinable shuffles; decimal-"
-    "quantized weight sums for order-independent floats) -- output is "
-    "the same typed array<float> the ANN operators consume",
+    "vocabulary table; one doc_id partitioning carries the pipeline; "
+    "decimal-quantized weight sums for order-independent floats) -- "
+    "output is the same typed array<float> the ANN operators consume",
 )(features.hashed_tfidf)
+register(
+    "text_ann_topk",
+    features.TEXT_ANN_TOPK_SQL,
+    doc="similarity search over raw text with no embedding model: hashed "
+    "TF-IDF -> exact cosine top-k (composition proof that the featurizer "
+    "output plugs into the ANN operators)",
+)(features.text_ann_topk)
+register(
+    "split_leakage_safe",
+    dedup.SPLIT_LEAKAGE_SAFE_SQL,
+    doc="dedup-aware train/val/test split: near-dup CLUSTER is the atomic "
+    "unit (split by md5 of the cluster keeper), so near-duplicates can "
+    "never straddle splits -- the eval-leakage guard; no-straddling "
+    "property-tested",
+)(dedup.split_leakage_safe)
 
 # --------------------------------------------------------------------------
 # Relational analytics (bench workload; driver-green in CORRECTNESS_r01)

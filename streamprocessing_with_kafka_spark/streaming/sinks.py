@@ -6,10 +6,17 @@ the same state, upgrading Spark's at-least-once foreachBatch delivery to
 effective exactly-once -- strictly stronger than the reference's
 commit-after-write consumer loop (order_validator.py:356-361).
 
-The local stand-in for the PK table is a keyed parquet snapshot
-(read-merge-overwrite per batch). On a cluster the same `merge_fn` drives
-Delta `MERGE INTO` or JDBC `INSERT ... ON CONFLICT`; only `_load`/`_save`
-change.
+Two interchangeable foreachBatch bodies:
+  - `parquet_upsert_sink`: keyed parquet snapshot (read-merge-overwrite),
+    the default local stand-in; on a cluster the same merge drives Delta
+    `MERGE INTO`.
+  - `dbapi_upsert_sink`: the REAL SQL-database path -- per-partition
+    DBAPI connections executing `INSERT ... ON CONFLICT (pk) DO UPDATE`
+    upserts and null-payload `DELETE`s (the Connect JDBC sink's contract,
+    docs/kafka-connector-configurations.md:94-116), with auto-DDL from
+    the DataFrame schema (K3). Engine-agnostic: tests drive it against
+    DuckDB (same ON CONFLICT dialect); point `conn_factory` at
+    psycopg2/pg8000 with `placeholder='%s'` for live Postgres.
 """
 
 from __future__ import annotations
@@ -45,5 +52,115 @@ def parquet_upsert_sink(spark: SparkSession, state_dir: str, key: str):
         out.write.mode("overwrite").parquet(tmp)
         final = spark.read.parquet(tmp)
         final.write.mode("overwrite").parquet(data_path)
+
+    return write_batch
+
+
+# ------------------------------------------------------- DBAPI (JDBC-shape)
+
+#: Spark SQL -> ANSI DDL type map for auto-DDL (K3). Conservative subset:
+#: the order-stream columns only need these.
+_DDL_TYPES = {
+    "string": "VARCHAR",
+    "double": "DOUBLE PRECISION",
+    "float": "REAL",
+    "bigint": "BIGINT",
+    "int": "INTEGER",
+    "boolean": "BOOLEAN",
+    "timestamp": "TIMESTAMP",
+    "timestamp_ntz": "TIMESTAMP",
+    "date": "DATE",
+}
+
+
+def create_table_sql(table: str, schema, key: str) -> str:
+    """K3 auto-DDL: CREATE TABLE IF NOT EXISTS from a Spark schema, PK on
+    the upsert key (the Connect sink's auto.create / pk.mode=record_key,
+    docs/kafka-connector-configurations.md:97-109)."""
+    cols = ", ".join(
+        f"{f.name} {_DDL_TYPES[f.dataType.simpleString()]}"
+        + (" PRIMARY KEY" if f.name == key else "")
+        for f in schema.fields
+    )
+    return f"CREATE TABLE IF NOT EXISTS {table} ({cols})"
+
+
+def upsert_sql(table: str, cols: list[str], key: str, placeholder: str = "?") -> str:
+    """INSERT ... ON CONFLICT (pk) DO UPDATE SET: the idempotent per-row
+    upsert both DuckDB and Postgres execute natively."""
+    sets = ", ".join(f"{c} = excluded.{c}" for c in cols if c != key)
+    ph = ", ".join([placeholder] * len(cols))
+    return (
+        f"INSERT INTO {table} ({', '.join(cols)}) VALUES ({ph}) "
+        f"ON CONFLICT ({key}) DO UPDATE SET {sets}"
+    )
+
+
+def delete_sql(table: str, key: str, placeholder: str = "?") -> str:
+    """Null-payload tombstone -> PK DELETE (delete.enabled=true)."""
+    return f"DELETE FROM {table} WHERE {key} = {placeholder}"
+
+
+def dbapi_upsert_sink(
+    conn_factory,
+    table: str,
+    key: str,
+    tombstone_col: str = "total_price",
+    placeholder: str = "?",
+):
+    """foreachBatch fn writing a PK-upserted SQL table over any DBAPI
+    driver. Rows whose `tombstone_col` IS NULL are deletes; everything
+    else upserts. Replay-idempotent by construction (ON CONFLICT upserts
+    and PK deletes are absorbing), so at-least-once foreachBatch delivery
+    converges to exactly-once table state.
+
+    Scale notes: connections open PER PARTITION on the executors (the
+    standard Spark JDBC-sink topology -- the driver never sees the rows);
+    rows batch through executemany, one commit per partition. Partition
+    count = writer concurrency: coalesce to the database's write headroom
+    before handing the stream here.
+    """
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        cols = [f.name for f in batch.schema.fields]
+        ddl = create_table_sql(table, batch.schema, key)
+        ins = upsert_sql(table, cols, key, placeholder)
+        dele = delete_sql(table, key, placeholder)
+        ki = cols.index(key)
+        ti = cols.index(tombstone_col)
+
+        # ensure the table exists ONCE per batch, driver-side (executors
+        # may race CREATE IF NOT EXISTS on engines that lock DDL)
+        conn = conn_factory()
+        try:
+            conn.execute(ddl)
+            try:
+                conn.commit()
+            except Exception:
+                pass  # autocommit engines (duckdb) have no commit()
+        finally:
+            conn.close()
+
+        def write_partition(rows) -> None:
+            ups, dels = [], []
+            for r in rows:
+                t = tuple(r)
+                (dels if t[ti] is None else ups).append(t)
+            if not ups and not dels:
+                return
+            c = conn_factory()
+            try:
+                if ups:
+                    c.executemany(ins, ups)
+                if dels:
+                    c.executemany(dele, [(t[ki],) for t in dels])
+                try:
+                    c.commit()
+                except Exception:
+                    pass
+            finally:
+                c.close()
+
+        batch.foreachPartition(write_partition)
 
     return write_batch

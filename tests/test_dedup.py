@@ -7,8 +7,10 @@ from pyspark.sql import functions as F
 from streamprocessing_with_kafka_spark.operators.dedup import (
     HAMMING_MAX,
     jaccard_pairs_from_shingles,
+    minhash_lsh_pairs,
     simhash_pairs,
     simhash_signatures,
+    split_leakage_safe,
 )
 
 
@@ -70,3 +72,20 @@ def test_simhash_banding_recall_is_one(spark, sf_dir):
         for r in simhash_pairs(spark, sf_dir).collect()
     }
     assert banded == brute
+
+
+def test_leakage_safe_split_never_straddles_near_dup_pairs(spark, sf_dir):
+    """THE invariant: any two documents connected by a near-dup edge must
+    land in the same split (they share a cluster keeper, and the split is
+    a function of the keeper alone). Also: all docs assigned, exactly
+    once, to a valid split."""
+    splits = split_leakage_safe(spark, sf_dir)
+    rows = splits.collect()
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert len(rows) == n_docs
+    assert {r.split for r in rows} <= {"train", "val", "test"}
+    by_doc = {r.doc_id: r.split for r in rows}
+    pairs = minhash_lsh_pairs(spark, sf_dir, 0.7).collect()
+    assert pairs, "fixture has no near-dup pairs"
+    for p in pairs:
+        assert by_doc[p.doc_a] == by_doc[p.doc_b], (p.doc_a, p.doc_b)
