@@ -139,7 +139,15 @@ _SHINGLES_SQL = word_ngrams_sql(SHINGLE_N, alias="shingle")
 #: SAME cached DataFrame instead of re-persisting an identical plan, which
 #: both recomputes the explode and spams "Asked to cache already cached
 #: data" warnings from the racing persist requests.
+#:
+#: Bounded: oldest entries are unpersisted + evicted past _SHINGLE_CACHE_MAX
+#: so a long-lived session touching many sf_dirs cannot grow executor
+#: storage without bound. Staleness caveat: the cache assumes the parquet
+#: under sf_dir is immutable for the life of the session (true for the
+#: read-only testdata); a pipeline rewriting its input in place should
+#: call _SHINGLE_CACHE.clear() or use a fresh directory.
 _SHINGLE_CACHE: dict[tuple[str, str], DataFrame] = {}
+_SHINGLE_CACHE_MAX = 4
 
 
 def _shingles_with_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -177,6 +185,12 @@ def _shingles_with_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     sh.count()  # materialize ONCE before dependent branches race
+    while len(_SHINGLE_CACHE) >= _SHINGLE_CACHE_MAX:
+        oldest = next(iter(_SHINGLE_CACHE))  # dicts iterate in insert order
+        try:
+            _SHINGLE_CACHE.pop(oldest).unpersist()
+        except Exception:
+            pass  # session of the evicted frame may already be stopped
     _SHINGLE_CACHE[key] = sh
     return sh
 

@@ -119,9 +119,16 @@ def _parse_wav(payload: bytes) -> tuple[int, int, int] | None:
     n_frames), mapped onto the decode schema's (width, height, n_frames)
     slots (documented typed-metadata convention for audio), or None."""
     import io
+    import struct
     import wave
 
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    # strict sniff parity with _parse_bmp: the RIFF chunk size must match
+    # the actual payload (chunk size excludes the 8-byte RIFF header), so
+    # arbitrary bytes starting with RIFF...WAVE cannot reach the decoder
+    (riff_size,) = struct.unpack_from("<I", payload, 4)
+    if riff_size != len(payload) - 8:
         return None
     try:
         with wave.open(io.BytesIO(payload)) as w:

@@ -107,7 +107,7 @@ def embedding_near_dup_lsh(
     p = 1 - theta/pi). Only candidates pay the exact cosine, and the
     threshold filter runs on that exact value, so precision is 1; recall
     (< 1, banding is probabilistic) is measured against the brute-force
-    baseline in tests/test_functions.py. The md5-derived planes make the
+    baseline in tests/test_similarity.py. The md5-derived planes make the
     candidate set deterministic, so the DuckDB oracle reproduces it
     EXACTLY -- the driver hash-checks this operator like any other.
 

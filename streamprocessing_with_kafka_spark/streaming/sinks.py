@@ -129,35 +129,46 @@ def dbapi_upsert_sink(
         ki = cols.index(key)
         ti = cols.index(tombstone_col)
 
+        def _commit(conn) -> None:
+            try:
+                conn.commit()
+            except Exception:
+                pass  # autocommit engines
+
         # ensure the table exists ONCE per batch, driver-side (executors
         # may race CREATE IF NOT EXISTS on engines that lock DDL)
         conn = conn_factory()
         try:
-            conn.execute(ddl)
-            try:
-                conn.commit()
-            except Exception:
-                pass  # autocommit engines (duckdb) have no commit()
+            # PEP 249 puts execute on CURSORS, not connections (psycopg2/
+            # pg8000 connections have no .execute; duckdb/sqlite3 offer it
+            # only as an extension) -- always go through cursor()
+            conn.cursor().execute(ddl)
+            _commit(conn)
         finally:
             conn.close()
 
         def write_partition(rows) -> None:
-            ups, dels = [], []
+            # collapse to the LAST record per key in arrival order FIRST:
+            # keys are then disjoint across the upsert/delete statements,
+            # so statement batching cannot reorder a key's own history
+            # (delete-then-recreate within one batch must end recreated,
+            # as the record-at-a-time Connect sink would leave it)
+            last: dict = {}
             for r in rows:
                 t = tuple(r)
-                (dels if t[ti] is None else ups).append(t)
-            if not ups and not dels:
+                last[t[ki]] = t
+            if not last:
                 return
+            ups = [t for t in last.values() if t[ti] is not None]
+            dels = [(t[ki],) for t in last.values() if t[ti] is None]
             c = conn_factory()
             try:
+                cur = c.cursor()
                 if ups:
-                    c.executemany(ins, ups)
+                    cur.executemany(ins, ups)
                 if dels:
-                    c.executemany(dele, [(t[ki],) for t in dels])
-                try:
-                    c.commit()
-                except Exception:
-                    pass
+                    cur.executemany(dele, dels)
+                _commit(c)
             finally:
                 c.close()
 

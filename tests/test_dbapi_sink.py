@@ -61,6 +61,30 @@ def test_dbapi_sink_upsert_tombstone_replay(spark, db):
     assert _rows(db) == {"o1": 800.0}
 
 
+def test_dbapi_sink_intra_batch_order_last_record_wins(spark, db):
+    """Per-key arrival order within a batch must decide the final state
+    (the record-at-a-time Connect sink contract): delete-then-recreate
+    ends recreated, upsert-then-delete ends deleted -- statement batching
+    may not reorder a key's own history."""
+    sink = dbapi_upsert_sink(lambda: duckdb.connect(db), "enriched_orders", "order_id")
+    batch = spark.createDataFrame(
+        [
+            # o3: upsert -> tombstone -> recreate  => must survive at 99.0
+            ("o3", "a", 1.0, 1.0, "2025-11-09", 1.0),
+            ("o3", None, None, None, None, None),
+            ("o3", "a", 9.0, 11.0, "2025-11-09", 99.0),
+            # o4: upsert -> tombstone              => must be deleted
+            ("o4", "b", 1.0, 2.0, "2025-11-09", 2.0),
+            ("o4", None, None, None, None, None),
+        ],
+        SCHEMA,
+    ).coalesce(1)
+    sink(batch, 0)
+    assert _rows(db) == {"o3": 99.0}
+    sink(batch, 0)  # replay converges
+    assert _rows(db) == {"o3": 99.0}
+
+
 def test_auto_ddl_declares_pk_and_types(spark):
     df = spark.createDataFrame([], SCHEMA)
     ddl = create_table_sql("t", df.schema, "order_id")

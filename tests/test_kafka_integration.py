@@ -87,7 +87,7 @@ def test_orders_roundtrip_through_live_broker(spark, tmp_path):
     q = kafka_split_sink(
         routed, BOOTSTRAP, str(tmp_path / "ckpt"), available_now=True
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "sink did not drain within 120s"
 
     def read_topic(topic):
         return (
