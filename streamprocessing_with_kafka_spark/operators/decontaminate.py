@@ -90,3 +90,67 @@ SELECT doc_id, n_ngrams, n_hits,
   (n_hits / CAST(n_ngrams AS DOUBLE)) >= {CONTAM_FRAC} AS is_contaminated
 FROM scored
 """
+
+CONTAIN_FRAC = 0.3  # attribute when >= 30% of the eval doc's n-grams leak
+
+
+def decontaminate_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination ATTRIBUTION: which eval document leaked into which
+    training document, scored by containment -- shared distinct n-grams
+    over the EVAL doc's n-gram count (the denominator that measures how
+    much of the benchmark item is reproduced, regardless of how much
+    unrelated text surrounds it; the flag decontaminate() computes cannot
+    answer 'which benchmark item, and how completely').
+
+    Plan shape: eval-side n-grams stay doc-tagged and BROADCAST (the eval
+    corpus is a sliver by definition, same argument as decontaminate);
+    the training corpus joins the broadcast on the 60-bit gram hash --
+    narrow, no corpus shuffle -- then ONE aggregate per (train, eval)
+    pair counts shared grams; per-eval-doc totals ride a second tiny
+    broadcast for the containment denominator."""
+    from streamprocessing_with_kafka_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = word_ngram_rows(docs, NGRAM_N).select(
+        "doc_id", md5_long(F.col("gram")).alias("gh")
+    )
+    ev = grams.filter(F.col("doc_id") % EVAL_MOD == 0).select(
+        F.col("doc_id").alias("eval_doc_id"), "gh"
+    )
+    evn = ev.groupBy("eval_doc_id").agg(F.count(F.lit(1)).alias("eval_ngrams"))
+    train = grams.filter(F.col("doc_id") % EVAL_MOD != 0)
+    contain = F.col("shared_ngrams") / F.col("eval_ngrams").cast("double")
+    return (
+        train.join(F.broadcast(ev), "gh")
+        .groupBy("doc_id", "eval_doc_id")
+        .agg(F.count(F.lit(1)).alias("shared_ngrams"))
+        .join(F.broadcast(evn), "eval_doc_id")
+        .select(
+            "doc_id",
+            "eval_doc_id",
+            "shared_ngrams",
+            "eval_ngrams",
+            F.round(contain, 6).alias("containment"),
+        )
+        .filter(F.col("containment") >= CONTAIN_FRAC)
+    )
+
+
+DECONTAMINATE_ATTRIBUTION_SQL = f"""
+WITH grams AS (
+  SELECT doc_id, {md5_long_sql('gram')} AS gh
+  FROM ({word_ngrams_sql(NGRAM_N)})
+),
+ev AS (SELECT doc_id AS eval_doc_id, gh FROM grams WHERE doc_id % {EVAL_MOD} = 0),
+evn AS (SELECT eval_doc_id, COUNT(*) AS eval_ngrams FROM ev GROUP BY 1),
+pairs AS (
+  SELECT t.doc_id, ev.eval_doc_id, COUNT(*) AS shared_ngrams
+  FROM grams t JOIN ev USING (gh)
+  WHERE t.doc_id % {EVAL_MOD} <> 0
+  GROUP BY 1, 2
+)
+SELECT doc_id, eval_doc_id, shared_ngrams, eval_ngrams,
+  {round_sql('shared_ngrams / CAST(eval_ngrams AS DOUBLE)', 6)} AS containment
+FROM pairs JOIN evn USING (eval_doc_id)
+WHERE shared_ngrams / CAST(eval_ngrams AS DOUBLE) >= {CONTAIN_FRAC}
+"""

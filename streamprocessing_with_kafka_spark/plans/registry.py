@@ -578,6 +578,14 @@ register(
     "output plugs into the ANN operators)",
 )(features.text_ann_topk)
 register(
+    "text_decontaminate_attribution",
+    decontaminate.DECONTAMINATE_ATTRIBUTION_SQL,
+    doc="contamination attribution: which eval doc leaked into which "
+    "training doc, scored by containment (shared 5-grams / eval doc's "
+    "5-grams); eval side doc-tagged + broadcast, corpus never shuffles "
+    "against it",
+)(decontaminate.decontaminate_attribution)
+register(
     "split_leakage_safe",
     dedup.SPLIT_LEAKAGE_SAFE_SQL,
     doc="dedup-aware train/val/test split: near-dup CLUSTER is the atomic "

@@ -175,3 +175,21 @@ def test_decontaminate_counts_known_overlaps(spark):
     assert not rows[9].is_contaminated
     assert (rows[10].n_ngrams, rows[10].n_hits) == (3, 3)
     assert rows[10].contamination_frac == 1.0 and rows[10].is_contaminated
+
+
+def test_attribution_consistent_with_flag(spark, sf_dir):
+    """Every attributed (train, eval) pair implies the train doc has hits
+    in the flag-level scorer, and containment is a valid (0, 1] fraction
+    of the eval doc's gram count."""
+    from streamprocessing_with_kafka_spark.operators.decontaminate import (
+        decontaminate,
+        decontaminate_attribution,
+    )
+
+    attr = decontaminate_attribution(spark, sf_dir).collect()
+    assert attr, "probe showed attributed pairs exist in the fixture"
+    hits = {r.doc_id: r.n_hits for r in decontaminate(spark, sf_dir).collect()}
+    for r in attr:
+        assert 0 < r.containment <= 1.0
+        assert 0 < r.shared_ngrams <= r.eval_ngrams
+        assert hits.get(r.doc_id, 0) >= r.shared_ngrams
