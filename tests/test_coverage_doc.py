@@ -38,3 +38,29 @@ def test_documented_queries_exist():
     }
     ghost = [g for g in ghost if g not in known_helpers]
     assert not ghost, f"COVERAGE.md references unknown queries: {ghost}"
+
+
+def test_driver_correctness_window_contains_north_star_families():
+    """The driver hash-checks only the FIRST 50 registered queries
+    (VERDICT r1); the registration order in plans/registry.py budgets that
+    window deliberately. Pin it so a refactor cannot silently evict the
+    LLM-pipeline surface from driver verification again."""
+    window = list(registry())[:50]
+    assert window[0] == "flagship_pipeline"
+    assert window[-1] == "agg_priority_line_counts"  # re-proving the r1 fix
+    families = ("dedup_", "ann_", "text_", "sample_", "mm_")
+    for fam in families:
+        regd = {n for n in registry() if n.startswith(fam)}
+        inside = {n for n in window if n.startswith(fam)}
+        # every family must be SUBSTANTIALLY inside; queries added after
+        # the window was budgeted (post-50 registrations) are exempt
+        assert len(inside) >= min(len(regd), 5) and inside, (fam, inside)
+    for name in (
+        "scd2_customer_priority",
+        "join_asof_events",
+        "join_range_events",
+        "events_gapfill",
+        "dedup_embedding_cosine",
+        "text_heavy_hitters",
+    ):
+        assert name in window, name
