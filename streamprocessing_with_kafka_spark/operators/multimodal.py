@@ -254,6 +254,32 @@ SELECT doc_id,
 FROM documents
 """
 
+
+def mm_feature_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable projection of mm_feature_extract: the vector
+    posexploded to one (doc_id, mm_type, dim, value) row per component.
+
+    The raw `array<float>` output is the composition contract (mm_ann_topk
+    consumes it directly) but the driver's pandas canonicalizer cannot
+    sort list cells (r2: `TypeError: unhashable type: 'list'`), so the
+    REGISTERED query exposes the identical values in scalar columns --
+    every float is hash-checked individually, a strictly stronger check
+    than hashing the arrays."""
+    return mm_feature_extract(spark, sf_dir).select(
+        "doc_id", "mm_type", F.posexplode("feature").alias("dim", "value")
+    )
+
+
+MM_FEATURE_ROWS_SQL = f"""
+SELECT d.doc_id,
+  (['image', 'audio', 'video'])[d.doc_id % 3 + 1] AS mm_type,
+  CAST(i.range AS INTEGER) AS dim,
+  CAST(round(CAST(('0x' || substr(md5(d.text) || md5(d.text || '|f'),
+                                  4 * i.range + 1, 4)) AS INTEGER) / 65535.0,
+             6) AS FLOAT) AS value
+FROM documents d CROSS JOIN range(0, {EMB_DIM}) i
+"""
+
 TARGET_BOX = 224
 
 

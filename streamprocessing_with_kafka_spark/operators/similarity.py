@@ -247,49 +247,64 @@ def _hyperplane_sql(p: int) -> str:
     )
 
 
-def lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, bucket): 16-bit signature of hyperplane-side bits."""
+N_ANN_BANDS = N_PLANES // DUP_BAND_BITS  # 4 bands x 4 bits over planes 0..15
+
+
+def ann_bucket_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, embedding, band, band_key): one row per band, key =
+    DUP_BAND_BITS hyperplane sign bits -- the same banding scheme as the
+    near-dup path (candidates collide on ANY band, OR semantics)."""
     e = load_table(spark, sf_dir, "embeddings")
     v = F.col("embedding")
-    bucket = None
-    for p in range(N_PLANES):
-        bit = F.when(dot(v, _hyperplane(p)) >= 0, F.lit(1 << p).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        bucket = bit if bucket is None else bucket + bit
-    return e.select("vec_id", "label", bucket.alias("bucket"))
-
-
-def _lsh_buckets_sql() -> str:
-    bits = " + ".join(
-        f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), {_hyperplane_sql(p)}) >= 0 "
-        f"THEN {1 << p}::BIGINT ELSE 0 END)"
-        for p in range(N_PLANES)
+    return e.select(
+        "vec_id",
+        "embedding",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), _band_key(v, b).alias("band_key"))
+                    for b in range(N_ANN_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select(
+        "vec_id", "embedding", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
     )
-    return f"SELECT vec_id, label, {bits} AS bucket FROM embeddings"
-
-
-LSH_BUCKETS_SQL = _lsh_buckets_sql()
 
 
 def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN via LSH: candidates share the query's bucket; exact rerank
-    inside. Sub-linear candidate generation (equi-join on bucket);
-    recall < 1 by construction -- compare against ann_topk_bruteforce."""
-    e = load_table(spark, sf_dir, "embeddings")
-    buckets = lsh_buckets(spark, sf_dir).select("vec_id", "bucket")
-    withb = e.join(buckets, "vec_id")
-    q = withb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv"), F.col("bucket").alias("qb")
+    """ANN via banded random-hyperplane LSH: a neighbor is a candidate iff
+    it agrees with the query on all DUP_BAND_BITS sign bits in at least
+    one of N_ANN_BANDS bands; only candidates pay the exact cosine rerank.
+
+    r2's version put all 16 bits in ONE bucket -- at small corpus sizes no
+    two vectors share a 2^16 bucket, so the candidate join was empty and
+    the driver row vacuously green. Banding (OR over 4-bit bands, the
+    exact scheme `embedding_near_dup_lsh` uses) makes P[candidate] =
+    1-(1-p^4)^4 with p = 1 - theta/pi: near neighbors collide with high
+    probability at every corpus size, and recall vs the brute-force
+    baseline is pinned in tests/test_similarity.py.
+
+    Scale: candidate generation is an equi-join on (band, band_key);
+    per-band bucket count 2^DUP_BAND_BITS grows with the corpus (more
+    bits/bands at 10^9 vectors), plan shape unchanged. Expected candidates
+    per query ~ BANDS * N / 2^BITS -- sub-linear rerank the moment bucket
+    granularity outpaces the corpus."""
+    keys = ann_bucket_keys(spark, sf_dir)
+    q = keys.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv"), "band", "band_key"
     )
-    n = withb.select(
-        F.col("vec_id").alias("n_id"), F.col("embedding").alias("nv"), F.col("bucket").alias("nb")
+    n = keys.select(
+        F.col("vec_id").alias("n_id"), F.col("embedding").alias("nv"), "band", "band_key"
     )
-    scored = (
+    cand = (
         F.broadcast(q)
-        .join(n, (F.col("qb") == F.col("nb")) & (F.col("q_id") != F.col("n_id")))
-        .select("q_id", "n_id", cosine(F.col("qv"), F.col("nv")).alias("cosine"))
+        .join(n, ["band", "band_key"])
+        .filter(F.col("q_id") != F.col("n_id"))
+        .select("q_id", "qv", "n_id", "nv")
+        .dropDuplicates(["q_id", "n_id"])
     )
+    scored = cand.select("q_id", "n_id", cosine(F.col("qv"), F.col("nv")).alias("cosine"))
     w = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -298,16 +313,27 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ANN_TOPK_LSH_SQL = f"""
-WITH b AS ({LSH_BUCKETS_SQL}),
-e AS (SELECT e0.vec_id, CAST(e0.embedding AS DOUBLE[]) AS v, b.bucket
-      FROM embeddings e0 JOIN b USING (vec_id)),
+def _ann_topk_lsh_sql() -> str:
+    keys_union = "\n  UNION ALL\n".join(
+        f"  SELECT vec_id, v, {b} AS band, {_band_key_sql('v', b)} AS band_key FROM e"
+        for b in range(N_ANN_BANDS)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+keys AS (
+{keys_union}
+),
+cand AS (
+  SELECT DISTINCT q.vec_id AS q_id, n.vec_id AS n_id
+  FROM keys q JOIN keys n
+    ON q.band = n.band AND q.band_key = n.band_key
+  WHERE q.vec_id < {N_QUERIES} AND q.vec_id <> n.vec_id
+),
 scored AS (
-  SELECT q.vec_id AS q_id, n.vec_id AS n_id,
-         round(list_dot_product(q.v, n.v)
-               / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(n.v, n.v))), 6) AS cosine
-  FROM e q JOIN e n ON q.vec_id < {N_QUERIES} AND q.bucket = n.bucket
-                   AND q.vec_id <> n.vec_id
+  SELECT q_id, n_id,
+         round(list_dot_product(eq.v, en.v)
+               / (sqrt(list_dot_product(eq.v, eq.v)) * sqrt(list_dot_product(en.v, en.v))), 6) AS cosine
+  FROM cand JOIN e eq ON q_id = eq.vec_id JOIN e en ON n_id = en.vec_id
 )
 SELECT q_id, n_id, cosine, rank FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
@@ -316,6 +342,9 @@ SELECT q_id, n_id, cosine, rank FROM (
 )
 WHERE rank <= {TOP_K}
 """
+
+
+ANN_TOPK_LSH_SQL = _ann_topk_lsh_sql()
 
 # ----------------------------------------------------------------- IVF
 

@@ -430,10 +430,12 @@ register(
 register("mm_frame_sample", multimodal.MM_FRAME_SAMPLE_SQL, doc="per-frame fan-out for video rows: strided sample, content-addressed frames")(multimodal.mm_frame_sample)
 register(
     "mm_feature_extract",
-    multimodal.MM_FEATURE_EXTRACT_SQL,
+    multimodal.MM_FEATURE_ROWS_SQL,
     doc="binary -> array<float> featurization via Arrow-batched mapInPandas "
-    "(stub model; batch shape is the GPU-featurizer contract)",
-)(multimodal.mm_feature_extract)
+    "(stub model; batch shape is the GPU-featurizer contract); registered "
+    "as the posexploded (doc_id, mm_type, dim, value) projection so the "
+    "driver can canonicalize it (r2's one red row was the raw array shape)",
+)(multimodal.mm_feature_rows)
 register(
     "mm_ann_topk",
     multimodal.MM_ANN_TOPK_SQL,
