@@ -31,6 +31,8 @@ Scale design (the part that matters at 100 TB):
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from streamprocessing_with_kafka_spark.functions.hashing import (
@@ -148,6 +150,11 @@ _SHINGLES_SQL = word_ngrams_sql(SHINGLE_N, alias="shingle")
 #: call _SHINGLE_CACHE.clear() or use a fresh directory.
 _SHINGLE_CACHE: dict[tuple[str, str], DataFrame] = {}
 _SHINGLE_CACHE_MAX = 4
+#: guards get/insert/evict -- concurrent queries in one session would
+#: otherwise double-persist the same plan or unpersist a frame another
+#: thread is mid-query on (results stay correct via recompute, but the
+#: re-persist warnings the cache exists to prevent come back)
+_SHINGLE_CACHE_LOCK = threading.Lock()
 
 
 def _shingles_with_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -175,24 +182,29 @@ def _shingles_with_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     key = (spark.sparkContext.applicationId, sf_dir)
-    cached = _SHINGLE_CACHE.get(key)
-    if cached is not None:
-        return cached
-    sh = (
-        _shingles(spark, sf_dir)
-        .select("doc_id", md5_long(F.col("shingle")).alias("_h"))
-        .withColumn("n", F.count(F.lit(1)).over(W.partitionBy("doc_id")))
-        .persist()
-    )
-    sh.count()  # materialize ONCE before dependent branches race
-    while len(_SHINGLE_CACHE) >= _SHINGLE_CACHE_MAX:
-        oldest = next(iter(_SHINGLE_CACHE))  # dicts iterate in insert order
-        try:
-            _SHINGLE_CACHE.pop(oldest).unpersist()
-        except Exception:
-            pass  # session of the evicted frame may already be stopped
-    _SHINGLE_CACHE[key] = sh
-    return sh
+    # the whole check-build-materialize-insert sequence holds the lock:
+    # materializing under it serializes first-touch per (session, sf_dir)
+    # but guarantees concurrent queries share ONE persisted frame instead
+    # of racing persist/unpersist on identical plans
+    with _SHINGLE_CACHE_LOCK:
+        cached = _SHINGLE_CACHE.get(key)
+        if cached is not None:
+            return cached
+        sh = (
+            _shingles(spark, sf_dir)
+            .select("doc_id", md5_long(F.col("shingle")).alias("_h"))
+            .withColumn("n", F.count(F.lit(1)).over(W.partitionBy("doc_id")))
+            .persist()
+        )
+        sh.count()  # materialize ONCE before dependent branches race
+        while len(_SHINGLE_CACHE) >= _SHINGLE_CACHE_MAX:
+            oldest = next(iter(_SHINGLE_CACHE))  # dicts iterate in insert order
+            try:
+                _SHINGLE_CACHE.pop(oldest).unpersist()
+            except Exception:
+                pass  # session of the evicted frame may already be stopped
+        _SHINGLE_CACHE[key] = sh
+        return sh
 
 
 def jaccard_pairs_from_shingles(

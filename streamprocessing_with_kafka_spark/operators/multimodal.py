@@ -137,16 +137,24 @@ def _parse_wav(payload: bytes) -> tuple[int, int, int] | None:
         return None
 
 
+# Probe PIL ONCE per interpreter: failed imports are not cached by Python,
+# so a per-payload `from PIL import Image` would pay a full sys.path scan
+# on every row when PIL is absent (executors import this module when the
+# UDF unpickles, so the probe runs once per worker process, not per batch).
+try:
+    from PIL import Image as _PIL_IMAGE  # noqa: N812
+except Exception:
+    _PIL_IMAGE = None
+
+
 def _try_pil(payload: bytes) -> tuple[int, int, int] | None:
     """PIL path when the library exists (absent in this container)."""
-    try:
-        from PIL import Image  # noqa: PLC0415
-    except Exception:
+    if _PIL_IMAGE is None:
         return None
     import io
 
     try:
-        with Image.open(io.BytesIO(payload)) as im:
+        with _PIL_IMAGE.open(io.BytesIO(payload)) as im:
             return im.width, im.height, getattr(im, "n_frames", 1)
     except Exception:
         return None

@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from streamprocessing_with_kafka_spark.functions.hashing import md5_long
+from streamprocessing_with_kafka_spark.operators.text import _tokens
 
 N_SHARDS = 8
 CAPACITY = 4096  # tracked tokens per shard; error bound = shard_total/CAPACITY
@@ -81,7 +82,10 @@ def streaming_heavy_hitters(docs: DataFrame, capacity: int = CAPACITY) -> DataFr
     list since-evicted tokens): a token is a candidate heavy hitter when
     sum(est_count) >= phi * sum(shard totals) -- overestimates admit
     false positives, never false negatives."""
-    toks = docs.select(F.explode(F.split("text", " ")).alias("token")).withColumn(
+    # the batch operator's tokenizer, not a local re-implementation: the
+    # streaming/batch convergence contract is definitional, so a tokenizer
+    # change in operators/text.py must flow through here automatically
+    toks = docs.select(F.explode(_tokens()).alias("token")).withColumn(
         "shard", (md5_long(F.col("token")) % N_SHARDS).cast("int")
     )
     return toks.groupBy("shard").applyInPandasWithState(

@@ -172,6 +172,13 @@ def dbapi_upsert_sink(
             finally:
                 c.close()
 
-        batch.foreachPartition(write_partition)
+        # co-locate each key's full history in ONE partition first: the
+        # per-partition last-write collapse is only correct if no key
+        # straddles partitions -- after upstream transforms shuffle the
+        # batch, the same key can land in two partitions that then commit
+        # in nondeterministic order. One narrow-batch hash exchange buys a
+        # deterministic final state per key.
+        n_parts = max(batch.rdd.getNumPartitions(), 1)
+        batch.repartition(n_parts, F.col(key)).foreachPartition(write_partition)
 
     return write_batch
