@@ -284,6 +284,44 @@ JOIN counts cb ON doc_b = cb.doc_id
 WHERE round(inter / CAST(ca.n + cb.n - inter AS DOUBLE), 6) >= 0.8
 """
 
+#: demo-scale hot-shingle cap for the REGISTERED capped query. Binds at
+#: the test scales (drops the df>4 shingles the planted dup clusters
+#: share) so the driver row proves the capped semantics, not a no-op; a
+#: production corpus caps in the thousands (boilerplate-df territory).
+CAPPED_MAX_SHINGLE_DF = 4
+
+
+def ngram_jaccard_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION plan for n-gram Jaccard: identical to
+    ngram_jaccard_pairs but with the hot-shingle cap ON, so the O(d^2)
+    blowup a boilerplate shingle causes is structurally impossible. Capped
+    Jaccard underestimates (per-doc set sizes stay uncapped), so the
+    result is a strict subset of the exact pairs -- precision 1, recall
+    bound documented on jaccard_pairs_from_shingles."""
+    return ngram_jaccard_pairs(
+        spark, sf_dir, max_shingle_df=CAPPED_MAX_SHINGLE_DF
+    )
+
+
+NGRAM_JACCARD_CAPPED_SQL = f"""
+WITH sh0 AS ({_SHINGLES_SQL}),
+sh AS (SELECT doc_id, {md5_long_sql('shingle')} AS _h FROM sh0),
+counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+keep AS (SELECT _h FROM sh GROUP BY 1 HAVING COUNT(*) <= {CAPPED_MAX_SHINGLE_DF}),
+shc AS (SELECT sh.doc_id, sh._h FROM sh JOIN keep USING (_h)),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM shc a JOIN shc b ON a._h = b._h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(inter / CAST(ca.n + cb.n - inter AS DOUBLE), 6) AS jaccard
+FROM inter
+JOIN counts ca ON doc_a = ca.doc_id
+JOIN counts cb ON doc_b = cb.doc_id
+WHERE round(inter / CAST(ca.n + cb.n - inter AS DOUBLE), 6) >= 0.8
+"""
+
 # --------------------------------------------------------- MinHash + LSH
 
 PERMS = 16

@@ -71,7 +71,13 @@ def register(name: str, sql: Optional[str], bench: bool = False, doc: str = ""):
 
 
 def registry() -> dict[str, Query]:
-    return dict(_REGISTRY)
+    """All registered queries, ordered so the driver's 50-query correctness
+    window (= the FIRST 50 entries) is exactly CORRECTNESS_WINDOW; the
+    rest follow in registration order. Decoupling window order from
+    registration order makes per-round rotation a one-list edit."""
+    ordered = {name: _REGISTRY[name] for name in CORRECTNESS_WINDOW}
+    ordered.update((n, q) for n, q in _REGISTRY.items() if n not in ordered)
+    return ordered
 
 
 def pipeline_sql(final_select: str) -> str:
@@ -279,15 +285,10 @@ def crud_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ==========================================================================
-# REGISTRATION ORDER IS A CONTRACT. The driver's correctness harness
-# hash-checks only the FIRST 50 registered queries per round, so the order
-# below is budgeted deliberately (VERDICT.md r1, "Next round #1"):
-#   positions  1-12  reference-parity pipeline + CRUD (SURVEY §2 contract)
-#   positions 13-49  the LLM-data-pipeline north star: dedup, similarity
-#                    search, text analysis, sampling, multimodal, temporal
-#   position  50     agg_priority_line_counts (re-proving the r1 hash fix)
-# Everything after position 50 is either already driver-green from r1 (the
-# TPC-H block) or rotates into the window in a later round.
+# THE DRIVER'S 50-QUERY CORRECTNESS WINDOW IS A CONTRACT -- but since r3 it
+# is budgeted by the explicit CORRECTNESS_WINDOW list at the BOTTOM of this
+# file (registry() puts those 50 names first), not by registration order.
+# Rotate queries into the window by editing that list, nothing else.
 # ==========================================================================
 
 # --------------------------------------------------------------------------
@@ -298,6 +299,12 @@ register("dedup_exact", dedup.DEDUP_EXACT_SQL, doc="exact dedup by canonical fin
 register("dedup_ngram_jaccard", dedup.NGRAM_JACCARD_SQL, bench=True, doc="exact Jaccard over 3-gram shingles, blocked on shared shingles (no cross join); production DF-cap knob unit-tested")(
     dedup.ngram_jaccard_pairs
 )
+register(
+    "dedup_ngram_jaccard_capped",
+    dedup.NGRAM_JACCARD_CAPPED_SQL,
+    doc="the PRODUCTION jaccard plan: hot-shingle df cap ON (oracle applies "
+    "the identical df filter), precision-1 subset of the exact pairs",
+)(dedup.ngram_jaccard_pairs_capped)
 register("dedup_minhash_lsh", dedup.MINHASH_LSH_SQL, bench=True, doc="MinHash signatures (single-md5 hash family) + banded LSH candidates + exact verify")(dedup.minhash_lsh_pairs)
 register("dedup_simhash", dedup.SIMHASH_PAIRS_SQL, doc="60-bit SimHash with lossless pigeonhole banding (recall 1 vs brute force)")(dedup.simhash_pairs)
 register(
@@ -825,3 +832,84 @@ register(
     json_source.ORDER_COLLECTION_SQL,
     doc="S4 json-server-style collection file source",
 )(json_source.order_collection_query)
+
+
+# ==========================================================================
+# The driver correctness window: the FIRST 50 names registry() returns.
+# Hash-checked per round; budgeted per VERDICT.md r2 "Next round #2" --
+# union over rounds should cover every registered query.
+#
+#   1-12   reference-parity pipeline + CRUD (SURVEY §2 contract, keep
+#          every round)
+#   13-35  the 23 queries never driver-checked in r1/r2: the events_*
+#          analytics block, the full-outer join, the feature/ANN/decontam
+#          attribution/split quartet, the HLL rollup (rows-only by
+#          design), and the generator + JSON sources
+#   36-38  this round's fixes, needing their first real green row:
+#          mm_feature_extract (r2's one red row, reshaped), ann_topk_lsh
+#          (was vacuously green), dedup_ngram_jaccard_capped (new)
+#   39-50  north-star canaries already green in r2 -- regression guard
+#          over the highest-risk scale paths + agg_priority_line_counts
+#          re-proving the r1 HUGEINT hash fix
+# ==========================================================================
+CORRECTNESS_WINDOW = [
+    # 1-12: reference parity
+    "flagship_pipeline",
+    "route_enriched",
+    "route_invalid",
+    "schema_envelope",
+    "stream_counters",
+    "date_normalize",
+    "sql_enriched_orders",
+    "crud_scan",
+    "crud_filter",
+    "crud_append",
+    "crud_delete",
+    "crud_upsert",
+    # 13-35: first-time driver checks
+    "events_tumbling",
+    "events_sliding",
+    "events_session",
+    "events_dedup",
+    "events_props_metrics",
+    "events_value_percentiles",
+    "events_rolling_zscore",
+    "events_interarrival",
+    "events_rollup_cascade",
+    "events_cohort_retention",
+    "events_funnel",
+    "events_pivot_activity",
+    "events_running_value",
+    "events_props_variant",
+    "join_full_outer_user_days",
+    "text_hashed_tfidf",
+    "text_ann_topk",
+    "text_decontaminate_attribution",
+    "split_leakage_safe",
+    "sketch_distinct_rollup",
+    "gen_orders",
+    "json_parse_orders",
+    "json_order_collection",
+    # 36-38: this round's fixes
+    "mm_feature_extract",
+    "ann_topk_lsh",
+    "dedup_ngram_jaccard_capped",
+    # 39-50: north-star canaries
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_embedding_cosine",
+    "text_curation_pipeline",
+    "text_decontaminate",
+    "text_heavy_hitters",
+    "sample_stratified",
+    "mm_ann_topk",
+    "scd2_customer_priority",
+    "join_asof_events",
+    "events_gapfill",
+    "agg_priority_line_counts",
+]
+
+assert len(CORRECTNESS_WINDOW) == 50, len(CORRECTNESS_WINDOW)
+assert len(set(CORRECTNESS_WINDOW)) == 50
+_missing = [n for n in CORRECTNESS_WINDOW if n not in _REGISTRY]
+assert not _missing, f"window names not registered: {_missing}"
