@@ -7,6 +7,8 @@ import io
 import struct
 import wave
 
+import pytest
+
 from streamprocessing_with_kafka_spark.operators.multimodal import (
     _fake_decode,
     decode_frame,
@@ -67,3 +69,59 @@ def test_bmp_edge_cases():
     assert _parse_bmp(bytes(bmp)) == (8, 4, 1)
     # truncated payload: size-field mismatch -> rejected
     assert _parse_bmp(bytes(bmp)[:-1]) is None
+
+
+def make_png(width: int, height: int) -> bytes:
+    """A genuine, viewer-openable 8-bit RGB PNG built from stdlib zlib --
+    the fixture for the PIL decode branch (no image libs needed to WRITE
+    a valid PNG, only to read one)."""
+    import struct
+    import zlib
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    raw = b"".join(b"\x00" + b"\x80" * (3 * width) for _ in range(height))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _has_pil() -> bool:
+    import importlib.util
+
+    return importlib.util.find_spec("PIL") is not None
+
+
+@pytest.mark.skipif(not _has_pil(), reason="PIL not installed in this container")
+def test_decode_real_png_via_pil(spark):
+    """Where PIL exists the decoder must return TRUE dimensions for a
+    genuine compressed container, not just the header-parse formats."""
+    png = make_png(13, 7)
+    corpus = spark.createDataFrame(
+        [(1, png, "image")], "doc_id long, payload binary, mm_type string"
+    )
+    got = {r.doc_id: (r.width, r.height, r.n_frames) for r in decode_frame(corpus).collect()}
+    assert got[1] == (13, 7, 1)
+
+
+@pytest.mark.skipif(_has_pil(), reason="with PIL installed the PNG decodes for real")
+def test_png_routes_to_stub_without_pil(spark):
+    """Without PIL a PNG is not a parseable container here (BMP/WAV
+    sniffs reject it), so it must fall through to the labeled stub --
+    never a half-parse."""
+    png = make_png(13, 7)
+    corpus = spark.createDataFrame(
+        [(5, png, "image")], "doc_id long, payload binary, mm_type string"
+    )
+    got = {r.doc_id: (r.width, r.height, r.n_frames) for r in decode_frame(corpus).collect()}
+    assert got[5] == _fake_decode(png)
