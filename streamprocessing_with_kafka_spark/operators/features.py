@@ -27,19 +27,28 @@ Scale design:
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from streamprocessing_with_kafka_spark.functions.hashing import md5_long, md5_long_sql
-from streamprocessing_with_kafka_spark.functions.numeric import round_sql as _round_sql
+from streamprocessing_with_kafka_spark.functions.numeric import (
+    dec_sum_sql,
+    round_sql as _round_sql,
+)
 from streamprocessing_with_kafka_spark.operators.text import _tokens
 from streamprocessing_with_kafka_spark.sources.tables import load_table
 
 HASH_DIM = 32  # slots; production sizes 2^18-2^22 -- plan shape unchanged
 
 
-def hashed_tfidf_frame(d: DataFrame) -> DataFrame:
-    """(doc_id, feature array<float>) over any (doc_id, text) frame:
-    signed-hash TF-IDF vectors.
+def slot_weights_frame(d: DataFrame) -> DataFrame:
+    """(doc_id, slot, wf): the SPARSE signed-hash TF-IDF representation --
+    per-doc nonzero slot weights, rounded to the same float32 values the
+    dense vectors carry. The sparse frame is the scale-native shape: the
+    dense assembly is a narrow projection on top of it, and the text ANN
+    search scores term-at-a-time from it without ever materializing
+    vectors.
 
     weight(term) = tf * (ln((N+1)/(df+1)) + 1), folded into slot
     md5(term) % HASH_DIM with sign 1 - 2*(md5(term||'|s') & 1); collisions
@@ -64,19 +73,27 @@ def hashed_tfidf_frame(d: DataFrame) -> DataFrame:
         )
     )
     slots = weighted.groupBy("doc_id", "slot").agg(F.sum("wq").alias("w"))
-    m = F.map_from_entries(F.collect_list(F.struct("slot", "w")))
+    return slots.select(
+        "doc_id",
+        "slot",
+        F.round(F.col("w").cast("double"), 6).cast("float").alias("wf"),
+    )
+
+
+def hashed_tfidf_frame(d: DataFrame) -> DataFrame:
+    """(doc_id, feature array<float>) over any (doc_id, text) frame:
+    signed-hash TF-IDF vectors -- the dense assembly over
+    slot_weights_frame (map lookup + sequence() fill, narrow)."""
+    sw = slot_weights_frame(d)
+    m = F.map_from_entries(F.collect_list(F.struct("slot", "wf")))
     return (
-        slots.groupBy("doc_id")
+        sw.groupBy("doc_id")
         .agg(m.alias("m"))
         .select(
             "doc_id",
             F.transform(
                 F.sequence(F.lit(0), F.lit(HASH_DIM - 1)),
-                lambda s: F.round(
-                    F.coalesce(F.col("m")[s.cast("long")], F.lit(0).cast("decimal(28,10)"))
-                    .cast("double"),
-                    6,
-                ).cast("float"),
+                lambda s: F.coalesce(F.col("m")[s.cast("long")], F.lit(0.0).cast("float")),
             ).alias("feature"),
         )
     )
@@ -85,6 +102,56 @@ def hashed_tfidf_frame(d: DataFrame) -> DataFrame:
 def hashed_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """hashed_tfidf_frame over the documents table."""
     return hashed_tfidf_frame(load_table(spark, sf_dir, "documents"))
+
+
+def slot_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """slot_weights_frame over the documents table."""
+    return slot_weights_frame(load_table(spark, sf_dir, "documents"))
+
+
+#: one persisted slot frame per (session, sf_dir), same pattern and
+#: rationale as dedup._SHINGLE_CACHE: the ANN search references the slot
+#: frame from several join branches, and without a materialized frame each
+#: branch would recompute the whole featurizer pipeline (the r2 dense
+#: self-join paid it twice; four sparse branches would pay it four times).
+#: Cache assumes immutable parquet under sf_dir for the session lifetime.
+_SW_CACHE: dict[tuple[str, str], DataFrame] = {}
+_SW_CACHE_MAX = 4
+_SW_CACHE_LOCK = threading.Lock()
+
+
+def _slot_weights_with_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted (doc_id, slot, wf, n2): sparse slot weights plus the
+    doc's squared L2 norm, attached by a window over the SAME doc_id
+    partitioning the featurizer already established (no extra shuffle,
+    and downstream joins carry the norm instead of re-deriving it through
+    a separate aggregate branch). The norm sum is an exact-decimal
+    accumulator, so it is partition-order independent."""
+    from pyspark.sql import Window as W
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    with _SW_CACHE_LOCK:
+        cached = _SW_CACHE.get(key)
+        if cached is not None:
+            return cached
+        wf2 = (F.col("wf").cast("double") * F.col("wf").cast("double")).cast(
+            "decimal(28,10)"
+        )
+        sw = (
+            slot_weights(spark, sf_dir)
+            .filter(F.col("wf") != 0)
+            .withColumn("n2", F.sum(wf2).over(W.partitionBy("doc_id")).cast("double"))
+            .persist()
+        )
+        sw.count()  # materialize ONCE before dependent branches race
+        while len(_SW_CACHE) >= _SW_CACHE_MAX:
+            oldest = next(iter(_SW_CACHE))
+            try:
+                _SW_CACHE.pop(oldest).unpersist()
+            except Exception:
+                pass  # session of the evicted frame may already be stopped
+        _SW_CACHE[key] = sw
+        return sw
 
 
 _W_SQL = (
@@ -123,25 +190,45 @@ TXT_N_QUERIES = 3  # doc_id < 3 are the probe documents
 
 def text_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Similarity search over raw text with NO embedding model: hashed
-    TF-IDF vectors -> exact cosine top-k for the probe documents. The
-    composition proof that the stateless featurizer's array<float> output
-    plugs straight into the similarity operators (same plan shape as
-    ann_topk_bruteforce: broadcast probes, WindowGroupLimit partial
-    top-k); at corpus scale swap the scoring stage for the LSH/IVF
-    candidate paths -- the vector contract is identical."""
+    TF-IDF -> exact cosine top-k for the probe documents, scored
+    TERM-AT-A-TIME from the sparse slot frame (the inverted-index scoring
+    pattern): dot products are a broadcast equi-join of the probes' slot
+    weights against the corpus slot weights + one aggregate, norms one
+    more aggregate on the SAME doc_id partitioning -- the dense vectors
+    are never materialized, and the featurizer pipeline is paid once, not
+    once per join side (r2's dense self-join compiled to 9 shuffles; this
+    plan halves that, audit in PLANS.md).
+
+    Every sum is an exact-decimal accumulator (dec_sum pattern), so dots
+    and norms are partition-order-independent and the cosine values are
+    oracle-reproducible; a pair appears iff the probe and the doc share a
+    nonzero slot (a no-overlap doc has cosine 0 and can never reach a
+    meaningful top-k anyway -- both engines apply the same rule)."""
     from pyspark.sql import Window as W
 
-    from streamprocessing_with_kafka_spark.operators.similarity import cosine
-
-    vecs = hashed_tfidf(spark, sf_dir)
-    q = vecs.filter(F.col("doc_id") < TXT_N_QUERIES).select(
-        F.col("doc_id").alias("q_id"), F.col("feature").alias("qv")
+    sw = _slot_weights_with_norm(spark, sf_dir)
+    q_slots = sw.filter(F.col("doc_id") < TXT_N_QUERIES).select(
+        F.col("doc_id").alias("q_id"),
+        "slot",
+        F.col("wf").alias("qwf"),
+        F.col("n2").alias("q2"),
     )
-    n = vecs.select(F.col("doc_id").alias("n_id"), F.col("feature").alias("nv"))
+    prod = (F.col("qwf").cast("double") * F.col("wf").cast("double")).cast("decimal(28,10)")
     scored = (
-        F.broadcast(q)
-        .join(n, F.col("q_id") != F.col("n_id"))
-        .select("q_id", "n_id", cosine(F.col("qv"), F.col("nv")).alias("cosine"))
+        F.broadcast(q_slots)
+        .join(sw.withColumnRenamed("doc_id", "n_id"), "slot")
+        .filter(F.col("q_id") != F.col("n_id"))
+        .groupBy("n_id", "q_id")
+        .agg(
+            F.sum(prod).cast("double").alias("dotd"),
+            F.first("q2").alias("q2"),
+            F.first("n2").alias("n2"),
+        )
+        .select(
+            "q_id",
+            "n_id",
+            F.round(F.col("dotd") / (F.sqrt("q2") * F.sqrt("n2")), 6).alias("cosine"),
+        )
     )
     w = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id").asc())
     return (
@@ -151,14 +238,37 @@ def text_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_N2_SQL = (
+    "CAST(CAST(SUM(CAST(CAST(wf AS DOUBLE) * CAST(wf AS DOUBLE) AS DECIMAL(28,10))) "
+    "OVER (PARTITION BY doc_id) AS VARCHAR) AS DOUBLE)"
+)
+_PROD_SQL = dec_sum_sql("CAST(q.wf AS DOUBLE) * CAST(n.wf AS DOUBLE)")
+_COSINE_SQL = f"{_PROD_SQL} / (sqrt(any_value(q.n2)) * sqrt(any_value(n.n2)))"
+
 TEXT_ANN_TOPK_SQL = f"""
-WITH vecs AS ({HASHED_TFIDF_SQL}),
-e AS (SELECT doc_id, CAST(feature AS DOUBLE[]) AS v FROM vecs),
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+dfc AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+slots AS (
+  SELECT doc_id, {md5_long_sql('term')} % {HASH_DIM} AS slot, SUM({_W_SQL}) AS w
+  FROM tf JOIN dfc USING (term), nd
+  GROUP BY 1, 2
+),
+sw0 AS (
+  SELECT * FROM (
+    SELECT doc_id, slot,
+           CAST({_round_sql("CAST(CAST(w AS VARCHAR) AS DOUBLE)", 6)} AS FLOAT) AS wf
+    FROM slots
+  ) WHERE wf <> 0
+),
+sw AS (SELECT doc_id, slot, wf, {_N2_SQL} AS n2 FROM sw0),
 scored AS (
   SELECT q.doc_id AS q_id, n.doc_id AS n_id,
-         round(list_dot_product(q.v, n.v)
-               / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(n.v, n.v))), 6) AS cosine
-  FROM e q JOIN e n ON q.doc_id < {TXT_N_QUERIES} AND q.doc_id <> n.doc_id
+         {_round_sql(_COSINE_SQL, 6)} AS cosine
+  FROM sw q JOIN sw n USING (slot)
+  WHERE q.doc_id < {TXT_N_QUERIES} AND q.doc_id <> n.doc_id
+  GROUP BY 1, 2
 )
 SELECT q_id, n_id, cosine, rank FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id

@@ -279,3 +279,32 @@ def test_hashed_tfidf_one_doc_partitioning_carries_the_pipeline(spark, sf_dir):
     df.collect()
     final = df._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in final, final
+
+
+def _n_distinct_shuffles(plan: str) -> int:
+    """Distinct exchange signatures (plan_id stripped): a persisted
+    frame's build plan prints once per InMemoryTableScan plus an AQE
+    Initial-Plan copy, and identical canonical exchanges are deduped by
+    ReuseExchange at runtime -- the signature set is what executes."""
+    return len(
+        {
+            re.sub(r",?\s*\[plan_id=\d+\]", "", m.group(0))
+            for m in re.finditer(r"Exchange (?:hash|range|Single)[^\n]*", plan)
+        }
+    )
+
+
+def test_text_ann_topk_scores_on_one_partitioning(spark, sf_dir):
+    """The sparse term-at-a-time rewrite (r3): featurizer paid ONCE via
+    the persisted slot frame, probe side broadcast, dot-product aggregate
+    riding the cached doc_id partitioning, one window exchange on q_id.
+    Executed shuffle budget: featurizer 3 (doc repartition, vocab df,
+    corpus-count singleton) + 1 window = 4; r2's dense self-join compiled
+    to 9. Pin <= 5 so a regression back to per-branch featurization
+    (which doubles the featurizer shuffles) cannot land silently."""
+    from streamprocessing_with_kafka_spark.operators.features import text_ann_topk
+
+    plan = _plan(spark, text_ann_topk(spark, sf_dir))
+    assert plan.count("InMemoryTableScan") >= 1, plan  # slot frame cached
+    n = _n_distinct_shuffles(plan)
+    assert n <= 5, f"{n} distinct shuffles\n{plan}"
