@@ -39,13 +39,14 @@ def main() -> None:
     for t in TABLES:
         load_table(spark, sf_dir, t).write.format("noop").mode("overwrite").save()
 
-    # min of 2 runs per query: the machine is shared, and a single run can
+    # min of 3 runs per query: the machine is shared, and a single run can
     # absorb a multi-second host-scheduling stall; the min is the faithful
-    # measure of the plan itself.
+    # measure of the plan itself (r2's n=2 left two sub-second deltas
+    # ambiguous between noise and regression -- VERDICT r2 item 4).
     timings: dict[str, float] = {}
     for name, q in sorted(bench_queries.items()):
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)
