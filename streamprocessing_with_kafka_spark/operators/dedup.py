@@ -742,3 +742,94 @@ SELECT doc_id, split_key,
        ELSE 'test' END AS split
 FROM keyed
 """
+
+# ------------------------- exact-substring (duplicated-span) detection
+
+#: span length in words -- long enough that a repeat across documents is
+#: near-certainly copied text, not chance (Lee et al. 2021, "Deduplicating
+#: Training Data Makes Language Models Better", uses 50 BPE tokens; 8 words
+#: plays the same role at the demo vocabulary size)
+DUP_SPAN_N = 8
+#: drop documents where more than this fraction of spans appear verbatim in
+#: another document -- they are mostly boilerplate / copies
+DUP_SPAN_MAX_FRAC = 0.5
+
+
+def dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication, the cross-document complement of
+    whole-doc dedup: for each document, how many of its word
+    DUP_SPAN_N-grams occur verbatim in at least one OTHER document, and
+    the keep/drop verdict at DUP_SPAN_MAX_FRAC.
+
+    Whole-doc dedup (exact/MinHash/SimHash) misses the memorization
+    hazard of a 1000-word page that embeds one heavily-syndicated
+    paragraph; span-level counting catches it. We count DISTINCT spans
+    per document (a span repeated inside one doc is intra-doc repetition,
+    `text_repetition`'s job, and self-repeats must not inflate the
+    cross-doc frequency), so `dup_frac` is the fraction of the document's
+    distinct spans that some other document also contains.
+
+    Scale shape: explode to distinct (doc, span-hash) rows [one
+    repartition], span document-frequency by hash groupBy [one map-side
+    combinable shuffle], hot spans equi-joined back [shuffle join on the
+    8-byte hash], per-doc counts [one final groupBy]. No self-join of
+    documents ever happens -- the df table is the only cross-document
+    structure, which is what keeps this linear at 100 TB. The df table
+    itself is the production knob surface: persist it once and every
+    corpus refresh reuses it incrementally (new docs only add counts)."""
+    return dup_span_stats_frame(load_table(spark, sf_dir, "documents"))
+
+
+def dup_span_stats_frame(d: DataFrame) -> DataFrame:
+    """dup_span_stats over any (doc_id, text) frame (fixture-testable)."""
+    g = word_ngram_rows(d, DUP_SPAN_N, alias="span").select(
+        "doc_id", md5_long(F.col("span")).alias("_h")
+    )
+    dup = (
+        g.groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("_h", F.lit(1).alias("_dup"))
+    )
+    per = (
+        g.join(dup, "_h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.count("_dup").alias("n_dup_spans"),
+        )
+    )
+    out = d.select("doc_id").join(per, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_spans", F.lit(0).cast("bigint")).alias("n_spans"),
+        F.coalesce("n_dup_spans", F.lit(0).cast("bigint")).alias("n_dup_spans"),
+        F.coalesce(
+            F.round(F.col("n_dup_spans") / F.col("n_spans").cast("double"), 6),
+            F.lit(0.0),
+        ).alias("dup_frac"),
+    )
+    return out.withColumn("keep", F.col("dup_frac") <= DUP_SPAN_MAX_FRAC)
+
+
+_DUP_SPANS_SQL = word_ngrams_sql(DUP_SPAN_N, alias="span")
+
+DUP_SPAN_STATS_SQL = f"""
+WITH g0 AS ({_DUP_SPANS_SQL}),
+g AS (SELECT doc_id, {md5_long_sql('span')} AS _h FROM g0),
+dup AS (SELECT _h FROM g GROUP BY 1 HAVING COUNT(*) >= 2),
+per AS (
+  SELECT g.doc_id,
+         COUNT(*) AS n_spans,
+         COUNT(dup._h) AS n_dup_spans
+  FROM g LEFT JOIN dup ON g._h = dup._h
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       COALESCE(per.n_spans, 0) AS n_spans,
+       COALESCE(per.n_dup_spans, 0) AS n_dup_spans,
+       COALESCE(round(per.n_dup_spans / CAST(per.n_spans AS DOUBLE), 6), 0.0)
+         AS dup_frac,
+       COALESCE(round(per.n_dup_spans / CAST(per.n_spans AS DOUBLE), 6), 0.0)
+         <= {DUP_SPAN_MAX_FRAC} AS keep
+FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+"""

@@ -95,3 +95,92 @@ u AS (
 SELECT doc_id, source, keep_rate, round(u_exact, 6) AS u
 FROM u WHERE u_exact < keep_rate
 """
+
+# --------------------------------------------- corpus shuffle-sharding
+
+#: training output shards; a real job sets this to target shard file size
+N_SHARDS = 8
+
+
+def shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global training shuffle without a global sort: each document gets a
+    deterministic shard (md5 bucket) and a dense position within that
+    shard (md5-ordered row_number). Reading shards round-robin yields a
+    reproducible uniform permutation of the corpus -- what an LLM data
+    loader needs -- while the only wide operation is ONE shuffle keyed on
+    shard with per-shard local sorts; no single-reducer total order
+    exists at any scale. Re-running on the same corpus reproduces the
+    permutation byte-for-byte (retry- and backfill-safe)."""
+    d = load_table(spark, sf_dir, "documents")
+    h = md5_long(F.concat(F.lit("shuf|"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return (
+        d.select("doc_id", h.alias("h"), (h % N_SHARDS).alias("shard"))
+        .select(
+            "doc_id",
+            F.col("shard").cast("int").alias("shard"),
+            F.row_number().over(w).alias("pos"),
+        )
+    )
+
+
+_SHUF_HASH = md5_long_sql("'shuf|' || CAST(doc_id AS VARCHAR)")
+
+SHUFFLE_SHARD_SQL = f"""
+SELECT doc_id, CAST(shard AS INTEGER) AS shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS INTEGER) AS pos
+FROM (SELECT doc_id, {_SHUF_HASH} AS h, {_SHUF_HASH} % {N_SHARDS} AS shard
+      FROM documents)
+"""
+
+# ------------------------------------------------- domain/source mixing
+
+
+def domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The data-mixture dashboard: per source, its document count, token
+    count, token share of the corpus, and the up/down-sampling weight
+    that would rebalance it to a uniform target mix (the input
+    `weighted_mix`-style keep rates are derived from in a DoReMi-shaped
+    loop).
+
+    Scale: one map-side-combinable groupBy over the scan; the corpus
+    totals come back as a broadcast single-row join (in-plan scalar, no
+    driver round-trip), so the whole thing is one job, two exchanges,
+    both tiny after partial aggregation."""
+    d = load_table(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).alias("n_tokens"),
+    )
+    tot = per.agg(
+        F.sum("n_tokens").alias("tot_tokens"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    share = F.col("n_tokens") / F.col("tot_tokens").cast("double")
+    target = F.lit(1.0) / F.col("n_sources").cast("double")
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(share, 6).alias("token_share"),
+            F.round(target / share, 6).alias("rebalance_weight"),
+        )
+    )
+
+
+DOMAIN_MIX_SQL = """
+WITH per AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot_tokens,
+               COUNT(*) AS n_sources FROM per)
+SELECT source, n_docs, n_tokens,
+       round(n_tokens / CAST(tot_tokens AS DOUBLE), 6) AS token_share,
+       round((1.0 / CAST(n_sources AS DOUBLE))
+             / (n_tokens / CAST(tot_tokens AS DOUBLE)), 6) AS rebalance_weight
+FROM per CROSS JOIN tot
+"""

@@ -200,12 +200,7 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(n, F.col("q_id") != F.col("n_id"))
         .select("q_id", "n_id", cosine(F.col("qv"), F.col("nv")).alias("cosine"))
     )
-    w = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K)
-        .select("q_id", "n_id", "cosine", "rank")
-    )
+    return _topk_ranked(scored, "cosine")
 
 
 ANN_TOPK_BRUTEFORCE_SQL = f"""
@@ -272,6 +267,36 @@ def ann_bucket_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _topk_ranked(scored: DataFrame, score_col: str) -> DataFrame:
+    """Shared rerank tail: per-query top-K by score, ties on n_id."""
+    w = W.partitionBy("q_id").orderBy(F.col(score_col).desc(), F.col("n_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("q_id", "n_id", score_col, "rank")
+    )
+
+
+def _lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(q_id, qv, n_id, nv): banded-LSH candidate pairs for the demo query
+    vectors -- the shared candidate generator under ann_topk_lsh and
+    ann_topk_quantized (identical buckets, different rerank arithmetic)."""
+    keys = ann_bucket_keys(spark, sf_dir)
+    q = keys.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv"), "band", "band_key"
+    )
+    n = keys.select(
+        F.col("vec_id").alias("n_id"), F.col("embedding").alias("nv"), "band", "band_key"
+    )
+    return (
+        F.broadcast(q)
+        .join(n, ["band", "band_key"])
+        .filter(F.col("q_id") != F.col("n_id"))
+        .select("q_id", "qv", "n_id", "nv")
+        .dropDuplicates(["q_id", "n_id"])
+    )
+
+
 def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via banded random-hyperplane LSH: a neighbor is a candidate iff
     it agrees with the query on all DUP_BAND_BITS sign bits in at least
@@ -290,27 +315,9 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     bits/bands at 10^9 vectors), plan shape unchanged. Expected candidates
     per query ~ BANDS * N / 2^BITS -- sub-linear rerank the moment bucket
     granularity outpaces the corpus."""
-    keys = ann_bucket_keys(spark, sf_dir)
-    q = keys.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv"), "band", "band_key"
-    )
-    n = keys.select(
-        F.col("vec_id").alias("n_id"), F.col("embedding").alias("nv"), "band", "band_key"
-    )
-    cand = (
-        F.broadcast(q)
-        .join(n, ["band", "band_key"])
-        .filter(F.col("q_id") != F.col("n_id"))
-        .select("q_id", "qv", "n_id", "nv")
-        .dropDuplicates(["q_id", "n_id"])
-    )
+    cand = _lsh_candidates(spark, sf_dir)
     scored = cand.select("q_id", "n_id", cosine(F.col("qv"), F.col("nv")).alias("cosine"))
-    w = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K)
-        .select("q_id", "n_id", "cosine", "rank")
-    )
+    return _topk_ranked(scored, "cosine")
 
 
 def _ann_topk_lsh_sql() -> str:
@@ -421,13 +428,8 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = F.broadcast(probes).join(assigned, "cell").filter(
         F.col("q_id") != F.col("n_id")
     )
-    w2 = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id").asc())
-    return (
-        cand.select("q_id", "n_id", cosine(F.col("qv"), F.col("nv")).alias("cosine"))
-        .withColumn("rank", F.row_number().over(w2))
-        .filter(F.col("rank") <= TOP_K)
-        .select("q_id", "n_id", "cosine", "rank")
-    )
+    scored = cand.select("q_id", "n_id", cosine(F.col("qv"), F.col("nv")).alias("cosine"))
+    return _topk_ranked(scored, "cosine")
 
 
 IVF_TOPK_SQL = f"""
@@ -461,3 +463,237 @@ SELECT q_id, n_id, cosine, rank FROM (
 )
 WHERE rank <= {TOP_K}
 """
+
+# ------------------------------------------------- multi-probe LSH ANN
+
+#: probe perturbations per band: the exact bucket plus every Hamming-1
+#: neighbor (one sign bit flipped). Query-side only -- the corpus is hashed
+#: once; recall rises like adding BITS extra bands at zero index cost.
+PROBE_FLIPS = [0] + [1 << j for j in range(DUP_BAND_BITS)]
+
+
+def ann_topk_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH ANN (Lv et al., VLDB 2007): each query probes its
+    exact bucket AND every bucket one flipped sign bit away, in every
+    band. A near neighbor that straddles one hyperplane (the common
+    near-miss) is still found, so recall approaches brute force without
+    growing the corpus-side index -- the standard memory/recall trade
+    against `ann_topk_lsh`, whose buckets and rerank this shares.
+
+    Scale: the probe explosion multiplies only the QUERY side (Q tiny by
+    assumption) by BANDS*(1+BITS); candidates remain an equi-join on
+    (band, band_key), and the corpus index is byte-identical to the
+    single-probe path, so one hashed corpus serves both operators."""
+    keys = ann_bucket_keys(spark, sf_dir)
+    q = (
+        keys.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("qv"),
+            "band",
+            "band_key",
+            F.explode(F.array(*[F.lit(f) for f in PROBE_FLIPS])).alias("flip"),
+        )
+        .select(
+            "q_id", "qv", "band",
+            F.col("band_key").bitwiseXOR(F.col("flip")).alias("band_key"),
+        )
+    )
+    n = keys.select(
+        F.col("vec_id").alias("n_id"), F.col("embedding").alias("nv"), "band", "band_key"
+    )
+    cand = (
+        F.broadcast(q)
+        .join(n, ["band", "band_key"])
+        .filter(F.col("q_id") != F.col("n_id"))
+        .select("q_id", "qv", "n_id", "nv")
+        .dropDuplicates(["q_id", "n_id"])
+    )
+    scored = cand.select("q_id", "n_id", cosine(F.col("qv"), F.col("nv")).alias("cosine"))
+    return _topk_ranked(scored, "cosine")
+
+
+def _ann_topk_multiprobe_sql() -> str:
+    keys_union = "\n  UNION ALL\n".join(
+        f"  SELECT vec_id, v, {b} AS band, {_band_key_sql('v', b)} AS band_key FROM e"
+        for b in range(N_ANN_BANDS)
+    )
+    flips = ", ".join(str(f) for f in PROBE_FLIPS)
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+keys AS (
+{keys_union}
+),
+probes AS (
+  SELECT vec_id, band, xor(band_key, f.flip) AS band_key
+  FROM keys CROSS JOIN (SELECT unnest([{flips}]::BIGINT[]) AS flip) f
+  WHERE vec_id < {N_QUERIES}
+),
+cand AS (
+  SELECT DISTINCT p.vec_id AS q_id, n.vec_id AS n_id
+  FROM probes p JOIN keys n
+    ON p.band = n.band AND p.band_key = n.band_key
+  WHERE p.vec_id <> n.vec_id
+),
+scored AS (
+  SELECT q_id, n_id,
+         round(list_dot_product(eq.v, en.v)
+               / (sqrt(list_dot_product(eq.v, eq.v)) * sqrt(list_dot_product(en.v, en.v))), 6) AS cosine
+  FROM cand JOIN e eq ON q_id = eq.vec_id JOIN e en ON n_id = en.vec_id
+)
+SELECT q_id, n_id, cosine, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                               ORDER BY cosine DESC, n_id ASC) AS rank
+  FROM scored
+)
+WHERE rank <= {TOP_K}
+"""
+
+
+ANN_TOPK_MULTIPROBE_SQL = _ann_topk_multiprobe_sql()
+
+# ---------------------------------------- int8 quantization + quantized ANN
+
+#: symmetric per-vector int8 quantization: q_i = round(127 * x_i / max|x|).
+#: 4x memory reduction on the stored corpus -- at 100 TB of embeddings the
+#: difference between an index that fits executor memory and one that spills.
+QUANT_LEVELS = 127
+
+
+def _quant_scale(v: Column) -> Column:
+    """Per-vector max-abs scale (floored away from zero-vector division)."""
+    return F.greatest(
+        F.array_max(F.transform(v, lambda x: F.abs(x.cast("double")))),
+        F.lit(1e-30),
+    )
+
+
+def _quantize(v: Column, scale: Column) -> Column:
+    """int8-range codes as bigint. floor(x+0.5) instead of round(): both
+    engines define floor identically, so the codes are definitionally
+    cross-engine-deterministic (round() half-away vs half-even varies)."""
+    return F.transform(
+        v,
+        lambda x: F.floor(
+            x.cast("double") * QUANT_LEVELS / scale + F.lit(0.5)
+        ).cast("bigint"),
+    )
+
+
+def _int_dot(a: Column, b: Column) -> Column:
+    """Exact int64 dot product of two code arrays -- no float summation."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+
+
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quantized-corpus materialization pass: per-vector scale, the
+    int8 code string (codes joined with ',' -- a scalar column the driver
+    can canonicalize, unlike a raw array), and the exact integer squared
+    norm that the quantized ANN rerank divides by.
+
+    At scale this is the write side of an ANN serving index: one narrow
+    map over the embeddings scan (no shuffle, no UDF), emitting 1/4 the
+    bytes of the float corpus; ann_topk_quantized is the read side."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding")
+    scale = _quant_scale(v)
+    q = _quantize(v, scale)
+    return e.select(
+        "vec_id",
+        "label",
+        F.round(scale, 6).alias("scale"),
+        F.concat_ws(",", F.transform(q, lambda x: x.cast("string"))).alias("q_codes"),
+        _int_dot(q, q).alias("q_norm2"),
+    )
+
+
+EMBEDDING_QUANTIZE_SQL = f"""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+s AS (
+  SELECT vec_id, label, v,
+         greatest(list_max(list_transform(v, x -> abs(x))), 1e-30) AS scale
+  FROM e
+),
+q AS (
+  SELECT vec_id, label, scale,
+         list_transform(v, x -> CAST(floor(x * {QUANT_LEVELS} / scale + 0.5) AS BIGINT)) AS qv
+  FROM s
+)
+SELECT vec_id, label, round(scale, 6) AS scale,
+       array_to_string(qv, ',') AS q_codes,
+       CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS q_norm2
+FROM q
+"""
+
+
+def ann_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-LSH ANN reranked on int8-quantized vectors -- the production
+    memory shape (bucket on full-precision planes once at write time,
+    serve the 4x-smaller quantized corpus at read time).
+
+    The quantized cosine is a ratio of EXACT int64 dot products (codes and
+    norms are integers), so the only floating point is one final
+    divide+sqrt -- deterministic across engines by construction, no
+    summation-order hazard at any partition count. Approximation error vs
+    the float cosine is bounded in tests/test_similarity.py."""
+    cand = _lsh_candidates(spark, sf_dir)
+    qa = _quantize(F.col("qv"), _quant_scale(F.col("qv")))
+    qb = _quantize(F.col("nv"), _quant_scale(F.col("nv")))
+    with_codes = cand.select("q_id", "n_id", qa.alias("qa"), qb.alias("qb"))
+    cos_q = F.round(
+        _int_dot(F.col("qa"), F.col("qb")).cast("double")
+        / (
+            F.sqrt(_int_dot(F.col("qa"), F.col("qa")).cast("double"))
+            * F.sqrt(_int_dot(F.col("qb"), F.col("qb")).cast("double"))
+        ),
+        6,
+    )
+    scored = with_codes.select("q_id", "n_id", cos_q.alias("cosine_q"))
+    return _topk_ranked(scored, "cosine_q")
+
+
+def _ann_topk_quantized_sql() -> str:
+    keys_union = "\n  UNION ALL\n".join(
+        f"  SELECT vec_id, v, {b} AS band, {_band_key_sql('v', b)} AS band_key FROM e"
+        for b in range(N_ANN_BANDS)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+qz AS (
+  SELECT vec_id,
+         list_transform(v, x -> CAST(floor(x * {QUANT_LEVELS}
+           / greatest(list_max(list_transform(v, y -> abs(y))), 1e-30) + 0.5) AS BIGINT)) AS qv
+  FROM e
+),
+keys AS (
+{keys_union}
+),
+cand AS (
+  SELECT DISTINCT q.vec_id AS q_id, n.vec_id AS n_id
+  FROM keys q JOIN keys n
+    ON q.band = n.band AND q.band_key = n.band_key
+  WHERE q.vec_id < {N_QUERIES} AND q.vec_id <> n.vec_id
+),
+scored AS (
+  SELECT q_id, n_id,
+         round(CAST(CAST(list_sum(list_transform(range(1, len(a.qv) + 1),
+                 i -> a.qv[i] * b.qv[i])) AS BIGINT) AS DOUBLE)
+               / (sqrt(CAST(CAST(list_sum(list_transform(a.qv, x -> x * x)) AS BIGINT) AS DOUBLE))
+                  * sqrt(CAST(CAST(list_sum(list_transform(b.qv, x -> x * x)) AS BIGINT) AS DOUBLE))), 6)
+           AS cosine_q
+  FROM cand JOIN qz a ON q_id = a.vec_id JOIN qz b ON n_id = b.vec_id
+)
+SELECT q_id, n_id, cosine_q, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                               ORDER BY cosine_q DESC, n_id ASC) AS rank
+  FROM scored
+)
+WHERE rank <= {TOP_K}
+"""
+
+
+ANN_TOPK_QUANTIZED_SQL = _ann_topk_quantized_sql()

@@ -662,3 +662,76 @@ SELECT doc_id, shard, n_tokens, CAST(start_offset AS BIGINT) AS start_offset,
   CAST(start_offset % {PACK_CAPACITY} AS BIGINT) AS offset_in_seq
 FROM off
 """
+
+
+# ----------------------- hashed linear quality classifier (fastText-shaped)
+
+#: logistic coefficients: bias, mean-hashed-token-weight, stopword-ratio.
+#: Stand-ins for a trained model -- the PLUMBING (hashed bag-of-words ->
+#: linear score -> sigmoid -> keep/drop) is the contract a real fastText /
+#: linear quality classifier drops into.
+QC_BIAS = 0.0
+QC_W_TOKENS = 3.0
+QC_W_STOP = 1.5
+QC_KEEP_PROB = 0.39  # ~corpus median; a trained model would calibrate this
+
+
+def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining-style learned quality filter: a logistic model over a
+    hashed bag-of-words (the hashing-trick feature map of fastText /
+    CCNet's quality classifiers) plus a stopword-density feature.
+
+    Per-token weights are md5-derived integers in [-1000, 1000], so the
+    document's feature sum is an EXACT int64 accumulated by a left fold --
+    no float summation-order hazard -- and the only floating point is the
+    final affine + sigmoid, computed with the identical expression shape
+    in the DuckDB oracle and rounded to 6dp. Swapping the md5 weights for
+    trained ones is a one-expression change.
+
+    Scale: pure per-row expression pipeline over one scan -- no shuffle,
+    no UDF, whole-stage codegen'd; the classifier cost is ~one md5 per
+    token, the same order as tokenization itself."""
+    from streamprocessing_with_kafka_spark.functions.hashing import md5_long
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    n = F.size(toks)
+    w_sum = F.aggregate(
+        toks,
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc
+        + (md5_long(F.concat(F.lit("qw|"), x)) % 2001 - 1000),
+    )
+    n_stop = F.size(F.filter(toks, lambda x: x.isin(*EN_STOPWORDS)))
+    z = (
+        F.lit(QC_BIAS)
+        + F.lit(QC_W_TOKENS) * (w_sum / (1000.0 * n.cast("double")))
+        + F.lit(QC_W_STOP) * (n_stop / n.cast("double"))
+    )
+    prob = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    return d.select(
+        "doc_id",
+        prob.alias("quality_prob"),
+        (prob >= QC_KEEP_PROB).alias("keep"),
+    )
+
+
+QUALITY_CLASSIFIER_SQL = f"""
+SELECT doc_id,
+       round(1.0 / (1.0 + exp(-({QC_BIAS}
+             + {QC_W_TOKENS} * (w_sum / (1000.0 * CAST(n AS DOUBLE)))
+             + {QC_W_STOP} * (n_stop / CAST(n AS DOUBLE))))), 6) AS quality_prob,
+       round(1.0 / (1.0 + exp(-({QC_BIAS}
+             + {QC_W_TOKENS} * (w_sum / (1000.0 * CAST(n AS DOUBLE)))
+             + {QC_W_STOP} * (n_stop / CAST(n AS DOUBLE))))), 6)
+         >= {QC_KEEP_PROB} AS keep
+FROM (
+  SELECT doc_id,
+    len(w) AS n,
+    list_sum(list_transform(w,
+      x -> CAST(('0x' || substr(md5('qw|' || x), 1, 15)) AS BIGINT) % 2001 - 1000))
+      AS w_sum,
+    len(list_filter(w, x -> list_contains({_STOP_SQL}, x))) AS n_stop
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+)
+"""

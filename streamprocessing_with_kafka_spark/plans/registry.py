@@ -328,6 +328,12 @@ register(
     doc="connected components over the near-dup graph via iterative "
     "min-label propagation (oracle: recursive-CTE reachability)",
 )(dedup.dedup_cluster_keepers)
+register(
+    "dedup_dup_spans",
+    dedup.DUP_SPAN_STATS_SQL,
+    doc="exact-substring (word 8-gram) cross-document duplication per doc "
+    "(Lee et al. 2021): span df table, no doc self-join, keep/drop verdict",
+)(dedup.dup_span_stats)
 
 # --------------------------------------------------------------------------
 # Similarity search (embeddings) -- north star
@@ -342,6 +348,26 @@ register("ann_ivf_assignments", similarity.IVF_ASSIGNMENTS_SQL, doc="IVF nearest
     similarity.ivf_assignments
 )
 register("ann_ivf_topk", similarity.IVF_TOPK_SQL, doc="IVF search: probe nearest cells, rerank candidates only")(similarity.ivf_topk)
+register(
+    "ann_topk_multiprobe",
+    similarity.ANN_TOPK_MULTIPROBE_SQL,
+    doc="multi-probe LSH ANN (Lv 2007): query-side Hamming-1 bucket probes "
+    "over the same corpus index as ann_topk_lsh -- recall of extra bands "
+    "at zero index cost",
+)(similarity.ann_topk_multiprobe)
+register(
+    "embedding_quantize",
+    similarity.EMBEDDING_QUANTIZE_SQL,
+    doc="per-vector symmetric int8 quantization: scale + code string + "
+    "exact integer squared norm (4x smaller ANN corpus, narrow map only)",
+)(similarity.embedding_quantize)
+register(
+    "ann_topk_quantized",
+    similarity.ANN_TOPK_QUANTIZED_SQL,
+    doc="banded-LSH ANN reranked on int8 codes: exact int64 dot products, "
+    "one final divide -- the memory-compressed serving path; error vs "
+    "float cosine bounded in tests",
+)(similarity.ann_topk_quantized)
 
 # --------------------------------------------------------------------------
 # Text analysis (documents) -- north star
@@ -351,6 +377,13 @@ register("text_stats", text.TEXT_STATS_SQL, bench=True, doc="per-document surfac
 register("text_token_count", text.TOKEN_COUNT_SQL, doc="whitespace + BPE-ish regex token counting")(text.token_count)
 register("text_lang_id", text.LANG_ID_SQL, doc="stopword-ratio language-ID heuristic")(text.lang_id)
 register("text_quality_score", text.QUALITY_SCORE_SQL, doc="composite length/punctuation/stopword quality score")(text.quality_score)
+register(
+    "text_quality_classifier",
+    text.QUALITY_CLASSIFIER_SQL,
+    doc="fastText-shaped learned quality filter: logistic over a hashed "
+    "bag-of-words (exact int64 feature sums) + stopword density; "
+    "no shuffle, no UDF",
+)(text.quality_classifier)
 register("text_fingerprint", text.FINGERPRINT_SQL, doc="canonical-text md5 fingerprint + content shard key")(text.fingerprint)
 register(
     "text_pii_scrub",
@@ -421,6 +454,18 @@ register(
     doc="per-source keep-rate mixing via hash-fraction threshold; broadcast "
     "rates dim, narrow-map filter",
 )(sampling.weighted_mix)
+register(
+    "docs_shuffle_shard",
+    sampling.SHUFFLE_SHARD_SQL,
+    doc="global training shuffle without a global sort: md5 shard + "
+    "per-shard md5-ordered position, reproducible byte-for-byte",
+)(sampling.shuffle_shard)
+register(
+    "text_domain_mix",
+    sampling.DOMAIN_MIX_SQL,
+    doc="data-mixture dashboard: per-source doc/token counts, token share, "
+    "uniform-target rebalance weight (in-plan scalar totals)",
+)(sampling.domain_mix)
 
 # --------------------------------------------------------------------------
 # Multimodal columns (binary payloads + Pandas-UDF decode plumbing)
@@ -894,14 +939,15 @@ CORRECTNESS_WINDOW = [
     "mm_feature_extract",
     "ann_topk_lsh",
     "dedup_ngram_jaccard_capped",
-    # 39-50: north-star canaries
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_embedding_cosine",
-    "text_curation_pipeline",
-    "text_decontaminate",
-    "text_heavy_hitters",
-    "sample_stratified",
+    # 39-45: first driver check for this round's new operators
+    "dedup_dup_spans",
+    "text_quality_classifier",
+    "ann_topk_multiprobe",
+    "embedding_quantize",
+    "ann_topk_quantized",
+    "docs_shuffle_shard",
+    "text_domain_mix",
+    # 46-50: north-star canaries (r2-green, regression watch)
     "mm_ann_topk",
     "scd2_customer_priority",
     "join_asof_events",

@@ -89,3 +89,30 @@ def test_leakage_safe_split_never_straddles_near_dup_pairs(spark, sf_dir):
     assert pairs, "fixture has no near-dup pairs"
     for p in pairs:
         assert by_doc[p.doc_a] == by_doc[p.doc_b], (p.doc_a, p.doc_b)
+
+
+def test_dup_span_stats_planted_fixture(spark):
+    """A doc sharing one 8-word span with another must count exactly the
+    shared spans; a unique doc must count zero; a doc shorter than the
+    span length gets n_spans = 0 and keep = True."""
+    from streamprocessing_with_kafka_spark.operators.dedup import (
+        DUP_SPAN_N,
+        dup_span_stats_frame,
+    )
+
+    shared = " ".join(f"s{i}" for i in range(DUP_SPAN_N))  # exactly one span
+    docs = spark.createDataFrame(
+        [
+            (0, shared + " tail0 tail1"),          # 3 spans, 1 shared
+            (1, "head0 head1 " + shared),          # 3 spans, 1 shared
+            (2, " ".join(f"u{i}" for i in range(12))),  # unique, 5 spans
+            (3, "too short"),                      # < DUP_SPAN_N tokens
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in dup_span_stats_frame(docs).collect()}
+    assert got[0].n_spans == 3 and got[0].n_dup_spans == 1
+    assert got[1].n_spans == 3 and got[1].n_dup_spans == 1
+    assert got[2].n_spans == 5 and got[2].n_dup_spans == 0
+    assert got[3].n_spans == 0 and got[3].n_dup_spans == 0 and got[3].keep
+    assert got[0].dup_frac == round(1 / 3, 6)

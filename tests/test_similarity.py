@@ -124,3 +124,63 @@ def test_ann_topk_lsh_plan_is_equi_join(spark, sf_dir):
 
     plan = _plan(spark, ann_topk_lsh(spark, sf_dir))
     assert not re.search(r"BroadcastNestedLoopJoin|CartesianProduct", plan), plan
+
+
+def test_multiprobe_recall_dominates_single_probe(spark, sf_dir):
+    """Multi-probe must (a) return a superset-or-equal candidate quality:
+    recall vs brute force >= the single-probe path, and (b) stay exactly
+    reranked (scores identical to brute force for returned pairs)."""
+    from streamprocessing_with_kafka_spark.operators.similarity import (
+        ann_topk_bruteforce,
+        ann_topk_lsh,
+        ann_topk_multiprobe,
+    )
+
+    bf = {(r.q_id, r.n_id): r.cosine for r in ann_topk_bruteforce(spark, sf_dir).collect()}
+    single = {(r.q_id, r.n_id) for r in ann_topk_lsh(spark, sf_dir).collect()}
+    multi = {(r.q_id, r.n_id): r.cosine for r in ann_topk_multiprobe(spark, sf_dir).collect()}
+    assert multi, "multi-probe returned nothing"
+    r_single = len(single & set(bf)) / len(bf)
+    r_multi = len(set(multi) & set(bf)) / len(bf)
+    assert r_multi >= r_single, (r_multi, r_single)
+    assert r_multi >= 0.4, f"multi-probe recall {r_multi:.3f}"
+    for pair, cos in multi.items():
+        if pair in bf:
+            assert bf[pair] == cos, pair
+
+
+def test_quantized_codes_in_int8_range(spark, sf_dir):
+    """Every emitted code must fit signed int8 (that is the 4x memory
+    claim); norms must be exact integer sums of squares."""
+    from streamprocessing_with_kafka_spark.operators.similarity import (
+        embedding_quantize,
+    )
+
+    rows = embedding_quantize(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        codes = [int(c) for c in r.q_codes.split(",")]
+        assert all(-127 <= c <= 127 for c in codes), r.vec_id
+        assert r.q_norm2 == sum(c * c for c in codes), r.vec_id
+        assert r.scale > 0
+
+
+def test_quantized_cosine_error_bound(spark, sf_dir):
+    """int8 quantized cosine must track the float cosine: max abs error
+    over all candidate pairs <= 0.02 (analytic bound ~ 2*sqrt(d)/127/||x||
+    for 64-dim unit-ish vectors), and top-k overlap with the float-rerank
+    LSH path stays high."""
+    from streamprocessing_with_kafka_spark.operators.similarity import (
+        ann_topk_lsh,
+        ann_topk_quantized,
+    )
+
+    fl = {(r.q_id, r.n_id): r.cosine for r in ann_topk_lsh(spark, sf_dir).collect()}
+    qz = {(r.q_id, r.n_id): r.cosine_q for r in ann_topk_quantized(spark, sf_dir).collect()}
+    assert qz, "quantized ANN returned nothing"
+    both = set(fl) & set(qz)
+    assert both, "no overlapping pairs to compare"
+    max_err = max(abs(fl[p] - qz[p]) for p in both)
+    assert max_err <= 0.02, f"max quantization error {max_err}"
+    overlap = len(both) / len(fl)
+    assert overlap >= 0.6, f"top-k overlap {overlap:.2f}"
