@@ -92,15 +92,20 @@ def family_hashes(col: Column, n: int) -> list[Column]:
     return family_hashes_from_h(md5_long(col), n)
 
 
+def family_hash_one(h: Column, p: int, n: int) -> Column:
+    """Permutation p of the n-member family, applied to a 60-bit hash
+    column. Usable inside higher-order-function lambdas (array transform),
+    which is how the streaming twin computes per-row signature mins."""
+    m, a, b, c = hash_family(n)[p]
+    hm = h.bitwiseXOR(F.lit(m))
+    hi = F.shiftright(hm, 30)
+    lo = hm.bitwiseAND(F.lit(_LO_MASK))
+    return (F.lit(a) * hi + F.lit(b) * lo + F.lit(c)) % F.lit(MERSENNE61)
+
+
 def family_hashes_from_h(h: Column, n: int) -> list[Column]:
     """n independent hashes from an already-computed 60-bit hash column."""
-    out = []
-    for m, a, b, c in hash_family(n):
-        hm = h.bitwiseXOR(F.lit(m))
-        hi = F.shiftright(hm, 30)
-        lo = hm.bitwiseAND(F.lit(_LO_MASK))
-        out.append((F.lit(a) * hi + F.lit(b) * lo + F.lit(c)) % F.lit(MERSENNE61))
-    return out
+    return [family_hash_one(h, p, n) for p in range(n)]
 
 
 def family_hashes_sql(h_expr: str, n: int) -> list[str]:
