@@ -143,30 +143,32 @@ def domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     `weighted_mix`-style keep rates are derived from in a DoReMi-shaped
     loop).
 
-    Scale: one map-side-combinable groupBy over the scan; the corpus
-    totals come back as a broadcast single-row join (in-plan scalar, no
-    driver round-trip), so the whole thing is one job, two exchanges,
-    both tiny after partial aggregation."""
+    Scale: one map-side-combinable groupBy over ONE corpus scan; the
+    totals are an unpartitioned window over the already-aggregated
+    |sources|-row frame (a crossJoin-scalar here would re-derive the
+    aggregate subtree and scan the corpus twice), so the only wide ops
+    are the source shuffle plus a |sources|-row single-partition hop."""
     d = load_table(spark, sf_dir, "documents")
     per = d.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size(F.split("text", " "))).alias("n_tokens"),
     )
-    tot = per.agg(
-        F.sum("n_tokens").alias("tot_tokens"),
-        F.count(F.lit(1)).alias("n_sources"),
+    w = Window.partitionBy()
+    totaled = per.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.sum("n_tokens").over(w).alias("tot_tokens"),
+        F.count(F.lit(1)).over(w).alias("n_sources"),
     )
     share = F.col("n_tokens") / F.col("tot_tokens").cast("double")
     target = F.lit(1.0) / F.col("n_sources").cast("double")
-    return (
-        per.crossJoin(F.broadcast(tot))
-        .select(
-            "source",
-            "n_docs",
-            "n_tokens",
-            F.round(share, 6).alias("token_share"),
-            F.round(target / share, 6).alias("rebalance_weight"),
-        )
+    return totaled.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(share, 6).alias("token_share"),
+        F.round(target / share, 6).alias("rebalance_weight"),
     )
 
 
@@ -176,11 +178,15 @@ WITH per AS (
          CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
   FROM documents GROUP BY 1
 ),
-tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot_tokens,
-               COUNT(*) AS n_sources FROM per)
+totaled AS (
+  SELECT source, n_docs, n_tokens,
+         CAST(SUM(n_tokens) OVER () AS BIGINT) AS tot_tokens,
+         COUNT(*) OVER () AS n_sources
+  FROM per
+)
 SELECT source, n_docs, n_tokens,
        round(n_tokens / CAST(tot_tokens AS DOUBLE), 6) AS token_share,
        round((1.0 / CAST(n_sources AS DOUBLE))
              / (n_tokens / CAST(tot_tokens AS DOUBLE)), 6) AS rebalance_weight
-FROM per CROSS JOIN tot
+FROM totaled
 """

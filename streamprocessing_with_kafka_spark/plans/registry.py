@@ -18,6 +18,7 @@ from streamprocessing_with_kafka_spark.functions.numeric import dec_sum, dec_sum
 from streamprocessing_with_kafka_spark.operators import (
     analytics,
     bucketing,
+    compose,
     crud,
     decontaminate,
     dedup,
@@ -464,8 +465,14 @@ register(
     "text_domain_mix",
     sampling.DOMAIN_MIX_SQL,
     doc="data-mixture dashboard: per-source doc/token counts, token share, "
-    "uniform-target rebalance weight (in-plan scalar totals)",
+    "uniform-target rebalance weight (window totals, one corpus scan)",
 )(sampling.domain_mix)
+register(
+    "pipeline_curate_shard",
+    compose.CURATE_SHARD_SQL,
+    doc="v2 curation flagship: learned quality gate + cross-doc dup-span "
+    "gate + decontamination gate -> reproducible shuffle-shard, one query",
+)(compose.curate_shard_pipeline)
 
 # --------------------------------------------------------------------------
 # Multimodal columns (binary payloads + Pandas-UDF decode plumbing)
@@ -947,11 +954,12 @@ CORRECTNESS_WINDOW = [
     "ann_topk_quantized",
     "docs_shuffle_shard",
     "text_domain_mix",
-    # 46-50: north-star canaries (r2-green, regression watch)
+    # 46: this round's composed flagship
+    "pipeline_curate_shard",
+    # 47-50: north-star canaries (r2-green, regression watch)
     "mm_ann_topk",
     "scd2_customer_priority",
     "join_asof_events",
-    "events_gapfill",
     "agg_priority_line_counts",
 ]
 

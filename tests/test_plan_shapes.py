@@ -308,3 +308,63 @@ def test_text_ann_topk_scores_on_one_partitioning(spark, sf_dir):
     assert plan.count("InMemoryTableScan") >= 1, plan  # slot frame cached
     n = _n_distinct_shuffles(plan)
     assert n <= 5, f"{n} distinct shuffles\n{plan}"
+
+
+def test_quality_classifier_is_shuffle_free(spark, sf_dir):
+    """The hashed-logistic classifier is a per-row expression pipeline: an
+    Exchange would shuffle the corpus for a per-doc score."""
+    plan = _plan(spark, text.quality_classifier(spark, sf_dir))
+    assert "Exchange" not in plan, plan
+
+
+def test_shuffle_shard_is_one_exchange(spark, sf_dir):
+    """Shard + position must cost exactly ONE shuffle (keyed on shard) --
+    a global sort (Exchange range) here would serialize the corpus."""
+    plan = _plan(spark, sampling.shuffle_shard(spark, sf_dir))
+    assert _n_shuffles(plan) == 1, plan
+    assert "Exchange range" not in plan, plan
+
+
+def test_domain_mix_scans_corpus_once(spark, sf_dir):
+    """Totals ride an unpartitioned window over the aggregated frame: ONE
+    FileScan of documents and at most two exchanges (source shuffle +
+    |sources|-row single-partition hop). A crossJoin-scalar formulation
+    scans the corpus twice -- the regression this pins out."""
+    plan = _plan(spark, sampling.domain_mix(spark, sf_dir))
+    assert plan.count("FileScan parquet") == 1, plan
+    assert _n_shuffles(plan) <= 2, plan
+
+
+def test_dup_spans_has_no_doc_self_join(spark, sf_dir):
+    """Exact-substring detection must never theta-join documents against
+    documents: candidates are blocked through the span-hash df table."""
+    from streamprocessing_with_kafka_spark.operators import dedup
+
+    plan = _plan(spark, dedup.dup_span_stats(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_quantized_and_multiprobe_ann_stay_equi_joined(spark, sf_dir):
+    """Both new ANN variants must keep candidate generation an equi-join
+    on (band, band_key) -- no nested-loop fallback at any scale."""
+    from streamprocessing_with_kafka_spark.operators import similarity
+
+    for fn in (similarity.ann_topk_multiprobe, similarity.ann_topk_quantized):
+        plan = _plan(spark, fn(spark, sf_dir))
+        assert not re.search(r"BroadcastNestedLoopJoin|CartesianProduct", plan), (
+            fn.__name__,
+            plan,
+        )
+
+
+def test_curate_shard_pipeline_no_theta_joins(spark, sf_dir):
+    """The composed curation flagship stays equi-joined end to end (gate
+    frames join on doc_id; candidates block through hash tables) -- and
+    its shuffle budget stays at the sum of its parts, no blow-up from the
+    composition."""
+    from streamprocessing_with_kafka_spark.operators import compose
+
+    plan = _plan(spark, compose.curate_shard_pipeline(spark, sf_dir))
+    assert not re.search(r"BroadcastNestedLoopJoin|CartesianProduct", plan), plan
+    assert _n_shuffles(plan) <= 8, plan
