@@ -100,3 +100,41 @@ def test_pipeline_invariants(spark, rows):
     again = _run(spark, rows)
     canon = lambda rs: sorted(tuple(str(v) for v in r) for r in rs)
     assert canon(out) == canon(again)
+
+
+# ---------------------- round-3 primitive properties (pure Python, fast)
+
+
+@settings(deadline=None)  # first call pays the module import
+@given(st.text(min_size=1, max_size=40), st.integers(6, 20))
+def test_bloom_positions_properties(fp, log2_bits):
+    """k positions: in range, deterministic, and the double-hashing step
+    is odd (full period) so positions are not all identical."""
+    from streamprocessing_with_kafka_spark.streaming.bloom_dedup import (
+        BLOOM_K,
+        bloom_positions,
+    )
+
+    n_bits = 1 << log2_bits
+    pos = bloom_positions(fp, n_bits)
+    assert len(pos) == BLOOM_K
+    assert all(0 <= p < n_bits for p in pos)
+    assert pos == bloom_positions(fp, n_bits)
+
+
+@given(
+    st.lists(
+        st.floats(min_value=-10, max_value=10, allow_nan=False, width=32),
+        min_size=4,
+        max_size=64,
+    )
+)
+def test_int8_quantizer_reference_properties(vec):
+    """The floor(x*127/scale + 0.5) formula: codes in [-127, 127] and
+    per-component reconstruction error <= scale/127 (half a step each
+    way, plus the scale floor for all-zero vectors)."""
+    scale = max(max(abs(x) for x in vec), 1e-30)
+    codes = [math.floor(x * 127 / scale + 0.5) for x in vec]
+    assert all(-127 <= c <= 127 for c in codes)
+    for x, c in zip(vec, codes):
+        assert abs(c * scale / 127 - x) <= scale / 127 + 1e-12
