@@ -80,6 +80,57 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = '{RIGHT_TYPE}') v
   ON p.user_id = v.user_id AND p.ts >= v.ts
 """
 
+#: as-of match window: a view older than this is stale context, not a match
+#: (48 h splits the fixture's match-age distribution near its median, so
+#: the bound provably binds without going vacuous either way)
+ASOF_TOLERANCE_S = 172_800
+
+
+def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a staleness bound (pandas merge_asof(tolerance=),
+    kdb wj): the most recent view at-or-before the purchase counts ONLY
+    if it is at most ASOF_TOLERANCE_S old -- otherwise the purchase keeps
+    null view columns. Correct by construction: if the nearest preceding
+    view is out of tolerance, every earlier one is too.
+
+    Plan is the same single shuffle as `asof_join_events` (one window
+    over user_id, tolerance applied as a post-window null-out) -- the
+    bound adds zero exchanges. A microsecond-exact integer timestamp
+    difference keeps the predicate engine-deterministic."""
+    base = asof_join_events(spark, sf_dir)
+    # ts is TIMESTAMP_NTZ; unix_micros needs TIMESTAMP. The session zone
+    # is pinned UTC, so the cast is a type change, not a value change.
+    age_us = F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(
+        F.col("view_ts").cast("timestamp")
+    )
+    fresh = F.col("view_ts").isNotNull() & (
+        age_us <= ASOF_TOLERANCE_S * 1_000_000
+    )
+    return base.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.when(fresh, F.col("view_ts")).alias("view_ts"),
+        F.when(fresh, F.col("view_value")).alias("view_value"),
+    )
+
+
+ASOF_JOIN_TOLERANCE_SQL = f"""
+SELECT event_id, user_id, ts, value,
+       CASE WHEN fresh THEN view_ts END AS view_ts,
+       CASE WHEN fresh THEN view_value END AS view_value
+FROM (
+  SELECT p.event_id, p.user_id, p.ts, p.value, v.ts AS view_ts,
+         v.value AS view_value,
+         v.ts IS NOT NULL AND epoch_us(p.ts) - epoch_us(v.ts)
+           <= {ASOF_TOLERANCE_S}::BIGINT * 1000000 AS fresh
+  FROM (SELECT * FROM events WHERE event_type = '{LEFT_TYPE}') p
+  ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = '{RIGHT_TYPE}') v
+    ON p.user_id = v.user_id AND p.ts >= v.ts
+)
+"""
+
 # --------------------------------------------------------------- range join
 
 INTERVAL_TYPE = "signup"

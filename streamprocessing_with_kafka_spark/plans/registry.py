@@ -527,6 +527,12 @@ register(
     doc="as-of join via single-shuffle running-last window (oracle: native ASOF JOIN)",
 )(joins.asof_join_events)
 register(
+    "join_asof_tolerance",
+    joins.ASOF_JOIN_TOLERANCE_SQL,
+    doc="as-of join with a staleness bound (merge_asof tolerance / kdb wj): "
+    "same single shuffle, microsecond-exact post-window null-out",
+)(joins.asof_join_tolerance)
+register(
     "join_range_events",
     joins.RANGE_JOIN_EVENTS_SQL,
     doc="interval-containment join via bucketed equi-join (oracle: inequality join)",
@@ -956,10 +962,11 @@ CORRECTNESS_WINDOW = [
     "text_domain_mix",
     # 46: this round's composed flagship
     "pipeline_curate_shard",
-    # 47-50: north-star canaries (r2-green, regression watch)
+    # 47: tolerance as-of (new; supersets the join_asof_events code path)
+    "join_asof_tolerance",
+    # 48-50: north-star canaries (r2-green, regression watch)
     "mm_ann_topk",
     "scd2_customer_priority",
-    "join_asof_events",
     "agg_priority_line_counts",
 ]
 

@@ -368,3 +368,13 @@ def test_curate_shard_pipeline_no_theta_joins(spark, sf_dir):
     plan = _plan(spark, compose.curate_shard_pipeline(spark, sf_dir))
     assert not re.search(r"BroadcastNestedLoopJoin|CartesianProduct", plan), plan
     assert _n_shuffles(plan) <= 8, plan
+
+
+def test_asof_tolerance_adds_no_exchange(spark, sf_dir):
+    """The staleness bound is a post-window null-out: byte-for-byte the
+    same single shuffle as the unbounded as-of join."""
+    from streamprocessing_with_kafka_spark.operators import joins
+
+    base = _plan(spark, joins.asof_join_events(spark, sf_dir))
+    tol = _plan(spark, joins.asof_join_tolerance(spark, sf_dir))
+    assert _n_shuffles(tol) == _n_shuffles(base) == 1, (base, tol)
