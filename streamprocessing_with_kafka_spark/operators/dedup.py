@@ -691,6 +691,28 @@ def embedding_near_dup(
 
 EMBEDDING_NEAR_DUP_SQL = embedding_near_dup_lsh_sql(0.4)
 
+#: demo-scale hot-bucket cap for the REGISTERED capped query: the p99 of
+#: the fixture's bucket-size distribution (median 31, p90 ~42, max 56),
+#: so only the genuinely hot tail drops -- the driver row proves the
+#: capped semantics BINDS without gutting recall; a sized production
+#: index caps orders of magnitude higher
+CAPPED_MAX_BUCKET = 48
+
+
+def embedding_near_dup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION plan for embedding near-dup: identical to
+    embedding_near_dup but with the hot-bucket cap ON, so a degenerate
+    (band, band_key) bucket can never turn the candidate equi-join
+    quadratic (the embedding-space twin of the jaccard `max_shingle_df`
+    cap). Survivors still pay the exact cosine -- precision 1; the recall
+    contract is documented on similarity.embedding_near_dup_lsh."""
+    return embedding_near_dup_lsh(
+        spark, sf_dir, max_bucket_size=CAPPED_MAX_BUCKET
+    )
+
+
+EMBEDDING_NEAR_DUP_CAPPED_SQL = embedding_near_dup_lsh_sql(0.4, CAPPED_MAX_BUCKET)
+
 # --------------------------------- dedup-aware (leakage-safe) data split
 
 

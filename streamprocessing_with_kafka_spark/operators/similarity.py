@@ -95,7 +95,10 @@ def _band_key(v: Column, band: int) -> Column:
 
 
 def embedding_near_dup_lsh(
-    spark: SparkSession, sf_dir: str, threshold: float = 0.4
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.4,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-dup vector pairs (cosine >= threshold) via banded
     random-hyperplane LSH -- the scale path that replaces the all-pairs
@@ -113,7 +116,17 @@ def embedding_near_dup_lsh(
 
     Scale tuning: buckets per band = 2^DUP_BAND_BITS must grow with the
     corpus (16 buckets suits the demo table; at 10^9 vectors use 16-20
-    bits and more bands to hold recall) -- the plan shape is unchanged."""
+    bits and more bands to hold recall) -- the plan shape is unchanged.
+    `max_bucket_size` is the complementary production knob (the
+    embedding-space twin of jaccard's `max_shingle_df`): a bucket holding
+    s vectors emits O(s^2) candidate pairs, so when bucket granularity
+    has not kept up with the corpus, one hot bucket turns the equi-join
+    quadratic. Capping drops WHOLE overweight (band, band_key) buckets
+    before pairing (one extra map-side-combinable count over the keys
+    frame); a qualifying pair is lost only if EVERY band it collides in
+    is hot -- for a sized index that means degenerate near-center
+    vectors. Precision stays 1 (survivors still pay the exact cosine);
+    default off so the registered oracle stays exact."""
     e = load_table(spark, sf_dir, "embeddings")
     v = F.col("embedding")
     keys = e.select(
@@ -132,6 +145,14 @@ def embedding_near_dup_lsh(
     ).select(
         "vec_id", "embedding", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
     )
+    if max_bucket_size is not None:
+        light = (
+            keys.groupBy("band", "band_key")
+            .agg(F.count(F.lit(1)).alias("_s"))
+            .filter(F.col("_s") <= max_bucket_size)
+            .select("band", "band_key")
+        )
+        keys = keys.join(light, ["band", "band_key"])
     a, b = keys.alias("a"), keys.alias("b")
     cand = (
         a.join(
@@ -163,19 +184,31 @@ def _band_key_sql(vexpr: str, band: int) -> str:
     return f"({bits})"
 
 
-def embedding_near_dup_lsh_sql(threshold: float = 0.4) -> str:
+def embedding_near_dup_lsh_sql(
+    threshold: float = 0.4, max_bucket_size: int | None = None
+) -> str:
     keys_union = "\n  UNION ALL\n".join(
         f"  SELECT vec_id, v, {b} AS band, {_band_key_sql('v', b)} AS band_key FROM e"
         for b in range(N_DUP_BANDS)
     )
+    cap_ctes = ""
+    keys_src = "keys"
+    if max_bucket_size is not None:
+        cap_ctes = f"""light AS (
+  SELECT band, band_key FROM keys
+  GROUP BY 1, 2 HAVING COUNT(*) <= {max_bucket_size}
+),
+keysc AS (SELECT keys.* FROM keys JOIN light USING (band, band_key)),
+"""
+        keys_src = "keysc"
     return f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 keys AS (
 {keys_union}
 ),
-cand AS (
+{cap_ctes}cand AS (
   SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-  FROM keys a JOIN keys b
+  FROM {keys_src} a JOIN {keys_src} b
     ON a.band = b.band AND a.band_key = b.band_key AND a.vec_id < b.vec_id
 )
 SELECT vec_a, vec_b,
@@ -222,16 +255,27 @@ WHERE rank <= {TOP_K}
 # ------------------------------------------------ random-hyperplane LSH
 
 
+def _hyperplane_values(p: int) -> list[float]:
+    """Plane p's components, computed at PLAN-BUILD time with the same
+    md5 derivation the SQL twin runs: (md5_60bit('hp|p|c') % 2001 - 1000)
+    / 1000. Python's hashlib and the engines' md5 agree by definition, so
+    the values are identical -- but folding them here matters for speed:
+    as a runtime expression the 64-element transform re-hashed DIM md5s
+    PER ROW PER PLANE (Catalyst does not constant-fold through a
+    higher-order lambda), which measured ~6 s at sf0.1 on the ANN paths;
+    as literals the planes cost nothing."""
+    import hashlib
+
+    return [
+        (int(hashlib.md5(f"hp|{p}|{c}".encode()).hexdigest()[:15], 16) % 2001 - 1000)
+        / 1000.0
+        for c in range(DIM)
+    ]
+
+
 def _hyperplane(p: int) -> Column:
-    """Deterministic pseudo-random hyperplane p: components are md5-derived
-    rationals in [-1, 1] -- identical in the SQL twin."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(DIM - 1)),
-        lambda c: (
-            md5_long(F.concat(F.lit(f"hp|{p}|"), c.cast("string"))) % 2001 - 1000
-        ).cast("double")
-        / 1000.0,
-    )
+    """Deterministic pseudo-random hyperplane p as a literal array."""
+    return F.array(*[F.lit(v) for v in _hyperplane_values(p)])
 
 
 def _hyperplane_sql(p: int) -> str:

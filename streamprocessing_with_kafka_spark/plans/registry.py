@@ -330,6 +330,13 @@ register(
     "min-label propagation (oracle: recursive-CTE reachability)",
 )(dedup.dedup_cluster_keepers)
 register(
+    "dedup_embedding_cosine_capped",
+    dedup.EMBEDDING_NEAR_DUP_CAPPED_SQL,
+    doc="the PRODUCTION embedding near-dup plan: hot-bucket cap ON (oracle "
+    "applies the identical bucket filter), precision-1 subset of the "
+    "uncapped pairs",
+)(dedup.embedding_near_dup_capped)
+register(
     "dedup_dup_spans",
     dedup.DUP_SPAN_STATS_SQL,
     doc="exact-substring (word 8-gram) cross-document duplication per doc "
@@ -962,11 +969,11 @@ CORRECTNESS_WINDOW = [
     "text_domain_mix",
     # 46: this round's composed flagship
     "pipeline_curate_shard",
-    # 47: tolerance as-of (new; supersets the join_asof_events code path)
+    # 47-48: new this round; supersets of r2-green code paths
     "join_asof_tolerance",
-    # 48-50: north-star canaries (r2-green, regression watch)
+    "dedup_embedding_cosine_capped",
+    # 49-50: north-star canaries (r2-green, regression watch)
     "mm_ann_topk",
-    "scd2_customer_priority",
     "agg_priority_line_counts",
 ]
 

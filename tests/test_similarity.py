@@ -184,3 +184,27 @@ def test_quantized_cosine_error_bound(spark, sf_dir):
     assert max_err <= 0.02, f"max quantization error {max_err}"
     overlap = len(both) / len(fl)
     assert overlap >= 0.6, f"top-k overlap {overlap:.2f}"
+
+
+def test_capped_near_dup_is_precision_one_subset(spark, sf_dir):
+    """The hot-bucket cap may only LOSE pairs, never invent or re-score
+    them; at the fixture's p99 cap the loss stays small (recall >= 0.8)
+    and nonzero (the cap provably binds)."""
+    from streamprocessing_with_kafka_spark.operators.dedup import (
+        embedding_near_dup,
+        embedding_near_dup_capped,
+    )
+
+    full = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in embedding_near_dup(spark, sf_dir).collect()
+    }
+    capped = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in embedding_near_dup_capped(spark, sf_dir).collect()
+    }
+    assert capped, "capped plan returned nothing"
+    for pair, cos in capped.items():
+        assert full.get(pair) == cos, pair
+    recall = len(capped) / len(full)
+    assert 0.8 <= recall < 1.0, f"recall {recall:.3f} (cap should bind, not gut)"
