@@ -190,3 +190,68 @@ SELECT source, n_docs, n_tokens,
              / (n_tokens / CAST(tot_tokens AS DOUBLE)), 6) AS rebalance_weight
 FROM totaled
 """
+
+# -------------------------------------------- temperature mixture sampling
+
+#: mixture temperature: T=1 keeps the natural distribution, T->inf tends
+#: to uniform. 2.0 is the classic multilingual-pretraining setting.
+MIX_TEMPERATURE = 2.0
+
+
+def temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened source mixture (the p_i^(1/T) re-weighting of
+    multilingual/multi-domain pretraining): per-source keep rates are
+    derived IN-PLAN from the corpus's own token shares -- rate_i ∝
+    share_i^(1/T) / share_i, scaled so the most up-weighted source keeps
+    everything -- then applied as the same deterministic hash-fraction
+    filter as `weighted_mix`. Head sources are thinned, tail sources kept,
+    expected post-sample shares ∝ share^(1/T).
+
+    Scale: one map-side-combinable aggregate derives the rates
+    (|sources| rows), broadcast back onto the corpus scan -- no second
+    corpus pass, no driver round-trip, retry-stable (no rand()). Rates
+    are rounded to 6dp BEFORE the keep comparison so the float pow() is
+    pinned to a cross-engine-stable boundary."""
+    d = load_table(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).alias("n_tokens")
+    )
+    w_all = Window.partitionBy()
+    share = F.col("n_tokens") / F.sum("n_tokens").over(w_all).cast("double")
+    rel = F.pow(share, 1.0 / MIX_TEMPERATURE) / share
+    rates = per.select(
+        "source",
+        F.round(rel / F.max(rel).over(w_all), 6).alias("keep_rate"),
+    )
+    u = md5_long(F.concat(F.lit("temp|"), F.col("doc_id").cast("string"))) / F.lit(
+        _TWO60
+    )
+    return (
+        d.join(F.broadcast(rates), "source")
+        .select("doc_id", "source", "keep_rate", u.alias("u_exact"))
+        .filter(F.col("u_exact") < F.col("keep_rate"))
+        .select("doc_id", "source", "keep_rate", F.round("u_exact", 6).alias("u"))
+    )
+
+
+_TEMP_U = f"{md5_long_sql(chr(39) + 'temp|' + chr(39) + ' || CAST(doc_id AS VARCHAR)')} / CAST({1 << 60} AS DOUBLE)"
+
+TEMPERATURE_SAMPLE_SQL = f"""
+WITH per AS (
+  SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY 1
+),
+rel AS (
+  SELECT source,
+         pow(n_tokens / CAST(SUM(n_tokens) OVER () AS DOUBLE), 1.0 / {MIX_TEMPERATURE})
+           / (n_tokens / CAST(SUM(n_tokens) OVER () AS DOUBLE)) AS r
+  FROM per
+),
+rates AS (SELECT source, round(r / MAX(r) OVER (), 6) AS keep_rate FROM rel),
+u AS (
+  SELECT d.doc_id, d.source, rates.keep_rate, {_TEMP_U} AS u_exact
+  FROM documents d JOIN rates USING (source)
+)
+SELECT doc_id, source, keep_rate, round(u_exact, 6) AS u
+FROM u WHERE u_exact < keep_rate
+"""

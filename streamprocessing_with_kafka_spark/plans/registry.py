@@ -463,6 +463,12 @@ register(
     "rates dim, narrow-map filter",
 )(sampling.weighted_mix)
 register(
+    "sample_temperature",
+    sampling.TEMPERATURE_SAMPLE_SQL,
+    doc="temperature-flattened source mixture (p^(1/T) re-weighting): "
+    "in-plan derived keep rates, broadcast back, deterministic hash filter",
+)(sampling.temperature_sample)
+register(
     "docs_shuffle_shard",
     sampling.SHUFFLE_SHARD_SQL,
     doc="global training shuffle without a global sort: md5 shard + "
@@ -969,11 +975,11 @@ CORRECTNESS_WINDOW = [
     "text_domain_mix",
     # 46: this round's composed flagship
     "pipeline_curate_shard",
-    # 47-48: new this round; supersets of r2-green code paths
+    # 47-49: new this round; supersets of r2-green code paths
     "join_asof_tolerance",
     "dedup_embedding_cosine_capped",
-    # 49-50: north-star canaries (r2-green, regression watch)
-    "mm_ann_topk",
+    "sample_temperature",
+    # 50: north-star canary (r1-red -> r2-green, keep watching)
     "agg_priority_line_counts",
 ]
 

@@ -62,3 +62,31 @@ def test_domain_mix_shares_and_weights(spark, sf_dir):
         assert r.rebalance_weight > 0
         # weight * share == target (uniform) up to rounding
         assert abs(r.rebalance_weight * r.token_share - 1.0 / len(rows)) < 1e-4
+
+
+def test_temperature_sample_rates_flatten_token_shares(spark, sf_dir):
+    """keep_rate must be ANTITONE in the source's token share (share^(1/T-1)
+    with T>1 decreases in share): the biggest source gets the smallest
+    rate, the smallest source anchors at exactly 1.0."""
+    from pyspark.sql import functions as F2
+
+    from streamprocessing_with_kafka_spark.operators.sampling import (
+        temperature_sample,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    tokens = {
+        r.source: r.n
+        for r in d.groupBy("source")
+        .agg(F2.sum(F2.size(F2.split("text", " "))).alias("n"))
+        .collect()
+    }
+    rows = temperature_sample(spark, sf_dir).collect()
+    rates = {r.source: r.keep_rate for r in rows}
+    assert max(rates.values()) == 1.0
+    assert min(rates, key=rates.get) == max(tokens, key=tokens.get)
+    assert max(rates, key=rates.get) == min(tokens, key=tokens.get)
+    by_share = sorted(rates, key=tokens.get)
+    assert [rates[s] for s in by_share] == sorted(rates.values(), reverse=True)
+    for r in rows:
+        assert 0.0 < r.keep_rate <= 1.0
