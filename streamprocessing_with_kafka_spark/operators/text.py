@@ -735,3 +735,77 @@ FROM (
   FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
 )
 """
+
+
+# ------------------------- bigram LM scoring (conditional perplexity proxy)
+
+
+def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document average bigram negative log-likelihood under an
+    add-one-smoothed corpus model: NLL of P(w_i | w_{i-1}) averaged over
+    positions 2..n. The conditional upgrade of `unigram_logprob` -- it
+    penalizes improbable token TRANSITIONS (shuffled/garbled text scores
+    high even when every token is common), which is what LM-perplexity
+    quality filters actually measure.
+
+    Scale shape: bigram occurrences explode once (positions, not
+    distinct); their count table aggregates map-side-combinably and the
+    scoring join is an EQUI-join on the bigram key -- at 100 TB the
+    bigram table outgrows broadcast range, so it shuffles, which is the
+    honest plan (the context/unigram table stays broadcast). Per-pair
+    logs quantize to DECIMAL(28,10) before summing, so the per-doc sum
+    is partition-order-independent and engine-exact."""
+    d = load_table(spark, sf_dir, "documents")
+    w = _tokens()
+    pairs = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(2), F.size(w)),
+                lambda i: F.struct(
+                    F.element_at(w, i - 1).alias("w_prev"),
+                    F.element_at(w, i).alias("w"),
+                ),
+            )
+        ).alias("bg"),
+    ).select("doc_id", F.col("bg.w_prev").alias("w_prev"), F.col("bg.w").alias("w"))
+    toks = d.select(F.explode(w).alias("term"))
+    ctx = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c1"))
+    vocab_n = ctx.agg(F.count(F.lit(1)).alias("v"))
+    big = pairs.groupBy("w_prev", "w").agg(F.count(F.lit(1)).alias("c2"))
+    p = (F.col("c2") + 1) / (F.col("c1") + F.col("v")).cast("double")
+    nll = (-F.log(p)).cast("decimal(28,10)")
+    return (
+        pairs.join(big, ["w_prev", "w"])
+        .join(F.broadcast(ctx), F.col("w_prev") == F.col("term"))
+        .crossJoin(F.broadcast(vocab_n))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.sum(nll).cast("double") / F.count(F.lit(1)).cast("double"), 6
+            ).alias("avg_bigram_nll"),
+        )
+    )
+
+
+BIGRAM_LOGPROB_SQL = f"""
+WITH pairs AS (
+  SELECT doc_id, w[i-1] AS w_prev, w[i] AS w
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       UNNEST(range(2, len(w) + 1)) AS t(i)
+),
+ctx AS (
+  SELECT term, count(*) AS c1
+  FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+  GROUP BY term
+),
+vocab_n AS (SELECT count(*) AS v FROM ctx),
+big AS (SELECT w_prev, w, count(*) AS c2 FROM pairs GROUP BY 1, 2)
+SELECT doc_id, count(*) AS n_bigrams,
+  {_round_sql("CAST(CAST(SUM(CAST(-ln((c2 + 1) / CAST(c1 + v AS DOUBLE)) AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) / count(*)", 6)} AS avg_bigram_nll
+FROM pairs
+JOIN big USING (w_prev, w)
+JOIN ctx ON pairs.w_prev = ctx.term, vocab_n
+GROUP BY doc_id
+"""

@@ -386,6 +386,13 @@ register("text_token_count", text.TOKEN_COUNT_SQL, doc="whitespace + BPE-ish reg
 register("text_lang_id", text.LANG_ID_SQL, doc="stopword-ratio language-ID heuristic")(text.lang_id)
 register("text_quality_score", text.QUALITY_SCORE_SQL, doc="composite length/punctuation/stopword quality score")(text.quality_score)
 register(
+    "text_bigram_logprob",
+    text.BIGRAM_LOGPROB_SQL,
+    doc="per-doc avg bigram NLL under an add-one corpus LM (conditional "
+    "perplexity proxy: penalizes improbable transitions); decimal-exact "
+    "log sums, bigram-table equi-join",
+)(text.bigram_logprob)
+register(
     "text_quality_classifier",
     text.QUALITY_CLASSIFIER_SQL,
     doc="fastText-shaped learned quality filter: logistic over a hashed "
@@ -975,13 +982,18 @@ CORRECTNESS_WINDOW = [
     "text_domain_mix",
     # 46: this round's composed flagship
     "pipeline_curate_shard",
-    # 47-49: new this round; supersets of r2-green code paths
+    # 47-50: new this round; supersets of r2-green code paths
     "join_asof_tolerance",
     "dedup_embedding_cosine_capped",
     "sample_temperature",
-    # 50: north-star canary (r1-red -> r2-green, keep watching)
-    "agg_priority_line_counts",
+    "text_bigram_logprob",
 ]
+#: r2-green rows displaced from the window this round (regression watch
+#: moves to the local parity suite, which runs them every pytest):
+#: dedup_exact, dedup_minhash_lsh, dedup_embedding_cosine,
+#: text_curation_pipeline, text_decontaminate, text_heavy_hitters,
+#: sample_stratified, events_gapfill, join_asof_events, mm_ann_topk,
+#: scd2_customer_priority, agg_priority_line_counts.
 
 assert len(CORRECTNESS_WINDOW) == 50, len(CORRECTNESS_WINDOW)
 assert len(set(CORRECTNESS_WINDOW)) == 50
