@@ -855,3 +855,155 @@ SELECT d.doc_id,
          <= {DUP_SPAN_MAX_FRAC} AS keep
 FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
 """
+
+
+# ------------------------------------------------- incremental (snapshot)
+
+#: deterministic ingest split for the registered query: doc_id % 10 == 0
+#: is "today's batch", the rest is the historical corpus. Production swaps
+#: this predicate for the real batch boundary (ingest date partition).
+INCREMENTAL_BATCH_MOD = 10
+INCREMENTAL_THRESHOLD = 0.7
+
+
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (cross-snapshot) dedup: classify each NEW-batch doc
+    against the HISTORICAL corpus as exact_dup / near_dup / kept.
+
+    This is the daily-ingest shape of dedup at 100 TB: the historical
+    corpus is petabyte-scale and must never self-join again -- only the
+    (small) new batch joins against it.
+
+    Scale design:
+      - exact phase: batch fingerprints left-semi join the historical
+        fingerprint store. One equi-shuffle on the fingerprint; in
+        production the store is bucketed by fingerprint so only the
+        batch side moves.
+      - near phase: MinHash band keys (same PERMS/BANDS family as
+        dedup_minhash_lsh, so history's bands are precomputable and
+        STORED -- the expensive signature pass over history runs once
+        per corpus, not once per batch). Candidates = equi-join of
+        batch bands against history bands; only candidates pay the
+        exact-Jaccard verify.
+      - precedence: exact_dup > near_dup > kept, decided per batch doc
+        with two broadcast-sized left joins.
+
+    The oracle mirrors the SAME banded candidate generation, so parity
+    is exact even where banding trades recall (a near-dup pair missed
+    by every band is missed identically in both engines)."""
+    d = load_table(spark, sf_dir, "documents")
+    is_batch = (F.col("doc_id") % INCREMENTAL_BATCH_MOD) == 0
+
+    fp = d.select(
+        "doc_id", F.md5(canonical_text()).alias("fingerprint"), is_batch.alias("_b")
+    )
+    exact_dups = (
+        fp.filter("_b")
+        .join(fp.filter(~F.col("_b")).select("fingerprint").distinct(), "fingerprint", "left_semi")
+        .select("doc_id")
+    )
+
+    sh = _shingles_with_count(spark, sf_dir)
+    bands = _band_keys(_signature_agg(sh))
+    bb = bands.filter((F.col("doc_id") % INCREMENTAL_BATCH_MOD) == 0).alias("b")
+    hb = bands.filter((F.col("doc_id") % INCREMENTAL_BATCH_MOD) != 0).alias("h")
+    cand = (
+        bb.join(
+            hb,
+            (F.col("b.band") == F.col("h.band"))
+            & (F.col("b.band_key") == F.col("h.band_key")),
+        )
+        .select(
+            F.col("b.doc_id").alias("batch_doc"), F.col("h.doc_id").alias("hist_doc")
+        )
+        .distinct()
+    )
+    sa, sb = sh.alias("sa"), sh.alias("sb")
+    near_dups = (
+        cand.join(sa, F.col("batch_doc") == F.col("sa.doc_id"))
+        .join(
+            sb,
+            (F.col("hist_doc") == F.col("sb.doc_id"))
+            & (F.col("sa._h") == F.col("sb._h")),
+        )
+        .groupBy("batch_doc", "hist_doc")
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.first(F.col("sa.n")).alias("na"),
+            F.first(F.col("sb.n")).alias("nb"),
+        )
+        .filter(
+            F.round(
+                F.col("inter")
+                / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"),
+                6,
+            )
+            >= INCREMENTAL_THRESHOLD
+        )
+        .select(F.col("batch_doc").alias("doc_id"))
+        .distinct()
+    )
+
+    batch = d.filter(is_batch).select("doc_id")
+    return (
+        batch.join(exact_dups.withColumn("_e", F.lit(1)), "doc_id", "left")
+        .join(near_dups.withColumn("_n", F.lit(1)), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("_e").isNotNull(), F.lit("exact_dup"))
+            .when(F.col("_n").isNotNull(), F.lit("near_dup"))
+            .otherwise(F.lit("kept"))
+            .alias("status"),
+        )
+    )
+
+
+DEDUP_INCREMENTAL_SQL = f"""
+WITH sh0 AS ({_SHINGLES_SQL}),
+sh AS (SELECT doc_id, {md5_long_sql('shingle')} AS _h FROM sh0),
+mh AS (
+  SELECT doc_id,
+         {_MH_COLS_SQL}
+  FROM sh
+  GROUP BY doc_id
+),
+bands AS (
+{_BANDS_SQL}
+),
+counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+cand AS (
+  SELECT DISTINCT b.doc_id AS batch_doc, h.doc_id AS hist_doc
+  FROM bands b JOIN bands h
+    ON b.band = h.band AND b.band_key = h.band_key
+  WHERE b.doc_id % {INCREMENTAL_BATCH_MOD} = 0
+    AND h.doc_id % {INCREMENTAL_BATCH_MOD} != 0
+),
+near AS (
+  SELECT DISTINCT batch_doc AS doc_id FROM (
+    SELECT batch_doc, hist_doc, COUNT(*) AS inter
+    FROM cand
+    JOIN sh sa ON sa.doc_id = batch_doc
+    JOIN sh sb ON sb.doc_id = hist_doc AND sb._h = sa._h
+    GROUP BY 1, 2
+  ) i
+  JOIN counts ca ON i.batch_doc = ca.doc_id
+  JOIN counts cb ON i.hist_doc = cb.doc_id
+  WHERE round(inter / CAST(ca.n + cb.n - inter AS DOUBLE), 6)
+        >= {INCREMENTAL_THRESHOLD}
+),
+fp AS (SELECT doc_id, md5({CANONICAL_TEXT_SQL}) AS fingerprint FROM documents),
+exact AS (
+  SELECT b.doc_id FROM fp b
+  WHERE b.doc_id % {INCREMENTAL_BATCH_MOD} = 0
+    AND b.fingerprint IN (
+      SELECT fingerprint FROM fp WHERE doc_id % {INCREMENTAL_BATCH_MOD} != 0)
+)
+SELECT d.doc_id,
+  CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+       WHEN n.doc_id IS NOT NULL THEN 'near_dup'
+       ELSE 'kept' END AS status
+FROM documents d
+LEFT JOIN exact e ON d.doc_id = e.doc_id
+LEFT JOIN near n ON d.doc_id = n.doc_id
+WHERE d.doc_id % {INCREMENTAL_BATCH_MOD} = 0
+"""

@@ -342,6 +342,13 @@ register(
     doc="exact-substring (word 8-gram) cross-document duplication per doc "
     "(Lee et al. 2021): span df table, no doc self-join, keep/drop verdict",
 )(dedup.dup_span_stats)
+register(
+    "dedup_incremental",
+    dedup.DEDUP_INCREMENTAL_SQL,
+    doc="daily-ingest dedup: NEW batch classified against the HISTORICAL "
+    "corpus (exact fingerprint semi-join + stored MinHash bands + exact "
+    "verify) -- history never self-joins again, only the batch moves",
+)(dedup.dedup_incremental)
 
 # --------------------------------------------------------------------------
 # Similarity search (embeddings) -- north star

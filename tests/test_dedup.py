@@ -116,3 +116,43 @@ def test_dup_span_stats_planted_fixture(spark):
     assert got[2].n_spans == 5 and got[2].n_dup_spans == 0
     assert got[3].n_spans == 0 and got[3].n_dup_spans == 0 and got[3].keep
     assert got[0].dup_frac == round(1 / 3, 6)
+
+
+def test_dedup_incremental_statuses_match_pairwise_truth(spark, sf_dir):
+    """One row per batch doc; a batch doc is near_dup iff some banded
+    near-dup pair (the same LSH family) connects it to a HISTORY doc;
+    exact_dup iff its canonical fingerprint exists in history."""
+    from streamprocessing_with_kafka_spark.operators.dedup import (
+        INCREMENTAL_BATCH_MOD,
+        INCREMENTAL_THRESHOLD,
+        dedup_incremental,
+    )
+    from streamprocessing_with_kafka_spark.operators.text import canonical_text
+
+    got = {r.doc_id: r.status for r in dedup_incremental(spark, sf_dir).collect()}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    batch_ids = {
+        r.doc_id
+        for r in docs.filter(F.col("doc_id") % INCREMENTAL_BATCH_MOD == 0).collect()
+    }
+    assert set(got) == batch_ids
+
+    fps = {
+        r.doc_id: r.f
+        for r in docs.select("doc_id", F.md5(canonical_text()).alias("f")).collect()
+    }
+    hist_fps = {f for d, f in fps.items() if d % INCREMENTAL_BATCH_MOD != 0}
+    exact = {d for d in batch_ids if fps[d] in hist_fps}
+
+    near = set()
+    for p in minhash_lsh_pairs(spark, sf_dir, INCREMENTAL_THRESHOLD).collect():
+        for d, other in ((p.doc_a, p.doc_b), (p.doc_b, p.doc_a)):
+            if d % INCREMENTAL_BATCH_MOD == 0 and other % INCREMENTAL_BATCH_MOD != 0:
+                near.add(d)
+
+    for d in batch_ids:
+        want = (
+            "exact_dup" if d in exact else "near_dup" if d in near else "kept"
+        )
+        assert got[d] == want, (d, got[d], want)
+    assert near - exact, "fixture has no cross-snapshot near-dups (vacuous)"
