@@ -57,3 +57,67 @@ def merge_upsert(
     return survivors.unionByName(live_upd).join(
         F.broadcast(tomb_keys), on=key, how="left_anti"
     )
+
+
+# ------------------------------------------- right-to-be-forgotten cascade
+
+#: deterministic forget-request set for the registered query: every 97th
+#: doc. Production swaps this for the real request table (user-submitted
+#: deletion keys) -- always tiny relative to the corpus, hence broadcast.
+FORGET_KEY_MOD = 97
+
+
+def forget_cascade(
+    docs: DataFrame, emb: DataFrame, forget: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """GDPR/right-to-be-forgotten: delete one key set consistently across
+    every derived surface (raw documents AND their embedding rows), so no
+    orphaned derivative survives the request.
+
+    Scale design: the forget set is broadcast (requests are thousands;
+    corpora are billions), so each surface is ONE scan + broadcast
+    anti-join -- zero shuffles, and surfaces purge in parallel. At 100 TB
+    the same broadcast plan rewrites each partition in place (Delta
+    MERGE DELETE shape)."""
+    f = F.broadcast(forget.select("doc_id"))
+    kept_docs = docs.join(f, on="doc_id", how="left_anti")
+    kept_emb = emb.join(
+        f, on=emb["vec_id"] == f["doc_id"], how="left_anti"
+    )
+    return kept_docs, kept_emb
+
+
+def forget_audit(docs: DataFrame, emb: DataFrame, forget: DataFrame) -> DataFrame:
+    """The audit record a deletion request must produce: per surface,
+    rows before / removed / after. One scan per surface (broadcast mark +
+    single aggregate), no shuffle."""
+    f = F.broadcast(forget.select(F.col("doc_id").alias("_fk")))
+
+    def _summary(df: DataFrame, key: str, surface: str) -> DataFrame:
+        marked = df.join(f, on=df[key] == f["_fk"], how="left")
+        return marked.agg(
+            F.lit(surface).alias("surface"),
+            F.count(F.lit(1)).alias("rows_before"),
+            F.count("_fk").alias("rows_removed"),
+            (F.count(F.lit(1)) - F.count("_fk")).alias("rows_after"),
+        )
+
+    return _summary(docs, "doc_id", "documents").unionByName(
+        _summary(emb, "vec_id", "embeddings")
+    )
+
+
+FORGET_AUDIT_SQL = f"""
+WITH f AS (SELECT doc_id FROM documents WHERE doc_id % {FORGET_KEY_MOD} = 0)
+SELECT 'documents' AS surface,
+       COUNT(*) AS rows_before,
+       COUNT(f.doc_id) AS rows_removed,
+       COUNT(*) - COUNT(f.doc_id) AS rows_after
+FROM documents d LEFT JOIN f ON d.doc_id = f.doc_id
+UNION ALL
+SELECT 'embeddings',
+       COUNT(*),
+       COUNT(f.doc_id),
+       COUNT(*) - COUNT(f.doc_id)
+FROM embeddings e LEFT JOIN f ON e.vec_id = f.doc_id
+"""

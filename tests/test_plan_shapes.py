@@ -378,3 +378,30 @@ def test_asof_tolerance_adds_no_exchange(spark, sf_dir):
     base = _plan(spark, joins.asof_join_events(spark, sf_dir))
     tol = _plan(spark, joins.asof_join_tolerance(spark, sf_dir))
     assert _n_shuffles(tol) == _n_shuffles(base) == 1, (base, tol)
+
+
+def test_crud_forget_is_broadcast_only(spark, sf_dir):
+    """The forget cascade must never shuffle a corpus surface: each
+    surface is one scan + broadcast anti/left join + one aggregate. At
+    100 TB a shuffle here would move the whole corpus to delete a
+    thousand keys."""
+    from streamprocessing_with_kafka_spark.plans.registry import registry
+
+    plan = _plan(spark, registry()["crud_forget"].fn(spark, sf_dir))
+    assert "SortMergeJoin" not in plan, plan
+    # no hash/range repartition of any surface; the only exchanges allowed
+    # are the SinglePartition collects of per-surface partial counts
+    # (2 one-row aggregates), which move rows_per_task rows, not the corpus
+    assert not re.findall(r"Exchange (?:hash|range)", plan), plan
+    assert plan.count("BroadcastHashJoin") == 2, plan
+
+
+def test_dedup_incremental_candidates_are_equi_joins(spark, sf_dir):
+    """Every join in the incremental-dedup plan must be an equi join
+    (broadcast or shuffled hash) -- a theta/cartesian candidate join here
+    is the O(N^2) failure mode the banding exists to prevent."""
+    from streamprocessing_with_kafka_spark.operators.dedup import dedup_incremental
+
+    plan = _plan(spark, dedup_incremental(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
