@@ -86,3 +86,77 @@ SELECT o_custkey, o_orderpriority,
 FROM flagged WHERE chg
 WINDOW wv AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 """
+
+
+# ----------------------------------------------------- snapshot diff (CDC)
+
+#: deterministic two-snapshot derivation from the one documents table:
+#:   previous snapshot = docs with doc_id % 23 != 0 (so % 23 == 0 docs are
+#:     ADDED in current), with text suffixed ' v1' where doc_id % 29 == 0
+#:     (those docs are CHANGED in current)
+#:   current snapshot  = docs with doc_id % 31 != 0 (so % 31 == 0 docs are
+#:     REMOVED from previous)
+#: Production swaps these predicates for two real snapshot reads.
+SNAP_ADD_MOD, SNAP_CHANGE_MOD, SNAP_REMOVE_MOD = 23, 29, 31
+
+
+def snapshot_diff(prev: DataFrame, cur: DataFrame) -> DataFrame:
+    """Corpus snapshot diff -- the CDC/data-versioning audit between two
+    immutable snapshot reads: per doc_id, added / removed / changed /
+    unchanged, decided by content fingerprint.
+
+    Scale design: ONE full-outer equi join on doc_id of two narrow
+    (doc_id, fingerprint) projections -- the md5 collapses arbitrary text
+    to 32 bytes BEFORE the shuffle, so the exchange carries fingerprints,
+    never documents. Both snapshots hash-partition on the same key; with
+    bucketed snapshot storage the exchange disappears entirely. Anything
+    smarter (sort-merge over snapshot manifests, Iceberg-style) changes
+    the physical strategy, not this logical contract."""
+    p = prev.select("doc_id", F.md5("text").alias("_pf"))
+    c = cur.select("doc_id", F.md5("text").alias("_cf"))
+    return (
+        p.join(c, on="doc_id", how="full_outer")
+        .select(
+            "doc_id",
+            F.when(F.col("_pf").isNull(), F.lit("added"))
+            .when(F.col("_cf").isNull(), F.lit("removed"))
+            .when(F.col("_pf") != F.col("_cf"), F.lit("changed"))
+            .otherwise(F.lit("unchanged"))
+            .alias("status"),
+        )
+    )
+
+
+def documents_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """snapshot_diff over the deterministic two-snapshot derivation."""
+    d = load_table(spark, sf_dir, "documents")
+    prev = d.filter(F.col("doc_id") % SNAP_ADD_MOD != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % SNAP_CHANGE_MOD == 0, F.concat("text", F.lit(" v1"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    cur = d.filter(F.col("doc_id") % SNAP_REMOVE_MOD != 0).select("doc_id", "text")
+    return snapshot_diff(prev, cur)
+
+
+SNAPSHOT_DIFF_SQL = f"""
+WITH prev AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % {SNAP_CHANGE_MOD} = 0 THEN text || ' v1'
+                  ELSE text END) AS pf
+  FROM documents WHERE doc_id % {SNAP_ADD_MOD} != 0
+),
+cur AS (
+  SELECT doc_id, md5(text) AS cf
+  FROM documents WHERE doc_id % {SNAP_REMOVE_MOD} != 0
+)
+SELECT COALESCE(prev.doc_id, cur.doc_id) AS doc_id,
+  CASE WHEN prev.pf IS NULL THEN 'added'
+       WHEN cur.cf IS NULL THEN 'removed'
+       WHEN prev.pf != cur.cf THEN 'changed'
+       ELSE 'unchanged' END AS status
+FROM prev FULL OUTER JOIN cur ON prev.doc_id = cur.doc_id
+"""

@@ -599,3 +599,91 @@ SELECT event_type,
   CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k
 FROM events GROUP BY 1, 2
 """
+
+
+# ------------------------------------------------- watermark late audit
+
+#: micro-batch model for the batch twin of watermark accounting: events
+#: arrive in event_id order, B per micro-batch, except the LATE class
+#: (event_id % LATE_MOD == 0) which arrives LATE_SHIFT batches after its
+#: slot -- the out-of-order tail a real ingest has. The testdata stream is
+#: perfectly ordered, so the late class is derived deterministically.
+WM_BATCH_SIZE = 500
+WM_LATE_MOD = 41
+WM_LATE_SHIFT = 10
+WM_DELAY = "300"  # seconds, the withWatermark("ts", "5 minutes") analog
+
+
+def watermark_late_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per micro-batch late-data accounting under a watermark policy --
+    the audit that answers "how much data would withWatermark(D) drop?"
+    BEFORE committing a streaming job to that D.
+
+    Semantics mirror Structured Streaming exactly: the watermark advances
+    at micro-batch boundaries to max(event time seen in ALL prior
+    batches) - D; a row is late (dropped from stateful aggregation) if
+    its event time is below its batch's watermark.
+
+    Scale design: two narrow (ts, batch_id) scans of the stream -- one
+    feeding the per-batch max aggregate, one the late-count -- and every
+    exchange carries per-batch PARTIALS (map-side combined to |batches|
+    rows per task), never events. The running-max frontier computes on
+    the tiny aggregate frame (single-partition window over |batches|
+    rows -- deliberately, that IS the driver-side watermark bookkeeping
+    SS does) and broadcast-joins back to the second scan."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    k = F.col("event_id")
+    batched = ev.select(
+        "ts",
+        (
+            (k / WM_BATCH_SIZE).cast("long")
+            + F.when(k % WM_LATE_MOD == 0, F.lit(WM_LATE_SHIFT)).otherwise(F.lit(0))
+        ).alias("batch_id"),
+    )
+    frontier = (
+        batched.groupBy("batch_id")
+        .agg(F.max("ts").alias("batch_max"))
+        .withColumn(
+            "watermark",
+            F.max("batch_max").over(
+                W.orderBy("batch_id").rowsBetween(W.unboundedPreceding, -1)
+            )
+            - F.expr(f"INTERVAL {WM_DELAY} SECONDS"),
+        )
+        .select("batch_id", "watermark")
+    )
+    return (
+        batched.join(F.broadcast(frontier), "batch_id")
+        .groupBy("batch_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count(F.when(F.col("ts") < F.col("watermark"), 1)).alias("n_late"),
+            F.max("watermark").alias("watermark"),
+        )
+    )
+
+
+WATERMARK_LATE_AUDIT_SQL = f"""
+WITH batched AS (
+  SELECT ts,
+         CAST(floor(event_id / {WM_BATCH_SIZE}) AS BIGINT)
+           + CASE WHEN event_id % {WM_LATE_MOD} = 0 THEN {WM_LATE_SHIFT}
+                  ELSE 0 END AS batch_id
+  FROM events
+),
+frontier AS (
+  SELECT batch_id,
+         max(batch_max) OVER (ORDER BY batch_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           - INTERVAL {WM_DELAY} SECOND AS watermark
+  FROM (SELECT batch_id, max(ts) AS batch_max FROM batched GROUP BY 1)
+)
+SELECT b.batch_id,
+       COUNT(*) AS n_events,
+       COUNT(*) FILTER (WHERE b.ts < f.watermark) AS n_late,
+       max(f.watermark) AS watermark
+FROM batched b JOIN frontier f ON b.batch_id = f.batch_id
+GROUP BY 1
+"""

@@ -583,6 +583,20 @@ register(
     doc="hypertable-style gap-fill + LOCF: sequence()-generated dense "
     "hourly spine per user, last-observation carried across gaps",
 )(windows.gapfill_user_hourly)
+register(
+    "snapshot_diff",
+    history.SNAPSHOT_DIFF_SQL,
+    doc="CDC/data-versioning audit between two corpus snapshots: "
+    "added/removed/changed/unchanged per doc_id, one full-outer equi "
+    "join of 32-byte fingerprints (text never shuffles)",
+)(history.documents_snapshot_diff)
+register(
+    "events_late_audit",
+    windows.WATERMARK_LATE_AUDIT_SQL,
+    doc="watermark late-data accounting (SS semantics: frontier advances "
+    "at micro-batch boundaries to prior max - delay): per-batch "
+    "n_events/n_late; corpus scanned once, frontier broadcast back",
+)(windows.watermark_late_audit)
 
 # -- position 50: re-prove the r1 hash-mismatch fix (HUGEINT vs BIGINT) ----
 register(
@@ -1028,6 +1042,8 @@ PENDING_WINDOW = [
     "dedup_incremental",
     "crud_forget",
     "csv_parse_orders",
+    "snapshot_diff",
+    "events_late_audit",
 ]
 
 assert len(CORRECTNESS_WINDOW) == 50, len(CORRECTNESS_WINDOW)
