@@ -857,6 +857,126 @@ FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
 """
 
 
+# ------------------------- duplicated-span REMOVAL (scrub, Lee et al. 2021)
+
+
+def dup_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup as a CLEANING transform, not just a detector:
+    remove every occurrence of a duplicated word DUP_SPAN_N-gram except the
+    canonical first (corpus-min (doc_id, pos)) occurrence, and rebuild the
+    document text from the surviving tokens (Lee et al. 2021 remove all but
+    one occurrence of each duplicated substring; `dup_span_stats` is the
+    audit, this is the edit).
+
+    Semantics (deterministic, oracle-mirrored):
+      - occurrence = (doc_id, pos, span-hash) for EVERY span start (NOT
+        distinct -- removal operates on occurrences; intra-doc repeats of a
+        cross-doc span are removed too, with the global keeper winning).
+      - keeper = ROW_NUMBER() OVER (PARTITION BY hash ORDER BY doc_id, pos)
+        == 1; every rn >= 2 occurrence is removed.
+      - a token is dropped iff some removed occurrence covers its position;
+        overlapping removed spans union naturally via the covered-set.
+
+    Scale shape: span fan-out reuses the doc_id repartition [1 exchange],
+    keeper ranking is one window shuffle on the 8-byte span hash, the
+    covered positions collapse back to a per-doc drop-list [1 doc_id
+    shuffle, rows ~ removed spans only], and the rebuild is a NARROW array
+    filter over the original token array after a doc_id equi-join -- the
+    corpus text itself is never exploded to token rows or re-sorted. No
+    doc-doc self-join anywhere, same as dup_span_stats."""
+    return dup_span_scrub_frame(load_table(spark, sf_dir, "documents"))
+
+
+def dup_span_scrub_frame(d: DataFrame) -> DataFrame:
+    n = DUP_SPAN_N
+    toks = d.select("doc_id", F.split("text", " ").alias("w")).repartition(
+        d.sparkSession.sparkContext.defaultParallelism, "doc_id"
+    )
+    w = F.col("w")
+    occ = (
+        toks.filter(F.size(w) >= n)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(w) - (n - 1)),
+                    lambda i: F.concat_ws(
+                        " ", *[F.element_at(w, i + k) for k in range(n)]
+                    ),
+                )
+            ).alias("p0", "span"),
+        )
+        .select(
+            "doc_id",
+            (F.col("p0") + 1).alias("pos"),
+            md5_long(F.col("span")).alias("_h"),
+        )
+    )
+    from pyspark.sql import Window
+
+    rank = Window.partitionBy("_h").orderBy("doc_id", "pos")
+    removed = (
+        occ.withColumn("rn", F.row_number().over(rank))
+        .filter(F.col("rn") >= 2)
+        .select("doc_id", "pos")
+    )
+    drop_sets = (
+        removed.select(
+            "doc_id",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + (n - 1))).alias("pos"),
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_set("pos").alias("drop_pos"))
+    )
+    dropped = F.coalesce(F.col("drop_pos"), F.array().cast("array<int>"))
+    kept_arr = F.filter(w, lambda x, i: ~F.array_contains(dropped, i + 1))
+    return toks.join(drop_sets, "doc_id", "left").select(
+        "doc_id",
+        F.size(w).alias("n_tokens"),
+        F.size(kept_arr).alias("n_tokens_kept"),
+        F.array_join(kept_arr, " ").alias("scrubbed_text"),
+    )
+
+
+def _dup_span_scrub_sql() -> str:
+    n = DUP_SPAN_N
+    gram = " || ' ' || ".join(f"w[i+{k}]" for k in range(n))
+    return f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+occ AS (
+  SELECT doc_id, i AS pos, {md5_long_sql(f"({gram})")} AS _h
+  FROM d, unnest(range(1, len(w) - {n - 2})) AS t(i)
+  WHERE len(w) >= {n}
+),
+removed AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos,
+           ROW_NUMBER() OVER (PARTITION BY _h ORDER BY doc_id, pos) AS rn
+    FROM occ
+  ) WHERE rn >= 2
+),
+drop_sets AS (
+  SELECT doc_id, list(DISTINCT pos + j) AS drop_pos
+  FROM removed, unnest(range(0, {n})) AS u(j)
+  GROUP BY doc_id
+),
+rebuilt AS (
+  SELECT d.doc_id, d.w,
+         list_select(d.w, list_filter(range(1, len(d.w) + 1),
+           i -> NOT list_contains(COALESCE(s.drop_pos, []), i))) AS kept
+  FROM d LEFT JOIN drop_sets s ON d.doc_id = s.doc_id
+)
+SELECT doc_id,
+       len(w) AS n_tokens,
+       len(kept) AS n_tokens_kept,
+       COALESCE(array_to_string(kept, ' '), '') AS scrubbed_text
+FROM rebuilt
+"""
+
+
+DUP_SPAN_SCRUB_SQL = _dup_span_scrub_sql()
+
+
 # ------------------------------------------------- incremental (snapshot)
 
 #: deterministic ingest split for the registered query: doc_id % 10 == 0

@@ -741,3 +741,94 @@ WHERE rank <= {TOP_K}
 
 
 ANN_TOPK_QUANTIZED_SQL = _ann_topk_quantized_sql()
+
+# ------------------------------- SemDeDup (cluster-scoped semantic dedup)
+
+#: within-cluster cosine at or above this marks the higher-id vector as a
+#: semantic duplicate (SemDeDup, Abbas et al. 2023, arXiv:2303.09540: k-means
+#: the embedding space, then prune near-identical pairs WITHIN each cluster
+#: only -- the quadratic term is bounded by cluster size, never corpus size).
+SEM_DUP_THRESHOLD = 0.4
+
+
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup: assign every vector to its nearest centroid cell
+    (same deterministic centroid family as `ivf_assignments`; production
+    would k-means), then within each cell mark any vector whose cosine to a
+    LOWER-id cellmate reaches SEM_DUP_THRESHOLD as `sem_dup`; the rest are
+    `kept`. Deterministic keeper = the smallest vec_id of each dup relation.
+
+    Scale shape: centroid scoring is a broadcast (centroids are tiny by
+    definition), the pair search is a SELF EQUI-JOIN ON CELL ID -- no
+    vector ever compares outside its cell, so with k ~ sqrt(N) clusters the
+    per-cell work stays ~N total while a global all-pairs would be N^2.
+    Complements `embedding_near_dup_lsh` (recall-tunable bands) with the
+    partition-then-prune recipe curation pipelines use for diversity.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    cent = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("cv")
+    )
+    scored = e.select("vec_id", "embedding").crossJoin(F.broadcast(cent)).select(
+        "vec_id", "embedding", "cell",
+        cosine(F.col("embedding"), F.col("cv")).alias("cos_c"),
+    )
+    w = W.partitionBy("vec_id").orderBy(F.col("cos_c").desc(), F.col("cell").asc())
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "cell")
+    )
+    a = assigned.select("vec_id", "cell", F.col("embedding").alias("va"))
+    b = assigned.select(
+        F.col("vec_id").alias("b_id"), "cell", F.col("embedding").alias("vb")
+    )
+    dup_ids = (
+        a.join(b, "cell")
+        .filter(F.col("b_id") < F.col("vec_id"))
+        .filter(cosine(F.col("va"), F.col("vb")) >= SEM_DUP_THRESHOLD)
+        .select("vec_id")
+        .distinct()
+        .withColumn("is_dup", F.lit(True))
+    )
+    return (
+        assigned.select("vec_id", "cell")
+        .join(dup_ids, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell",
+            F.when(F.col("is_dup"), F.lit("sem_dup"))
+            .otherwise(F.lit("kept"))
+            .alias("status"),
+        )
+    )
+
+
+DEDUP_SEMANTIC_SQL = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cent AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id % 50 = 0),
+scored AS (
+  SELECT e.vec_id, e.v, cent.cell,
+         round(list_dot_product(e.v, cent.cv)
+               / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cent.cv, cent.cv))), 6) AS cos_c
+  FROM e CROSS JOIN cent
+),
+assigned AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY cos_c DESC, cell ASC) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+dups AS (
+  SELECT DISTINCT a.vec_id
+  FROM assigned a JOIN assigned b
+    ON a.cell = b.cell AND b.vec_id < a.vec_id
+  WHERE round(list_dot_product(a.v, b.v)
+              / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+        >= {SEM_DUP_THRESHOLD}
+)
+SELECT a.vec_id, a.cell,
+       CASE WHEN d.vec_id IS NOT NULL THEN 'sem_dup' ELSE 'kept' END AS status
+FROM assigned a LEFT JOIN dups d ON a.vec_id = d.vec_id
+"""

@@ -356,6 +356,13 @@ register(
     "(Lee et al. 2021): span df table, no doc self-join, keep/drop verdict",
 )(dedup.dup_span_stats)
 register(
+    "text_dup_span_scrub",
+    dedup.DUP_SPAN_SCRUB_SQL,
+    doc="duplicated-span REMOVAL (Lee et al. 2021): all but the corpus-first "
+    "occurrence of each duplicated word 8-gram cut out and the text rebuilt "
+    "by a narrow array filter -- dup_span_stats is the audit, this is the edit",
+)(dedup.dup_span_scrub)
+register(
     "dedup_incremental",
     dedup.DEDUP_INCREMENTAL_SQL,
     doc="daily-ingest dedup: NEW batch classified against the HISTORICAL "
@@ -396,6 +403,13 @@ register(
     "one final divide -- the memory-compressed serving path; error vs "
     "float cosine bounded in tests",
 )(similarity.ann_topk_quantized)
+register(
+    "dedup_semantic",
+    similarity.DEDUP_SEMANTIC_SQL,
+    doc="SemDeDup (Abbas et al. 2023): nearest-centroid cell assignment + "
+    "within-cell cosine pruning -- pair search is a self EQUI-join on cell "
+    "id, quadratic term bounded by cluster size, deterministic min-id keeper",
+)(similarity.dedup_semantic)
 
 # --------------------------------------------------------------------------
 # Text analysis (documents) -- north star

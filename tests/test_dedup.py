@@ -156,3 +156,58 @@ def test_dedup_incremental_statuses_match_pairwise_truth(spark, sf_dir):
         )
         assert got[d] == want, (d, got[d], want)
     assert near - exact, "fixture has no cross-snapshot near-dups (vacuous)"
+
+
+def test_dup_span_scrub_matches_python_reference(spark):
+    """The scrub's exact semantics, recomputed independently in plain
+    Python over a planted fixture: rank every 8-gram occurrence by
+    (doc_id, pos), drop tokens covered by any rn>=2 occurrence, keep the
+    corpus-first occurrence verbatim. The fixture plants one syndicated
+    paragraph in three docs (once early, once mid-text, once twice in the
+    SAME doc) so cross-doc removal, offset-shifted removal, and intra-doc
+    removal are all exercised."""
+    from streamprocessing_with_kafka_spark.operators.dedup import (
+        DUP_SPAN_N,
+        dup_span_scrub_frame,
+    )
+
+    boiler = " ".join(f"b{i}" for i in range(10))  # 10-token shared paragraph
+    docs = [
+        (1, boiler + " " + " ".join(f"x{i}" for i in range(6))),
+        (2, " ".join(f"y{i}" for i in range(5)) + " " + boiler),
+        (3, boiler + " mid " + boiler),
+        (4, " ".join(f"z{i}" for i in range(12))),  # untouched
+        (5, "short text"),  # < N tokens
+    ]
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+
+    # ---- python reference
+    occ = []  # (doc_id, pos, span)
+    for doc_id, text in docs:
+        t = text.split(" ")
+        for p in range(len(t) - DUP_SPAN_N + 1):
+            occ.append((doc_id, p + 1, " ".join(t[p : p + DUP_SPAN_N])))
+    first = {}
+    for doc_id, pos, span in sorted(occ):
+        first.setdefault(span, (doc_id, pos))
+    covered = {}
+    for doc_id, pos, span in occ:
+        if first[span] != (doc_id, pos):
+            for j in range(DUP_SPAN_N):
+                covered.setdefault(doc_id, set()).add(pos + j)
+    expect = {}
+    for doc_id, text in docs:
+        t = text.split(" ")
+        kept = [tok for i, tok in enumerate(t) if i + 1 not in covered.get(doc_id, set())]
+        expect[doc_id] = (len(t), len(kept), " ".join(kept))
+
+    got = {
+        r.doc_id: (r.n_tokens, r.n_tokens_kept, r.scrubbed_text)
+        for r in dup_span_scrub_frame(d).collect()
+    }
+    assert got == expect
+    # the fixture must be non-trivial: some doc loses tokens, doc 4 doesn't,
+    # and the first occurrence of the boilerplate survives somewhere
+    assert got[4][2] == docs[3][1]
+    assert any(g[1] < g[0] for g in got.values())
+    assert boiler in got[1][2]

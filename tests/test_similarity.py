@@ -208,3 +208,46 @@ def test_capped_near_dup_is_precision_one_subset(spark, sf_dir):
         assert full.get(pair) == cos, pair
     recall = len(capped) / len(full)
     assert 0.8 <= recall < 1.0, f"recall {recall:.3f} (cap should bind, not gut)"
+
+
+def test_dedup_semantic_matches_within_cell_brute_force(spark, sf_dir):
+    """SemDeDup verdicts must equal the definition computed independently:
+    sem_dup iff some lower-id vector in the SAME cell has cosine >=
+    threshold. Cross-cell near-dups must NOT mark anything (that scoping is
+    the operator's whole scale contract), and the fixture must exercise
+    both statuses."""
+    from streamprocessing_with_kafka_spark.operators.similarity import (
+        SEM_DUP_THRESHOLD,
+        dedup_semantic,
+        ivf_assignments,
+    )
+
+    cells = {r.vec_id: r.cell for r in ivf_assignments(spark, sf_dir).collect()}
+    close = [
+        (r.vec_a, r.vec_b)
+        for r in cosine_pairs(spark, sf_dir)
+        .filter(F.col("cosine") >= SEM_DUP_THRESHOLD)
+        .collect()
+    ]
+    expect_dup = {b for a, b in close if cells[a] == cells[b]}
+    cross_cell = [(a, b) for a, b in close if cells[a] != cells[b]]
+
+    got = {r.vec_id: r.status for r in dedup_semantic(spark, sf_dir).collect()}
+    assert set(got) == set(cells), "one verdict per vector"
+    for vid, status in got.items():
+        want = "sem_dup" if vid in expect_dup else "kept"
+        assert status == want, (vid, status, want)
+    assert expect_dup, "fixture has no within-cell dup -- test is vacuous"
+    assert cross_cell, "fixture has no cross-cell near-dup pair -- the cell-scoping contract is untested"
+
+
+def test_dedup_semantic_pair_join_is_equi_on_cell(spark, sf_dir):
+    """The within-cell pair search must compile to a hash equi-join on the
+    cell id -- an all-pairs nested-loop here would defeat the clustering."""
+    from streamprocessing_with_kafka_spark.operators.similarity import dedup_semantic
+
+    plan = _plan(spark, dedup_semantic(spark, sf_dir))
+    # the only nested loops allowed are the broadcast-centroid scorings
+    for frag in re.findall(r"BroadcastNestedLoopJoin[^\n]*", plan):
+        assert "Cross" in frag or "cv" not in frag, frag
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan), plan
