@@ -1058,6 +1058,8 @@ PENDING_WINDOW = [
     "csv_parse_orders",
     "snapshot_diff",
     "events_late_audit",
+    "text_dup_span_scrub",
+    "dedup_semantic",
 ]
 
 assert len(CORRECTNESS_WINDOW) == 50, len(CORRECTNESS_WINDOW)
