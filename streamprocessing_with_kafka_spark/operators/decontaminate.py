@@ -136,6 +136,130 @@ def decontaminate_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FUZZY_THRESHOLD = 0.5  # Jaccard vs an eval doc that flags fuzzy leakage
+
+
+def decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUZZY decontamination: training docs that are near-duplicates of
+    an eval doc, caught by the MinHash band family -- the
+    paraphrase/partial-edit leakage the exact 5-gram gate structurally
+    misses (one edited word kills all 5 grams that cross it, but barely
+    moves Jaccard over the shingle set).
+
+    Same band family as dedup_minhash_lsh (PERMS/BANDS in dedup.py), so
+    one signature pass over the corpus serves dedup AND decontamination.
+
+    Scale design (the dedup_incremental argument, with the eval set in
+    the history role): the eval side is a benchmark corpus -- thousands
+    of docs vs billions -- so its band keys AND its shingle sets
+    broadcast; the training corpus never shuffles against the eval side.
+    Candidates = broadcast equi-join on (band, band_key); only candidates
+    pay the exact-Jaccard verify, again against broadcast eval shingles.
+    The training side's only shuffles are the signature groupBy and the
+    per-pair verify aggregate (candidate-sized, not corpus-sized).
+
+    The oracle mirrors the banded candidate generation exactly, so a
+    pair missed by every band is missed identically in both engines."""
+    from streamprocessing_with_kafka_spark.operators.dedup import (
+        _shingles_with_count,
+    )
+
+    return decontaminate_fuzzy_from_shingles(_shingles_with_count(spark, sf_dir))
+
+
+def decontaminate_fuzzy_from_shingles(sh: DataFrame) -> DataFrame:
+    """Frame-level core of decontaminate_fuzzy over any (doc_id, _h, n)
+    shingle frame (the _shingles_with_count contract)."""
+    from streamprocessing_with_kafka_spark.operators.dedup import (
+        _band_keys,
+        _signature_agg,
+    )
+
+    bands = _band_keys(_signature_agg(sh))
+    is_eval = F.col("doc_id") % EVAL_MOD == 0
+    tb, eb = bands.filter(~is_eval).alias("t"), bands.filter(is_eval).alias("e")
+    cand = (
+        tb.join(
+            F.broadcast(eb),
+            (F.col("t.band") == F.col("e.band"))
+            & (F.col("t.band_key") == F.col("e.band_key")),
+        )
+        .select(
+            F.col("t.doc_id").alias("train_doc"),
+            F.col("e.doc_id").alias("eval_doc"),
+        )
+        .distinct()
+    )
+    sa = sh.filter(~is_eval).alias("sa")
+    sb = sh.filter(is_eval).alias("sb")
+    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")).cast("double")
+    return (
+        cand.join(sa, F.col("train_doc") == F.col("sa.doc_id"))
+        .join(
+            F.broadcast(sb),
+            (F.col("eval_doc") == F.col("sb.doc_id"))
+            & (F.col("sa._h") == F.col("sb._h")),
+        )
+        .groupBy("train_doc", "eval_doc")
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.first(F.col("sa.n")).alias("na"),
+            F.first(F.col("sb.n")).alias("nb"),
+        )
+        .withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= FUZZY_THRESHOLD)
+        .select(
+            F.col("train_doc").alias("doc_id"),
+            F.col("eval_doc").alias("eval_doc_id"),
+            "jaccard",
+        )
+    )
+
+
+def _decontaminate_fuzzy_sql() -> str:
+    from streamprocessing_with_kafka_spark.operators.dedup import (
+        _BANDS_SQL,
+        _MH_COLS_SQL,
+        _SHINGLES_SQL,
+    )
+
+    return f"""
+WITH sh0 AS ({_SHINGLES_SQL}),
+sh AS (SELECT doc_id, {md5_long_sql('shingle')} AS _h FROM sh0),
+mh AS (
+  SELECT doc_id,
+         {_MH_COLS_SQL}
+  FROM sh
+  GROUP BY doc_id
+),
+bands AS (
+{_BANDS_SQL}
+),
+counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+cand AS (
+  SELECT DISTINCT t.doc_id AS doc_id, e.doc_id AS eval_doc_id
+  FROM bands t JOIN bands e
+    ON t.band = e.band AND t.band_key = e.band_key
+  WHERE t.doc_id % {EVAL_MOD} != 0 AND e.doc_id % {EVAL_MOD} = 0
+)
+SELECT i.doc_id, i.eval_doc_id,
+       round(inter / CAST(ca.n + cb.n - inter AS DOUBLE), 6) AS jaccard
+FROM (
+  SELECT cand.doc_id, cand.eval_doc_id, COUNT(*) AS inter
+  FROM cand
+  JOIN sh sa ON sa.doc_id = cand.doc_id
+  JOIN sh sb ON sb.doc_id = cand.eval_doc_id AND sb._h = sa._h
+  GROUP BY 1, 2
+) i
+JOIN counts ca ON i.doc_id = ca.doc_id
+JOIN counts cb ON i.eval_doc_id = cb.doc_id
+WHERE round(inter / CAST(ca.n + cb.n - inter AS DOUBLE), 6)
+      >= {FUZZY_THRESHOLD}
+"""
+
+
+DECONTAMINATE_FUZZY_SQL = _decontaminate_fuzzy_sql()
+
 DECONTAMINATE_ATTRIBUTION_SQL = f"""
 WITH grams AS (
   SELECT doc_id, {md5_long_sql('gram')} AS gh

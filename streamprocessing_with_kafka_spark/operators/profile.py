@@ -75,3 +75,154 @@ PROFILE_DOCUMENTS_SQL = "\n  UNION ALL\n".join(
     _col_profile_sql("documents", c)
     for c in ["doc_id", "text", "lang", "source", "n_chars"]
 )
+
+
+# ------------------------------------------------------- drift monitor
+
+#: drift flags (computed on the ROUNDED outputs so the boundary behavior
+#: is engine-identical): Welch |z| beyond Z_FLAG, or window volume ratio
+#: outside [RATIO_LO, RATIO_HI]
+Z_FLAG = 3.0
+RATIO_LO = 0.8
+RATIO_HI = 1.25
+
+
+def profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor between the first and second half of
+    the event stream's time range: per event_type volumes, user counts,
+    mean `value`, a Welch z on the mean shift, and a drift flag -- the
+    "did this feed change under me?" check a continuously-ingesting
+    100 TB pipeline runs per partition-day before training on it.
+
+    Scale design: ONE scan, one shuffle. The time cutoff is an in-plan
+    1-row min/max aggregate broadcast back (no driver scalar, no second
+    job); both windows then profile as conditional aggregates inside a
+    single groupBy(event_type) -- no self-join of window A vs window B,
+    no second pass. Sums route through exact decimals (functions/
+    numeric.dec_sum) so the drift statistics are order-independent and
+    reproducible: a re-run (or the DuckDB oracle) produces bit-identical
+    z-scores, which matters when the flag gates an ingest.
+
+    The cutoff is (min+max) DIV 2 in integer microseconds -- exact
+    integer arithmetic, unlike a double avg whose summation order would
+    move the boundary between runs."""
+    return profile_drift_frame(load_table(spark, sf_dir, "events"))
+
+
+def profile_drift_frame(e: DataFrame) -> DataFrame:
+    """Frame-level core of profile_drift over any (ts, event_type,
+    user_id, value) frame."""
+    from streamprocessing_with_kafka_spark.functions.numeric import dec_sum
+
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    bounds = (
+        e.agg(F.min(us).alias("_lo"), F.max(us).alias("_hi"))
+        .select(F.expr("(_lo + _hi) DIV 2").alias("_cut"))
+    )
+    in_a = us < F.col("_cut")
+
+    def _sum(cond, col):  # exact decimal sum of a windowed expression
+        return dec_sum(F.when(cond, col))
+
+    g = (
+        e.crossJoin(F.broadcast(bounds))
+        .withColumn("_a", in_a)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.when(F.col("_a"), 1)).alias("n_a"),
+            F.count(F.when(~F.col("_a"), 1)).alias("n_b"),
+            F.countDistinct(F.when(F.col("_a"), F.col("user_id"))).alias("users_a"),
+            F.countDistinct(F.when(~F.col("_a"), F.col("user_id"))).alias("users_b"),
+            _sum(F.col("_a"), F.col("value")).alias("_s_a"),
+            _sum(~F.col("_a"), F.col("value")).alias("_s_b"),
+            _sum(F.col("_a"), F.col("value") * F.col("value")).alias("_q_a"),
+            _sum(~F.col("_a"), F.col("value") * F.col("value")).alias("_q_b"),
+        )
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    mean_a, mean_b = F.col("_s_a") / na, F.col("_s_b") / nb
+    var_a = (F.col("_q_a") - F.col("_s_a") * F.col("_s_a") / na) / (na - 1)
+    var_b = (F.col("_q_b") - F.col("_s_b") * F.col("_s_b") / nb) / (nb - 1)
+    se = F.sqrt(var_a / na + var_b / nb)
+    z = F.round((mean_b - mean_a) / se, 4)
+    ratio = F.round(nb / na, 6)
+    return g.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        "users_a",
+        "users_b",
+        F.round(mean_a, 6).alias("mean_a"),
+        F.round(mean_b, 6).alias("mean_b"),
+        F.when((F.col("n_a") > 1) & (F.col("n_b") > 1) & (se > 0), z)
+        .alias("welch_z"),
+        ratio.alias("count_ratio"),
+        (
+            F.coalesce(
+                F.abs(
+                    F.when((F.col("n_a") > 1) & (F.col("n_b") > 1) & (se > 0), z)
+                ) > Z_FLAG,
+                F.lit(False),
+            )
+            | (ratio < RATIO_LO)
+            | (ratio > RATIO_HI)
+        ).alias("drift_flag"),
+    ).orderBy("event_type")
+
+
+def _drift_sql() -> str:
+    from streamprocessing_with_kafka_spark.functions.numeric import (
+        dec_sum_sql,
+        round_sql,
+    )
+
+    def _s(cond: str, expr: str) -> str:
+        return dec_sum_sql(f"CASE WHEN {cond} THEN {expr} END")
+
+    z_raw = (
+        "(_s_b / nb - _s_a / na) / "
+        "sqrt(((_q_a - _s_a * _s_a / na) / (na - 1)) / na + "
+        "((_q_b - _s_b * _s_b / nb) / (nb - 1)) / nb)"
+    )
+    se_pos = (
+        "n_a > 1 AND n_b > 1 AND "
+        "((_q_a - _s_a * _s_a / na) / (na - 1)) / na + "
+        "((_q_b - _s_b * _s_b / nb) / (nb - 1)) / nb > 0"
+    )
+    return f"""
+WITH cut AS (
+  SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2 AS _cut FROM events
+),
+g AS (
+  SELECT event_type,
+    COUNT(CASE WHEN epoch_us(ts) < _cut THEN 1 END) AS n_a,
+    COUNT(CASE WHEN epoch_us(ts) >= _cut THEN 1 END) AS n_b,
+    COUNT(DISTINCT CASE WHEN epoch_us(ts) < _cut THEN user_id END) AS users_a,
+    COUNT(DISTINCT CASE WHEN epoch_us(ts) >= _cut THEN user_id END) AS users_b,
+    {_s('epoch_us(ts) < _cut', 'value')} AS _s_a,
+    {_s('epoch_us(ts) >= _cut', 'value')} AS _s_b,
+    {_s('epoch_us(ts) < _cut', 'value * value')} AS _q_a,
+    {_s('epoch_us(ts) >= _cut', 'value * value')} AS _q_b
+  FROM events, cut
+  GROUP BY event_type
+),
+wide AS (
+  SELECT *, CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb FROM g
+),
+scored AS (
+  SELECT event_type, n_a, n_b, users_a, users_b,
+    {round_sql('_s_a / na', 6)} AS mean_a,
+    {round_sql('_s_b / nb', 6)} AS mean_b,
+    CASE WHEN {se_pos} THEN {round_sql(z_raw, 4)} END AS welch_z,
+    {round_sql('nb / na', 6)} AS count_ratio
+  FROM wide
+)
+SELECT *,
+  COALESCE(abs(welch_z) > {Z_FLAG}, FALSE)
+    OR count_ratio < {RATIO_LO} OR count_ratio > {RATIO_HI} AS drift_flag
+FROM scored
+ORDER BY event_type
+"""
+
+
+PROFILE_DRIFT_SQL = _drift_sql()

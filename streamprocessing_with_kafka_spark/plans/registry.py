@@ -721,6 +721,15 @@ register(
     "against it",
 )(decontaminate.decontaminate_attribution)
 register(
+    "text_decontaminate_fuzzy",
+    decontaminate.DECONTAMINATE_FUZZY_SQL,
+    doc="FUZZY decontamination: training docs that are MinHash near-dups "
+    "of an eval doc (paraphrase/partial-edit leakage the exact 5-gram "
+    "gate misses); eval bands + shingles broadcast, corpus never "
+    "shuffles against the eval side; same band family as "
+    "dedup_minhash_lsh so one signature pass serves both",
+)(decontaminate.decontaminate_fuzzy)
+register(
     "split_leakage_safe",
     dedup.SPLIT_LEAKAGE_SAFE_SQL,
     doc="dedup-aware train/val/test split: near-dup CLUSTER is the atomic "
@@ -916,6 +925,14 @@ register(
     "one unpivot",
 )(profile.profile_documents)
 register(
+    "profile_drift",
+    profile.PROFILE_DRIFT_SQL,
+    doc="distribution-drift monitor between the first/second half of the "
+    "event stream's time range: per-type volumes, user counts, exact-"
+    "decimal mean shift + Welch z, drift flag; ONE scan, one shuffle, "
+    "in-plan integer-microsecond cutoff (no driver scalar)",
+)(profile.profile_drift)
+register(
     "sketch_distinct_users",
     None,
     doc="HLL++ approx distinct (rows-only: sketch algorithms differ across "
@@ -1060,6 +1077,8 @@ PENDING_WINDOW = [
     "events_late_audit",
     "text_dup_span_scrub",
     "dedup_semantic",
+    "text_decontaminate_fuzzy",
+    "profile_drift",
 ]
 
 assert len(CORRECTNESS_WINDOW) == 50, len(CORRECTNESS_WINDOW)

@@ -20,3 +20,53 @@ def test_profile_counts_nulls_and_distincts(spark):
     s = rows["s"]
     assert (s["n_rows"], s["n_nulls"], s["n_distinct"]) == (5, 2, 2)
     assert (s["min_value"], s["max_value"]) == ("a", "b")
+
+
+def test_profile_drift_frame_flags(spark):
+    """Drift semantics on a constructed stream whose time range puts the
+    cutoff at t=50min: a type whose mean value doubles in the second half
+    flags with a large positive Welch z; a type with the same distribution
+    in both halves does not flag (z ~ 0, ratio 1); a type that vanishes in
+    the second half flags on volume ratio with a NULL z (n_b = 0)."""
+    import datetime as dt
+
+    from streamprocessing_with_kafka_spark.operators.profile import (
+        profile_drift_frame,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def at(minute):
+        return t0 + dt.timedelta(minutes=minute)
+
+    rows = []
+    # pin the global range to [0, 100] min so the cutoff is exactly 50
+    rows += [(at(0), "shift", 1, 100.0), (at(100), "shift", 1, 200.0)]
+    for m in range(1, 41):  # type "shift": mean 100 -> 200, nonzero var
+        v = 1.0 if m % 2 else -1.0
+        rows += [
+            (at(m), "shift", m, 100.0 + v),
+            (at(m + 59), "shift", m, 200.0 + v),
+        ]
+    for m in range(1, 41):  # type "same": identical halves, nonzero var
+        v = 10.0 if m % 2 else 20.0
+        rows += [(at(m), "same", m, v), (at(m + 59), "same", m, v)]
+    for m in range(1, 11):  # type "gone": first half only
+        rows += [(at(m), "gone", m, 50.0)]
+    e = spark.createDataFrame(
+        rows, "ts timestamp, event_type string, user_id long, value double"
+    )
+    out = {r.event_type: r for r in profile_drift_frame(e).collect()}
+
+    shift = out["shift"]
+    assert shift.drift_flag and shift.welch_z > 3
+    assert (shift.mean_a, shift.mean_b) == (100.0, 200.0)
+    assert shift.n_a == shift.n_b == 41
+
+    same = out["same"]
+    assert not same.drift_flag and abs(same.welch_z) < 1e-9
+    assert same.count_ratio == 1.0
+
+    gone = out["gone"]
+    assert gone.drift_flag and gone.welch_z is None and gone.n_b == 0
+    assert gone.count_ratio == 0.0

@@ -193,3 +193,40 @@ def test_attribution_consistent_with_flag(spark, sf_dir):
         assert 0 < r.containment <= 1.0
         assert 0 < r.shared_ngrams <= r.eval_ngrams
         assert hits.get(r.doc_id, 0) >= r.shared_ngrams
+
+
+def test_decontaminate_fuzzy_semantics(spark):
+    """Fuzzy decontamination over a synthetic shingle frame: an exact
+    shingle-set copy of an eval doc MUST be flagged with jaccard 1 (equal
+    sets -> equal signatures -> every band collides, a deterministic
+    guarantee, not a probabilistic one); a disjoint doc must not pair with
+    anything; every returned pair respects the train/eval split and its
+    jaccard matches the brute-force set computation."""
+    from streamprocessing_with_kafka_spark.operators.decontaminate import (
+        FUZZY_THRESHOLD,
+        decontaminate_fuzzy_from_shingles,
+    )
+
+    sets = {
+        0: set(range(100, 120)),  # eval (0 % 7 == 0)
+        2: set(range(100, 120)),  # train, exact copy of eval doc 0
+        3: set(range(1000, 1020)),  # train, disjoint from everything
+        4: set(range(100, 115)) | set(range(2000, 2005)),  # train, j=0.6
+    }
+    rows = [
+        (doc, h, len(hs)) for doc, hs in sets.items() for h in sorted(hs)
+    ]
+    sh = spark.createDataFrame(rows, "doc_id long, _h long, n long")
+    got = {
+        (r.doc_id, r.eval_doc_id): r.jaccard
+        for r in decontaminate_fuzzy_from_shingles(sh).collect()
+    }
+
+    assert got.get((2, 0)) == 1.0  # identical sets: guaranteed caught
+    assert not any(3 in pair for pair in got)  # disjoint never pairs
+    for (train, ev), j in got.items():
+        assert train % 7 != 0 and ev % 7 == 0
+        inter = len(sets[train] & sets[ev])
+        union = len(sets[train] | sets[ev])
+        assert j == round(inter / union, 6)
+        assert j >= FUZZY_THRESHOLD
