@@ -34,7 +34,7 @@ from streamprocessing_with_kafka_spark.operators import (
     tpch_extra,
     windows,
 )
-from streamprocessing_with_kafka_spark.sources import csv_source, generator, json_source
+from streamprocessing_with_kafka_spark.sources import csv_source, generator, json_source, orc_source
 from streamprocessing_with_kafka_spark.operators.route import (
     ENVELOPE_SQL,
     ROUTE_SQL,
@@ -981,6 +981,14 @@ register(
     doc="S3 (CSV flavor): null-safe from_csv parse, PERMISSIVE + corrupt "
     "flag; syntactic (parser) vs semantic (try_cast) errors kept distinct",
 )(csv_source.csv_parse_orders)
+register(
+    "orc_roundtrip_orders",
+    orc_source.ORC_ROUNDTRIP_SQL,
+    doc="ORC ingestion surface: deterministic orders slice written to ORC "
+    "and read back via the native vectorized reader; the oracle computes "
+    "the slice from parquet, so any loss/coercion in the hop fails the "
+    "hash check",
+)(orc_source.orc_roundtrip_orders)
 
 
 # ==========================================================================
@@ -1079,6 +1087,7 @@ PENDING_WINDOW = [
     "dedup_semantic",
     "text_decontaminate_fuzzy",
     "profile_drift",
+    "orc_roundtrip_orders",
 ]
 
 assert len(CORRECTNESS_WINDOW) == 50, len(CORRECTNESS_WINDOW)
