@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from streamprocessing_with_kafka_spark.functions.hashing import md5_long, md5_long_sql
+from streamprocessing_with_kafka_spark.functions.numeric import round_sql
 from streamprocessing_with_kafka_spark.sources.tables import load_table
 
 STRATUM_K = 5
@@ -254,4 +255,147 @@ u AS (
 )
 SELECT doc_id, source, keep_rate, round(u_exact, 6) AS u
 FROM u WHERE u_exact < keep_rate
+"""
+
+
+# ----------------------------------------------------- DSIR resampling
+
+#: hashed-feature buckets (DSIR hashes n-grams into a fixed bucket count
+#: so the LM tables are O(buckets), independent of vocabulary size)
+DSIR_BUCKETS = 4096
+#: the "target distribution" slice standing in for a curated corpus
+#: (Wikipedia/books in the paper); here: one source of the synthetic mix
+DSIR_TARGET_SOURCE = "src0"
+#: expected fraction of the raw corpus to keep
+DSIR_SAMPLE_FRAC = 0.25
+
+
+def dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al. 2023): score
+    every raw document by the log-likelihood ratio of its hashed unigram
+    features under a target-distribution LM vs a raw-distribution LM,
+    then keep docs with probability proportional to exp(score) -- the
+    published recipe for tilting a web-scale corpus toward a curated
+    target domain without training a classifier.
+
+    Scale design: the two "language models" are ONE conditional
+    aggregate over the token stream producing DSIR_BUCKETS rows
+    (bucket-count-sized, vocabulary-independent -- that is the point of
+    the hashing trick), broadcast back onto the same token stream; the
+    corpus shuffles once more for the per-doc score aggregate, on the
+    doc_id it is already partitioned by downstream. The normalizer and
+    doc count ride a 1-row broadcast (no driver scalar). The only
+    corpus-sized exchanges are the two token aggregates (bucket LM and
+    per-doc score), both map-side combinable; every other exchange in
+    the compiled plan moves bucket-count or single rows, and nothing
+    ever joins the corpus against itself.
+
+    Determinism: per-bucket log-ratios and per-doc exp(score) are
+    quantized to exact decimals before any sum (the unigram_logprob
+    pattern), the keep probability is rounded to 9dp before the
+    comparison (the temperature_sample pattern), and the uniform is the
+    md5 hash fraction -- retry-stable, oracle-reproducible."""
+    return dsir_sample_frame(load_table(spark, sf_dir, "documents"))
+
+
+def dsir_sample_frame(d: DataFrame) -> DataFrame:
+    """Frame-level core of dsir_sample over any (doc_id, source, text)
+    frame."""
+    toks = d.select(
+        "doc_id",
+        (F.col("source") == DSIR_TARGET_SOURCE).alias("is_t"),
+        F.explode(F.split("text", " ")).alias("term"),
+    ).select(
+        "doc_id", "is_t", F.pmod(md5_long(F.col("term")), F.lit(DSIR_BUCKETS)).alias("b")
+    )
+    lm = toks.groupBy("b").agg(
+        F.count_if("is_t").alias("ct"),
+        F.count_if(~F.col("is_t")).alias("cr"),
+    )
+    tot = lm.agg(F.sum("ct").alias("nt"), F.sum("cr").alias("nr"))
+    lr = (
+        F.log((F.col("ct") + 1) / (F.col("nt") + DSIR_BUCKETS).cast("double"))
+        - F.log((F.col("cr") + 1) / (F.col("nr") + DSIR_BUCKETS).cast("double"))
+    ).cast("decimal(28,10)")
+    scored = (
+        toks.filter(~F.col("is_t"))
+        .join(F.broadcast(lm.crossJoin(F.broadcast(tot)).select("b", lr.alias("lr"))), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (F.sum("lr").cast("double") / F.count(F.lit(1)).cast("double")).alias("_w"),
+        )
+        .withColumn("_imp", F.exp(F.col("_w")).cast("decimal(28,6)"))
+    )
+    norm = scored.agg(
+        F.sum("_imp").cast("double").alias("s"),
+        F.count(F.lit(1)).alias("n_raw"),
+    )
+    keep_p = F.round(
+        F.least(
+            F.lit(1.0),
+            F.floor(F.lit(DSIR_SAMPLE_FRAC) * F.col("n_raw")).cast("double")
+            * F.col("_imp").cast("double")
+            / F.col("s"),
+        ),
+        9,
+    )
+    u = md5_long(F.concat(F.lit("dsir|"), F.col("doc_id").cast("string"))) / F.lit(
+        _TWO60
+    )
+    return (
+        scored.crossJoin(F.broadcast(norm))
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round("_w", 6).alias("avg_logratio"),
+            keep_p.alias("keep_prob"),
+            (u < keep_p).alias("is_kept"),
+        )
+    )
+
+
+_DSIR_U = f"{md5_long_sql(chr(39) + 'dsir|' + chr(39) + ' || CAST(doc_id AS VARCHAR)')} / CAST({1 << 60} AS DOUBLE)"
+
+DSIR_SAMPLE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, source = '{DSIR_TARGET_SOURCE}' AS is_t,
+         {md5_long_sql('t.term')} % {DSIR_BUCKETS} AS b
+  FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS term
+        FROM documents) t
+),
+lm AS (
+  SELECT b,
+         COUNT(CASE WHEN is_t THEN 1 END) AS ct,
+         COUNT(CASE WHEN NOT is_t THEN 1 END) AS cr
+  FROM toks GROUP BY b
+),
+tot AS (SELECT SUM(ct) AS nt, SUM(cr) AS nr FROM lm),
+lr AS (
+  SELECT b,
+         CAST(ln((ct + 1) / CAST(nt + {DSIR_BUCKETS} AS DOUBLE))
+              - ln((cr + 1) / CAST(nr + {DSIR_BUCKETS} AS DOUBLE))
+           AS DECIMAL(28,10)) AS lr
+  FROM lm, tot
+),
+scored AS (
+  SELECT doc_id, COUNT(*) AS n_tokens,
+         CAST(CAST(SUM(lr) AS VARCHAR) AS DOUBLE) / COUNT(*) AS _w
+  FROM toks JOIN lr USING (b)
+  WHERE NOT is_t
+  GROUP BY doc_id
+),
+imp AS (SELECT *, CAST(exp(_w) AS DECIMAL(28,6)) AS _imp FROM scored),
+norm AS (
+  SELECT CAST(CAST(SUM(_imp) AS VARCHAR) AS DOUBLE) AS s, COUNT(*) AS n_raw
+  FROM imp
+),
+kp AS (
+  SELECT doc_id, n_tokens, _w,
+         {round_sql(f'LEAST(1.0, floor({DSIR_SAMPLE_FRAC} * n_raw) * CAST(CAST(_imp AS VARCHAR) AS DOUBLE) / s)', 9)} AS keep_prob
+  FROM imp, norm
+)
+SELECT doc_id, n_tokens, {round_sql('_w', 6)} AS avg_logratio, keep_prob,
+       {_DSIR_U} < keep_prob AS is_kept
+FROM kp
 """

@@ -982,6 +982,15 @@ register(
     "flag; syntactic (parser) vs semantic (try_cast) errors kept distinct",
 )(csv_source.csv_parse_orders)
 register(
+    "sample_dsir",
+    sampling.DSIR_SAMPLE_SQL,
+    doc="DSIR importance resampling (Xie et al. 2023): hashed-unigram "
+    "log-likelihood ratio of a target-source LM vs the raw LM, keep "
+    "probability proportional to exp(score); LM tables are bucket-count-"
+    "sized broadcasts, corpus never self-joins; decimal-quantized logs + "
+    "md5 uniform make the sample retry-stable and oracle-exact",
+)(sampling.dsir_sample)
+register(
     "orc_roundtrip_orders",
     orc_source.ORC_ROUNDTRIP_SQL,
     doc="ORC ingestion surface: deterministic orders slice written to ORC "
@@ -1088,6 +1097,7 @@ PENDING_WINDOW = [
     "text_decontaminate_fuzzy",
     "profile_drift",
     "orc_roundtrip_orders",
+    "sample_dsir",
 ]
 
 assert len(CORRECTNESS_WINDOW) == 50, len(CORRECTNESS_WINDOW)

@@ -90,3 +90,36 @@ def test_temperature_sample_rates_flatten_token_shares(spark, sf_dir):
     assert [rates[s] for s in by_share] == sorted(rates.values(), reverse=True)
     for r in rows:
         assert 0.0 < r.keep_rate <= 1.0
+
+
+def test_dsir_tilts_toward_target_vocabulary(spark):
+    """DSIR semantics on a constructed corpus: target docs use vocabulary
+    A; raw docs either share vocabulary A (target-like) or use a disjoint
+    vocabulary B. Every target-like raw doc must out-score every B doc on
+    avg_logratio (the importance weight orders by target likeness), the
+    target slice itself is excluded from the output, and keep
+    probabilities are valid probabilities."""
+    from streamprocessing_with_kafka_spark.operators.sampling import (
+        DSIR_TARGET_SOURCE,
+        dsir_sample_frame,
+    )
+
+    va = "alpha beta gamma delta epsilon"
+    vb = "zeta eta theta iota kappa"
+    rows = []
+    for i in range(10):  # target slice: vocabulary A
+        rows.append((i, DSIR_TARGET_SOURCE, va))
+    for i in range(10, 20):  # raw, target-like
+        rows.append((i, "web", va))
+    for i in range(20, 30):  # raw, off-target
+        rows.append((i, "web", vb))
+    d = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r.doc_id: r for r in dsir_sample_frame(d).collect()}
+
+    assert set(out) == set(range(10, 30))  # target docs excluded
+    like = [out[i].avg_logratio for i in range(10, 20)]
+    off = [out[i].avg_logratio for i in range(20, 30)]
+    assert min(like) > max(off)
+    for r in out.values():
+        assert 0.0 <= r.keep_prob <= 1.0
+        assert r.is_kept in (True, False)
