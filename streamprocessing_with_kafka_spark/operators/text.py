@@ -809,3 +809,141 @@ JOIN big USING (w_prev, w)
 JOIN ctx ON pairs.w_prev = ctx.term, vocab_n
 GROUP BY doc_id
 """
+
+
+# ------------------------------------------------------ BM25 retrieval
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_N_QUERIES = 3  # doc_id < 3 are the probe documents (text_ann_topk's set)
+BM25_TOP_K = 5
+
+
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (Robertson-Sparck Jones): per probe document,
+    the top-K corpus documents by the Okapi BM25 score over shared terms
+    -- the lexical-ranking complement to text_ann_topk's TF-IDF cosine
+    (BM25's tf saturation + length normalization is the default first-
+    stage ranker in retrieval pipelines; cosine favors short spammy docs).
+
+    Scale design (term-at-a-time over an inverted-index-shaped frame):
+    ONE corpus explode -> postings groupBy (doc_id, term) with tf; doc
+    length = a window SUM over the postings' own doc_id partitioning (no
+    second corpus pass, no lengths join); df/idf = a vocabulary-sized
+    groupBy broadcast back onto the postings; query terms = the probes'
+    posting rows, a broadcast sliver. The per-(query, doc) score is one
+    aggregate over candidate postings -- candidates exist only where a
+    probe term matches, exactly an inverted-index seek. Nothing joins
+    the corpus against itself.
+
+    Determinism: idf is ln quantized to DECIMAL(28,10) (unigram_logprob
+    pattern); each term's BM25 contribution is quantized the same way
+    before the per-pair sum, so scores are partition-order-independent
+    and oracle-exact; top-K ties break on n_id."""
+    return text_bm25_topk_frame(load_table(spark, sf_dir, "documents"))
+
+
+def text_bm25_topk_frame(d: DataFrame) -> DataFrame:
+    """Frame-level core of text_bm25_topk over any (doc_id, text) frame."""
+    from pyspark.sql import Window as W
+
+    stats = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(_tokens())).alias("total_len"),
+    )
+    toks = d.select("doc_id", F.explode(_tokens()).alias("term"))
+    postings = (
+        toks.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("dl", F.sum("tf").over(W.partitionBy("doc_id")))
+    )
+    idf_dec = F.log(
+        1
+        + (F.col("n_docs") - F.col("df") + 0.5)
+        / (F.col("df") + 0.5)
+    ).cast("decimal(28,10)")
+    dfreq = (
+        postings.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(stats))
+        .select("term", idf_dec.alias("idf"))
+    )
+    qterms = (
+        postings.filter(F.col("doc_id") < BM25_N_QUERIES)
+        .select(F.col("doc_id").alias("q_id"), "term")
+    )
+    avgdl = F.col("total_len") / F.col("n_docs").cast("double")
+    contrib = (
+        F.col("idf").cast("double")
+        * (F.col("tf") * (BM25_K1 + 1))
+        / (
+            F.col("tf")
+            + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / avgdl)
+        )
+    ).cast("decimal(28,10)")
+    scored = (
+        F.broadcast(qterms)
+        .join(postings.withColumnRenamed("doc_id", "n_id"), "term")
+        .filter(F.col("q_id") != F.col("n_id"))
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("q_id", "n_id")
+        .agg(F.round(F.sum(contrib).cast("double"), 6).alias("bm25"))
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("bm25").desc(), F.col("n_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= BM25_TOP_K)
+        .select("q_id", "n_id", "bm25", "rank")
+    )
+
+
+TEXT_BM25_TOPK_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+stats AS (
+  SELECT COUNT(*) AS n_docs,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_len
+  FROM documents
+),
+postings AS (
+  SELECT doc_id, term, COUNT(*) AS tf,
+         SUM(COUNT(*)) OVER (PARTITION BY doc_id) AS dl
+  FROM toks GROUP BY doc_id, term
+),
+dfreq AS (
+  SELECT term,
+         CAST(ln(1 + (n_docs - COUNT(*) + 0.5) / (COUNT(*) + 0.5))
+           AS DECIMAL(28,10)) AS idf
+  FROM postings, stats
+  GROUP BY term, n_docs
+),
+scored AS (
+  SELECT q.doc_id AS q_id, p.doc_id AS n_id,
+    {{round_expr}} AS bm25
+  FROM postings q
+  JOIN postings p ON p.term = q.term AND p.doc_id <> q.doc_id
+  JOIN dfreq ON dfreq.term = q.term, stats
+  WHERE q.doc_id < {BM25_N_QUERIES}
+  GROUP BY q.doc_id, p.doc_id
+)
+SELECT q_id, n_id, bm25, CAST(rk AS INTEGER) AS rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id
+                               ORDER BY bm25 DESC, n_id ASC) AS rk
+  FROM scored
+)
+WHERE rk <= {BM25_TOP_K}
+""".replace(
+    "{round_expr}",
+    _round_sql(
+        "CAST(CAST(SUM(CAST("
+        "CAST(CAST(idf AS VARCHAR) AS DOUBLE)"
+        f" * (p.tf * ({BM25_K1} + 1))"
+        f" / (p.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * p.dl"
+        " / (total_len / CAST(n_docs AS DOUBLE))))"
+        " AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)",
+        6,
+    ),
+)

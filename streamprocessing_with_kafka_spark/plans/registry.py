@@ -982,6 +982,15 @@ register(
     "flag; syntactic (parser) vs semantic (try_cast) errors kept distinct",
 )(csv_source.csv_parse_orders)
 register(
+    "text_bm25_topk",
+    text.TEXT_BM25_TOPK_SQL,
+    doc="Okapi BM25 ranked retrieval per probe doc: term-at-a-time over "
+    "an inverted-index-shaped postings frame, doc length via window on "
+    "the postings' own partitioning (no second corpus pass), idf "
+    "broadcast; tf saturation + length normalization -- the lexical "
+    "first-stage ranker beside text_ann_topk's cosine",
+)(text.text_bm25_topk)
+register(
     "sample_dsir",
     sampling.DSIR_SAMPLE_SQL,
     doc="DSIR importance resampling (Xie et al. 2023): hashed-unigram "
@@ -1098,6 +1107,7 @@ PENDING_WINDOW = [
     "profile_drift",
     "orc_roundtrip_orders",
     "sample_dsir",
+    "text_bm25_topk",
 ]
 
 assert len(CORRECTNESS_WINDOW) == 50, len(CORRECTNESS_WINDOW)

@@ -25,3 +25,27 @@ def test_hashed_tfidf_dim_and_duplicate_invariance(spark, sf_dir):
     assert vecs[10_000_000] == vecs[0]
     # and distinct documents do differ somewhere (hashing is not collapsing)
     assert any(vecs[i] != vecs[0] for i in vecs if i not in (0, 10_000_000))
+
+
+def test_bm25_rewards_rare_terms_and_penalizes_length(spark):
+    """BM25 semantics on a constructed corpus: for a probe containing a
+    rare term, a short doc with the rare term outranks a long doc with
+    the same single occurrence (length normalization), and both outrank
+    a doc sharing only a ubiquitous term (idf)."""
+    from streamprocessing_with_kafka_spark.operators.text import (
+        text_bm25_topk_frame,
+    )
+
+    common = "x " * 5
+    rows = [
+        (0, "rare " + common.strip()),          # probe
+        (10, "rare " + common.strip()),         # short, has rare term
+        (11, "rare " + ("pad " * 40) + common.strip()),  # long, has rare term
+        (12, common.strip()),                   # only the common term
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.n_id: r for r in text_bm25_topk_frame(d).filter("q_id = 0").collect()}
+
+    assert set(out) == {10, 11, 12}
+    assert out[10].bm25 > out[11].bm25 > out[12].bm25
+    assert out[10].rank == 1
