@@ -405,3 +405,49 @@ def test_dedup_incremental_candidates_are_equi_joins(spark, sf_dir):
     plan = _plan(spark, dedup_incremental(spark, sf_dir))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_fuzzy_decontam_broadcasts_eval_side(spark, sf_dir):
+    """The eval side (bands AND shingles) must broadcast: the corpus may
+    never shuffle against the benchmark corpus, and no sort-merge or
+    cartesian join may appear anywhere in the fuzzy-decontamination plan."""
+    from streamprocessing_with_kafka_spark.operators import decontaminate
+
+    plan = _plan(spark, decontaminate.decontaminate_fuzzy(spark, sf_dir))
+    assert "SortMergeJoin" not in plan, plan
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_dsir_joins_are_broadcast_only(spark, sf_dir):
+    """DSIR's LM tables are bucket-count-sized and must reach the token
+    stream as broadcasts; the corpus never joins itself."""
+    plan = _plan(spark, sampling.dsir_sample(spark, sf_dir))
+    assert "SortMergeJoin" not in plan, plan
+    assert "Cartesian" not in plan, plan
+    # the only nested-loop joins are the 1-row in-plan-scalar crossJoins
+    assert all("Cross" in l for l in plan.splitlines()
+               if "BroadcastNestedLoopJoin" in l), plan
+
+
+def test_bm25_joins_are_broadcast_only(spark, sf_dir):
+    """BM25's probe terms and idf table must broadcast onto the postings
+    frame -- a sort-merge join here would shuffle the corpus against the
+    vocabulary at 100 TB."""
+    plan = _plan(spark, text.text_bm25_topk(spark, sf_dir))
+    assert "SortMergeJoin" not in plan, plan
+    assert "Cartesian" not in plan, plan
+    # the only nested-loop joins are the 1-row in-plan-scalar crossJoins
+    assert all("Cross" in l for l in plan.splitlines()
+               if "BroadcastNestedLoopJoin" in l), plan
+
+
+def test_profile_drift_single_corpus_aggregate(spark, sf_dir):
+    """The drift monitor reads events once: the only corpus-sized
+    exchange is the multi-distinct aggregate's Expand shuffle; the time
+    cutoff rides a 1-row broadcast, never a driver scalar."""
+    from streamprocessing_with_kafka_spark.operators import profile
+
+    plan = _plan(spark, profile.profile_drift(spark, sf_dir))
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("Scan parquet") <= 2, plan  # events + 1-row bounds
