@@ -93,3 +93,126 @@ SELECT doc_id, quality_prob, dup_frac, contamination_frac, shard,
        CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS INTEGER) AS pos
 FROM sharded
 """
+
+
+# ------------------------------------------------ v3: packed export
+
+def export_packed_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The v3 flagship -- the training-data EXPORT job: DSIR importance
+    resampling (tilt the raw corpus toward the target domain) -> fuzzy
+    decontamination (drop near-duplicates of benchmark docs, not just
+    exact n-gram hits) -> MinHash cluster dedup (keep one doc per
+    near-dup component) -> concat-then-chunk sequence packing of the
+    survivors. Output is the packed-layout manifest a data loader reads:
+    (doc_id, avg_logratio, shard, n_tokens, start_offset, seq_id,
+    offset_in_seq).
+
+    Relation to v1/v2: v1 (`text_curation_pipeline`) gates on surface
+    heuristics, v2 (`pipeline_curate_shard`) adds cross-document and
+    learned signals; v3 is the SELECTION + EXPORT stage that follows
+    them -- distribution tilting, benchmark hygiene, canonical near-dup
+    collapse, and the physical training layout, one oracle-checked query.
+
+    Scale shape: each stage is the already-audited plan of its standalone
+    operator (DSIR: bucket-LM broadcasts; fuzzy: eval-side broadcasts;
+    CC: bounded label propagation with localCheckpoint) glued by doc_id
+    equi-joins and two broadcast left-antis (the drop sides are slivers
+    by construction: contaminated docs and non-keepers). Packing adds
+    the one shard-keyed exchange. The DSIR stage already excludes the
+    target-distribution slice itself, so the export contains only raw-
+    corpus survivors."""
+    from streamprocessing_with_kafka_spark.operators.decontaminate import (
+        decontaminate_fuzzy,
+    )
+    from streamprocessing_with_kafka_spark.operators.dedup import (
+        dedup_cluster_keepers,
+    )
+    from streamprocessing_with_kafka_spark.operators.sampling import dsir_sample
+    from streamprocessing_with_kafka_spark.operators.text import (
+        PACK_CAPACITY,
+        PACK_SHARDS,
+        _tokens,
+    )
+    from streamprocessing_with_kafka_spark.sources.tables import load_table
+
+    kept = dsir_sample(spark, sf_dir).filter(F.col("is_kept")).select(
+        "doc_id", "avg_logratio"
+    )
+    contaminated = decontaminate_fuzzy(spark, sf_dir).select("doc_id").distinct()
+    non_keepers = (
+        dedup_cluster_keepers(spark, sf_dir)
+        .filter(F.col("keeper_doc_id") != F.col("doc_id"))
+        .select("doc_id")
+    )
+    survivors = kept.join(
+        F.broadcast(contaminated), "doc_id", "left_anti"
+    ).join(F.broadcast(non_keepers), "doc_id", "left_anti")
+    lens = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(_tokens()).alias("n_tokens")
+    )
+    docs = survivors.join(lens, "doc_id").select(
+        "doc_id",
+        "avg_logratio",
+        "n_tokens",
+        (F.col("doc_id") % PACK_SHARDS).cast("int").alias("shard"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return docs.select(
+        "doc_id",
+        "avg_logratio",
+        "shard",
+        "n_tokens",
+        start.alias("start_offset"),
+        F.floor(start / PACK_CAPACITY).alias("seq_id"),
+        (start % PACK_CAPACITY).alias("offset_in_seq"),
+    )
+
+
+def _export_packed_sql() -> str:
+    from streamprocessing_with_kafka_spark.operators.decontaminate import (
+        DECONTAMINATE_FUZZY_SQL,
+    )
+    from streamprocessing_with_kafka_spark.operators.dedup import (
+        DEDUP_CLUSTER_KEEPERS_SQL,
+    )
+    from streamprocessing_with_kafka_spark.operators.sampling import DSIR_SAMPLE_SQL
+    from streamprocessing_with_kafka_spark.operators.text import (
+        PACK_CAPACITY,
+        PACK_SHARDS,
+    )
+
+    return f"""
+WITH dsir AS ({DSIR_SAMPLE_SQL}),
+fuzzy AS ({DECONTAMINATE_FUZZY_SQL}),
+cc AS (SELECT * FROM ({DEDUP_CLUSTER_KEEPERS_SQL})),
+survivors AS (
+  SELECT doc_id, avg_logratio FROM dsir
+  WHERE is_kept
+    AND doc_id NOT IN (SELECT doc_id FROM fuzzy)
+    AND doc_id NOT IN (SELECT doc_id FROM cc WHERE keeper_doc_id <> doc_id)
+),
+docs AS (
+  SELECT s.doc_id, s.avg_logratio,
+         len(string_split(d.text, ' ')) AS n_tokens,
+         CAST(s.doc_id % {PACK_SHARDS} AS INTEGER) AS shard
+  FROM survivors s JOIN documents d ON s.doc_id = d.doc_id
+),
+off AS (
+  SELECT *, CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS start_offset
+  FROM docs
+)
+SELECT doc_id, avg_logratio, shard, n_tokens, start_offset,
+       CAST(floor(start_offset / {PACK_CAPACITY}) AS BIGINT) AS seq_id,
+       CAST(start_offset % {PACK_CAPACITY} AS BIGINT) AS offset_in_seq
+FROM off
+"""
+
+
+EXPORT_PACKED_SQL = _export_packed_sql()

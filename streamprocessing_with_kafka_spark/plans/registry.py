@@ -982,6 +982,14 @@ register(
     "flag; syntactic (parser) vs semantic (try_cast) errors kept distinct",
 )(csv_source.csv_parse_orders)
 register(
+    "pipeline_export_packed",
+    compose.EXPORT_PACKED_SQL,
+    doc="v3 flagship -- the training-data EXPORT: DSIR importance "
+    "resampling -> fuzzy (near-dup) decontamination -> MinHash cluster "
+    "dedup keeper -> concat-then-chunk sequence packing; emits the "
+    "packed-layout manifest a data loader reads",
+)(compose.export_packed_pipeline)
+register(
     "text_bm25_topk",
     text.TEXT_BM25_TOPK_SQL,
     doc="Okapi BM25 ranked retrieval per probe doc: term-at-a-time over "
@@ -1108,6 +1116,7 @@ PENDING_WINDOW = [
     "orc_roundtrip_orders",
     "sample_dsir",
     "text_bm25_topk",
+    "pipeline_export_packed",
 ]
 
 assert len(CORRECTNESS_WINDOW) == 50, len(CORRECTNESS_WINDOW)
