@@ -139,13 +139,34 @@ def profile_drift_frame(e: DataFrame) -> DataFrame:
             _sum(~F.col("_a"), F.col("value") * F.col("value")).alias("_q_b"),
         )
     )
+    return drift_score(g)
+
+
+def drift_score(g: DataFrame) -> DataFrame:
+    """Shared drift scoring: from a per-type stats frame with columns
+    (event_type, n_a, n_b, users_a, users_b, _s_a, _s_b, _q_a, _q_b)
+    compute means, the Welch z on the mean shift, the volume ratio, and
+    the drift flag. Used by both the batch split-window monitor and the
+    streaming per-ingest-batch audit, so their verdicts are
+    definitionally identical."""
+    # try_divide throughout: a type confined to one window (n=0) or with
+    # a single observation (n-1=0) must yield NULL statistics, not an
+    # ANSI DIVIDE_BY_ZERO -- and DuckDB's native x/0 -> NULL is exactly
+    # try_divide, so the edge semantics stay engine-identical.
     na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
-    mean_a, mean_b = F.col("_s_a") / na, F.col("_s_b") / nb
-    var_a = (F.col("_q_a") - F.col("_s_a") * F.col("_s_a") / na) / (na - 1)
-    var_b = (F.col("_q_b") - F.col("_s_b") * F.col("_s_b") / nb) / (nb - 1)
-    se = F.sqrt(var_a / na + var_b / nb)
-    z = F.round((mean_b - mean_a) / se, 4)
-    ratio = F.round(nb / na, 6)
+    mean_a, mean_b = (
+        F.try_divide(F.col("_s_a"), na),
+        F.try_divide(F.col("_s_b"), nb),
+    )
+    var_a = F.try_divide(
+        F.col("_q_a") - F.try_divide(F.col("_s_a") * F.col("_s_a"), na), na - 1
+    )
+    var_b = F.try_divide(
+        F.col("_q_b") - F.try_divide(F.col("_s_b") * F.col("_s_b"), nb), nb - 1
+    )
+    se = F.sqrt(F.try_divide(var_a, na) + F.try_divide(var_b, nb))
+    z = F.round(F.try_divide(mean_b - mean_a, se), 4)
+    ratio = F.round(F.try_divide(nb, na), 6)
     return g.select(
         "event_type",
         "n_a",
@@ -164,8 +185,9 @@ def profile_drift_frame(e: DataFrame) -> DataFrame:
                 ) > Z_FLAG,
                 F.lit(False),
             )
-            | (ratio < RATIO_LO)
-            | (ratio > RATIO_HI)
+            # NULL ratio = the type appeared out of nowhere (n_a = 0):
+            # that IS drift, so the out-of-range test defaults true
+            | F.coalesce((ratio < RATIO_LO) | (ratio > RATIO_HI), F.lit(True))
         ).alias("drift_flag"),
     ).orderBy("event_type")
 
@@ -219,7 +241,8 @@ scored AS (
 )
 SELECT *,
   COALESCE(abs(welch_z) > {Z_FLAG}, FALSE)
-    OR count_ratio < {RATIO_LO} OR count_ratio > {RATIO_HI} AS drift_flag
+    OR COALESCE(count_ratio < {RATIO_LO} OR count_ratio > {RATIO_HI}, TRUE)
+    AS drift_flag
 FROM scored
 ORDER BY event_type
 """
