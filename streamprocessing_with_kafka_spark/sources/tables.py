@@ -67,3 +67,29 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if rows >= threshold and rgs < cores:
         df = df.repartition(cores)
     return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> list[str]:
+    """Register every testdata table as a SQL temp view plus the
+    pipeline's `enriched_orders` output view -- the text-SQL front end a
+    user of the reference switches to (`SELECT * FROM enriched_orders`
+    and any ad-hoc analytics over the lake tables run verbatim through
+    `spark.sql`). Views are lazy: registration reads no data, and every
+    later query still gets full pushdown/pruning through the same
+    `load_table` scan. Returns the registered view names."""
+    from streamprocessing_with_kafka_spark.operators.route import route
+    from streamprocessing_with_kafka_spark.operators.validate import (
+        validate_and_enrich,
+    )
+    from streamprocessing_with_kafka_spark.sources.raw_orders import raw_orders
+
+    for t in TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    routed = route(validate_and_enrich(raw_orders(spark, sf_dir)))
+    routed.filter("is_valid").select(
+        "order_id", "product_name", "quantity", "price", "order_date", "total_price"
+    ).createOrReplaceTempView("enriched_orders")
+    routed.filter("NOT is_valid").select(
+        "kafka_key", "status_message"
+    ).createOrReplaceTempView("invalid_orders")
+    return TABLES + ["enriched_orders", "invalid_orders"]
