@@ -106,3 +106,147 @@ def streaming_decontaminate(docs: DataFrame, eval_hashes) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return docs.select("doc_id", "text").mapInPandas(score, OUTPUT_SCHEMA)
+
+
+# ---------------------------------------------- fuzzy (near-dup) gate
+
+#: streaming twin of operators/decontaminate.decontaminate_fuzzy -- the
+#: MinHash near-dup contamination check as a STATELESS pure-expression
+#: gate: the eval corpus's band index and shingle sets ship once as a
+#: 1-row static frame of map columns; each arriving document computes
+#: its signature and band keys as per-row array expressions
+#: (streaming/minhash_dedup's narrow form, proven bit-identical to the
+#: batch signatures), looks its bands up in the map, and verifies the
+#: few candidates with an exact array-intersection Jaccard. No Python,
+#: no join of the stream, no shuffle, no state.
+
+from pyspark.sql import SparkSession  # noqa: E402
+
+from streamprocessing_with_kafka_spark.operators.decontaminate import (  # noqa: E402
+    FUZZY_THRESHOLD,
+)
+from streamprocessing_with_kafka_spark.operators.dedup import (  # noqa: E402
+    BANDS,
+    PERMS,
+    ROWS_PER_BAND,
+    SHINGLE_N,
+    _band_keys,
+    _shingles_with_count,
+    _signature_agg,
+)
+
+
+def fuzzy_eval_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The frozen eval-side index as ONE static row:
+    (band_map map<'band|key', array<eval_doc>>,
+     set_map  map<eval_doc, array<shingle_hash>>).
+
+    Built with the batch operator's own shingling/signature/banding code
+    so stream and batch agree definitionally; the eval corpus is a
+    sliver, so both maps broadcast."""
+    sh = _shingles_with_count(spark, sf_dir)
+    ev_sh = sh.filter(F.col("doc_id") % EVAL_MOD == 0)
+    bands = _band_keys(_signature_agg(ev_sh))
+    band_map = (
+        bands.groupBy("band", "band_key")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
+        .groupBy()
+        .agg(
+            F.map_from_entries(
+                F.collect_list(
+                    F.struct(
+                        F.concat_ws(
+                            "|", F.col("band").cast("string"), F.col("band_key")
+                        ).alias("k"),
+                        F.col("docs").alias("v"),
+                    )
+                )
+            ).alias("band_map")
+        )
+    )
+    set_map = (
+        ev_sh.groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("_h")).alias("hs"))
+        .groupBy()
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("doc_id", "hs"))
+            ).alias("set_map")
+        )
+    )
+    return band_map.crossJoin(F.broadcast(set_map))
+
+
+def streaming_fuzzy_gate(docs: DataFrame, model: DataFrame) -> DataFrame:
+    """(doc_id, eval_doc_id, jaccard): fuzzy-contamination pairs for a
+    document stream, schema and values identical to the batch
+    `decontaminate_fuzzy` for the same input rows.
+
+    Everything is computed ON the arriving row (no join of the stream,
+    which streaming would reject as stream-stream): distinct gram strings
+    -> hashes -> per-permutation array-min signature (the minhash_dedup
+    narrow form, bit-identical to the batch groupBy mins) -> band keys ->
+    band-map lookups give the candidate eval docs -> exact
+    array-intersection Jaccard against the broadcast shingle sets. Docs
+    shorter than SHINGLE_N tokens have no shingles and no row, exactly
+    like the batch explode."""
+    from streamprocessing_with_kafka_spark.functions.hashing import (
+        family_hash_one,
+    )
+
+    def _mh(p):  # factory: F.transform treats 2-arg lambdas as (elem, idx)
+        return F.array_min(
+            F.transform(F.col("_gh"), lambda h: family_hash_one(h, p, PERMS))
+        )
+
+    w = F.split(F.col("text"), " ")
+    gram_strs = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - (SHINGLE_N - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(w, i + k) for k in range(SHINGLE_N)]
+            ),
+        )
+    )
+    base = (
+        docs.filter(F.col("doc_id") % EVAL_MOD != 0)
+        .filter(F.size(w) >= SHINGLE_N)
+        .withColumn("_gh", F.transform(gram_strs, lambda s: md5_long(s)))
+        .withColumns({f"mh{p}": _mh(p) for p in range(PERMS)})
+        .crossJoin(model)
+    )
+    band_key = lambda b: F.md5(  # noqa: E731
+        F.concat_ws(
+            ",",
+            *[
+                F.col(f"mh{p}").cast("string")
+                for p in range(b * ROWS_PER_BAND, (b + 1) * ROWS_PER_BAND)
+            ],
+        )
+    )
+    cands = F.array_distinct(
+        F.flatten(
+            F.array(
+                *[
+                    F.coalesce(
+                        F.element_at(
+                            "band_map",
+                            F.concat_ws("|", F.lit(str(b)), band_key(b)),
+                        ),
+                        F.array().cast("array<bigint>"),
+                    )
+                    for b in range(BANDS)
+                ]
+            )
+        )
+    )
+    ev_set = F.element_at("set_map", F.col("_e"))
+    inter = F.size(F.array_intersect(F.col("_gh"), ev_set))
+    jac = F.round(
+        inter / (F.size(F.col("_gh")) + F.size(ev_set) - inter).cast("double"), 6
+    )
+    return (
+        base.select("doc_id", "_gh", "set_map", F.explode(cands).alias("_e"))
+        .select("doc_id", F.col("_e").alias("eval_doc_id"), jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= FUZZY_THRESHOLD)
+    )
