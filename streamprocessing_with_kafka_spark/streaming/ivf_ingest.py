@@ -1,0 +1,65 @@
+"""Streaming IVF ingest: assign arriving embedding vectors to their
+nearest-centroid cell -- the index-maintenance twin of
+operators/similarity.ivf_assignments.
+
+Production shape: centroids are (re)trained offline and FROZEN between
+refits, so they ship once as a 1-row static frame holding the centroid
+array; each arriving vector computes its nearest cell with a per-row
+left fold over that array -- no Python, no join of the stream, no
+shuffle, no state. This is strictly cheaper than the batch plan (whose
+crossJoin + per-vector window rank shuffles the scored pairs): the fold
+IS the argmax, so assignment runs at scan speed -- and newly ingested
+vectors become searchable the moment their (cell, vector) row lands in
+the index table.
+
+Tie behavior matches the batch rank exactly: centroids fold in
+ascending cell order and only a STRICTLY greater cosine replaces the
+running best, so equal scores keep the smallest cell -- the batch
+window's (cos DESC, cell ASC) order. Convergence is pinned in
+tests/test_streaming_ivf.py."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from streamprocessing_with_kafka_spark.operators.similarity import cosine
+from streamprocessing_with_kafka_spark.sources.tables import load_table
+
+
+def ivf_centroid_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The frozen centroid set as ONE static row:
+    (cents array<struct<cell bigint, cv array<float>>>), ascending cell.
+    Same deterministic seed centroids as the batch operator (a
+    production IVF k-means these; the plumbing is identical)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        e.filter(F.col("vec_id") % 50 == 0)
+        .select(
+            F.struct(
+                F.col("vec_id").alias("cell"), F.col("embedding").alias("cv")
+            ).alias("c")
+        )
+        .agg(F.sort_array(F.collect_list("c")).alias("cents"))
+    )
+
+
+def streaming_ivf_assign(vecs: DataFrame, model: DataFrame) -> DataFrame:
+    """(vec_id, cell): nearest-centroid assignment for a vector stream,
+    value-identical to the batch ivf_assignments for the same rows."""
+    best = F.aggregate(
+        F.col("cents"),
+        F.struct(
+            F.lit(-2.0).alias("cos"), F.lit(None).cast("bigint").alias("cell")
+        ),
+        lambda acc, c: F.when(
+            cosine(F.col("embedding"), c["cv"]) > acc["cos"],
+            F.struct(
+                cosine(F.col("embedding"), c["cv"]).alias("cos"),
+                c["cell"].alias("cell"),
+            ),
+        ).otherwise(acc),
+    )
+    return (
+        vecs.crossJoin(model)
+        .select("vec_id", best["cell"].alias("cell"))
+    )
