@@ -402,24 +402,51 @@ ANN_TOPK_LSH_SQL = _ann_topk_lsh_sql()
 N_PROBE = 2  # cells probed per query
 
 
-def ivf_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, cell): nearest-centroid assignment. Centroids are the
+def centroid_row(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The centroid set as ONE row (cents array<struct<cell, cv>>),
+    ascending cell -- the broadcastable frozen-model form shared by the
+    batch assignment and the streaming ingest twin. Centroids are the
     vectors with vec_id % 50 == 0 (deterministic seeds; a production IVF
     would k-means these -- the assignment/search plumbing is identical)."""
     e = load_table(spark, sf_dir, "embeddings")
-    cent = e.filter(F.col("vec_id") % 50 == 0).select(
-        F.col("vec_id").alias("cell"), F.col("embedding").alias("cv")
-    )
-    scored = e.select("vec_id", "embedding").crossJoin(F.broadcast(cent)).select(
-        "vec_id",
-        "cell",
-        cosine(F.col("embedding"), F.col("cv")).alias("cos_c"),
-    )
-    w = W.partitionBy("vec_id").orderBy(F.col("cos_c").desc(), F.col("cell").asc())
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cell")
+        e.filter(F.col("vec_id") % 50 == 0)
+        .select(
+            F.struct(
+                F.col("vec_id").alias("cell"), F.col("embedding").alias("cv")
+            ).alias("c")
+        )
+        .agg(F.sort_array(F.collect_list("c")).alias("cents"))
+    )
+
+
+def nearest_cell(vec: Column) -> Column:
+    """Per-row argmax over the `cents` column: a left fold tracking the
+    best (cosine, cell). Centroids fold in ascending cell order and only
+    a STRICTLY greater cosine replaces the running best, so equal scores
+    keep the smallest cell -- identical tie semantics to a
+    (cos DESC, cell ASC) window rank, with no shuffle at all."""
+    return F.aggregate(
+        F.col("cents"),
+        F.struct(
+            F.lit(-2.0).alias("cos"), F.lit(None).cast("bigint").alias("cell")
+        ),
+        lambda acc, c: F.when(
+            cosine(vec, c["cv"]) > acc["cos"],
+            F.struct(cosine(vec, c["cv"]).alias("cos"), c["cell"].alias("cell")),
+        ).otherwise(acc),
+    )["cell"]
+
+
+def ivf_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, cell): nearest-centroid assignment via the per-row fold
+    argmax over the 1-row centroid broadcast -- ZERO shuffles (the
+    earlier crossJoin + per-vector window rank paid one; the fold IS the
+    argmax). The oracle keeps the rank formulation: two algorithms, one
+    fixpoint."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.crossJoin(F.broadcast(centroid_row(spark, sf_dir))).select(
+        "vec_id", nearest_cell(F.col("embedding")).alias("cell")
     )
 
 

@@ -22,44 +22,24 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from streamprocessing_with_kafka_spark.operators.similarity import cosine
-from streamprocessing_with_kafka_spark.sources.tables import load_table
+from streamprocessing_with_kafka_spark.operators.similarity import (
+    centroid_row,
+    nearest_cell,
+)
 
 
 def ivf_centroid_model(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The frozen centroid set as ONE static row:
-    (cents array<struct<cell bigint, cv array<float>>>), ascending cell.
-    Same deterministic seed centroids as the batch operator (a
-    production IVF k-means these; the plumbing is identical)."""
-    e = load_table(spark, sf_dir, "embeddings")
-    return (
-        e.filter(F.col("vec_id") % 50 == 0)
-        .select(
-            F.struct(
-                F.col("vec_id").alias("cell"), F.col("embedding").alias("cv")
-            ).alias("c")
-        )
-        .agg(F.sort_array(F.collect_list("c")).alias("cents"))
-    )
+    """The frozen centroid set as ONE static row -- shared with the batch
+    operator (operators/similarity.centroid_row), so batch and stream
+    assign from definitionally identical models."""
+    return centroid_row(spark, sf_dir)
 
 
 def streaming_ivf_assign(vecs: DataFrame, model: DataFrame) -> DataFrame:
     """(vec_id, cell): nearest-centroid assignment for a vector stream,
-    value-identical to the batch ivf_assignments for the same rows."""
-    best = F.aggregate(
-        F.col("cents"),
-        F.struct(
-            F.lit(-2.0).alias("cos"), F.lit(None).cast("bigint").alias("cell")
-        ),
-        lambda acc, c: F.when(
-            cosine(F.col("embedding"), c["cv"]) > acc["cos"],
-            F.struct(
-                cosine(F.col("embedding"), c["cv"]).alias("cos"),
-                c["cell"].alias("cell"),
-            ),
-        ).otherwise(acc),
-    )
-    return (
-        vecs.crossJoin(model)
-        .select("vec_id", best["cell"].alias("cell"))
+    value-identical to the batch ivf_assignments for the same rows (both
+    are operators/similarity.nearest_cell -- one code path, two
+    execution modes)."""
+    return vecs.crossJoin(model).select(
+        "vec_id", nearest_cell(F.col("embedding")).alias("cell")
     )
