@@ -298,16 +298,23 @@ def dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_sample_frame(load_table(spark, sf_dir, "documents"))
 
 
-def dsir_sample_frame(d: DataFrame) -> DataFrame:
-    """Frame-level core of dsir_sample over any (doc_id, source, text)
-    frame."""
-    toks = d.select(
+def dsir_tokens(d: DataFrame) -> DataFrame:
+    """(doc_id, is_t, b): the hashed-bucket token stream -- the shared
+    first stage under the batch sampler and the streaming gate's model
+    builder."""
+    return d.select(
         "doc_id",
         (F.col("source") == DSIR_TARGET_SOURCE).alias("is_t"),
         F.explode(F.split("text", " ")).alias("term"),
     ).select(
         "doc_id", "is_t", F.pmod(md5_long(F.col("term")), F.lit(DSIR_BUCKETS)).alias("b")
     )
+
+
+def dsir_bucket_lm(toks: DataFrame) -> DataFrame:
+    """(b, lr): per-bucket target-vs-raw log-likelihood ratio, decimal-
+    quantized -- THE model. Shared verbatim by dsir_sample_frame and
+    streaming/dsir_gate.dsir_model so the two can never drift."""
     lm = toks.groupBy("b").agg(
         F.count_if("is_t").alias("ct"),
         F.count_if(~F.col("is_t")).alias("cr"),
@@ -317,9 +324,21 @@ def dsir_sample_frame(d: DataFrame) -> DataFrame:
         F.log((F.col("ct") + 1) / (F.col("nt") + DSIR_BUCKETS).cast("double"))
         - F.log((F.col("cr") + 1) / (F.col("nr") + DSIR_BUCKETS).cast("double"))
     ).cast("decimal(28,10)")
+    return lm.crossJoin(F.broadcast(tot)).select(
+        "b",
+        lr.alias("lr"),
+        F.col("nt").alias("nt"),
+        F.col("nr").alias("nr"),
+    )
+
+
+def dsir_sample_frame(d: DataFrame) -> DataFrame:
+    """Frame-level core of dsir_sample over any (doc_id, source, text)
+    frame."""
+    toks = dsir_tokens(d)
     scored = (
         toks.filter(~F.col("is_t"))
-        .join(F.broadcast(lm.crossJoin(F.broadcast(tot)).select("b", lr.alias("lr"))), "b")
+        .join(F.broadcast(dsir_bucket_lm(toks).select("b", "lr")), "b")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),

@@ -46,53 +46,33 @@ def dsir_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The frozen model as ONE static row:
     (lm map<bigint, decimal>, default_lr, n_raw, s, k).
 
-    Built from the SAME expressions as the batch operator's LM stage so
-    the per-bucket decimals are bit-identical; the normalizer s and the
-    raw-corpus count feed the same keep-probability formula."""
-    d = load_table(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id",
-        (F.col("source") == DSIR_TARGET_SOURCE).alias("is_t"),
-        F.explode(F.split("text", " ")).alias("term"),
-    ).select(
-        "doc_id",
-        "is_t",
-        F.pmod(md5_long(F.col("term")), F.lit(DSIR_BUCKETS)).alias("b"),
+    The LM is operators/sampling.dsir_bucket_lm -- the batch operator's
+    own model stage, shared verbatim, so the per-bucket decimals are
+    bit-identical by construction; the normalizer s and the raw-corpus
+    count feed the same keep-probability formula."""
+    from streamprocessing_with_kafka_spark.operators.sampling import (
+        dsir_bucket_lm,
+        dsir_tokens,
     )
-    lm = toks.groupBy("b").agg(
-        F.count_if("is_t").alias("ct"),
-        F.count_if(~F.col("is_t")).alias("cr"),
-    )
-    tot = lm.agg(F.sum("ct").alias("nt"), F.sum("cr").alias("nr"))
-    lr = (
-        F.log((F.col("ct") + 1) / (F.col("nt") + DSIR_BUCKETS).cast("double"))
-        - F.log((F.col("cr") + 1) / (F.col("nr") + DSIR_BUCKETS).cast("double"))
-    ).cast("decimal(28,10)")
+
+    toks = dsir_tokens(load_table(spark, sf_dir, "documents"))
+    lmf = dsir_bucket_lm(toks)  # (b, lr, nt, nr)
     default_lr = (
         F.log(F.lit(1) / (F.col("nt") + DSIR_BUCKETS).cast("double"))
         - F.log(F.lit(1) / (F.col("nr") + DSIR_BUCKETS).cast("double"))
     ).cast("decimal(28,10)")
-    lm_row = (
-        lm.crossJoin(F.broadcast(tot))
-        .groupBy()
-        .agg(
-            F.map_from_entries(
-                F.collect_list(F.struct(F.col("b"), lr.alias("lr")))
-            ).alias("lm"),
-            F.first(default_lr).alias("default_lr"),
-        )
+    lm_row = lmf.groupBy().agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("b"), F.col("lr")))
+        ).alias("lm"),
+        F.first(default_lr).alias("default_lr"),
     )
     # normalizer over the raw corpus, via the batch operator's own
     # scoring aggregate (fit-time only; the stream never pays this)
-    w = F.sum("lr_tok").cast("double") / F.count(F.lit(1)).cast("double")
+    w = F.sum("lr").cast("double") / F.count(F.lit(1)).cast("double")
     scored = (
         toks.filter(~F.col("is_t"))
-        .join(
-            F.broadcast(
-                lm.crossJoin(F.broadcast(tot)).select("b", lr.alias("lr_tok"))
-            ),
-            "b",
-        )
+        .join(F.broadcast(lmf.select("b", "lr")), "b")
         .groupBy("doc_id")
         .agg(F.exp(w).cast("decimal(28,6)").alias("_imp"))
     )
