@@ -843,8 +843,12 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_bm25_topk_frame(load_table(spark, sf_dir, "documents"))
 
 
-def text_bm25_topk_frame(d: DataFrame) -> DataFrame:
-    """Frame-level core of text_bm25_topk over any (doc_id, text) frame."""
+def bm25_index(d: DataFrame):
+    """(postings, dfreq, stats) for a (doc_id, text) corpus -- the
+    storable retrieval index: postings (doc_id, term, tf, dl), the
+    vocabulary-sized idf table, and the 1-row corpus stats. Shared by
+    the batch ranker and the streaming query gate so scores can never
+    drift."""
     from pyspark.sql import Window as W
 
     stats = d.agg(
@@ -868,10 +872,15 @@ def text_bm25_topk_frame(d: DataFrame) -> DataFrame:
         .crossJoin(F.broadcast(stats))
         .select("term", idf_dec.alias("idf"))
     )
-    qterms = (
-        postings.filter(F.col("doc_id") < BM25_N_QUERIES)
-        .select(F.col("doc_id").alias("q_id"), "term")
-    )
+    return postings, dfreq, stats
+
+
+def bm25_topk_for_queries(qterms: DataFrame, index) -> DataFrame:
+    """Rank the corpus for a (q_id, term) query-term frame against a
+    bm25_index -- the scoring tail shared by batch and streaming."""
+    from pyspark.sql import Window as W
+
+    postings, dfreq, stats = index
     avgdl = F.col("total_len") / F.col("n_docs").cast("double")
     contrib = (
         F.col("idf").cast("double")
@@ -896,6 +905,17 @@ def text_bm25_topk_frame(d: DataFrame) -> DataFrame:
         .filter(F.col("rank") <= BM25_TOP_K)
         .select("q_id", "n_id", "bm25", "rank")
     )
+
+
+def text_bm25_topk_frame(d: DataFrame) -> DataFrame:
+    """Frame-level core of text_bm25_topk over any (doc_id, text) frame."""
+    index = bm25_index(d)
+    postings = index[0]
+    qterms = (
+        postings.filter(F.col("doc_id") < BM25_N_QUERIES)
+        .select(F.col("doc_id").alias("q_id"), "term")
+    )
+    return bm25_topk_for_queries(qterms, index)
 
 
 TEXT_BM25_TOPK_SQL = f"""
