@@ -967,3 +967,49 @@ WHERE rk <= {BM25_TOP_K}
         6,
     ),
 )
+
+
+# --------------------------------------------------- packing efficiency
+
+def pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard packing-efficiency audit over pack_sequences' layout:
+    sequences used, fill ratio (tokens / capacity actually allocated),
+    and how many docs straddle a sequence boundary -- the padding-waste
+    and truncation-exposure numbers an LLM training job reports per
+    shard before burning GPU-hours on the layout.
+
+    One aggregate over the packing frame (which itself is one window
+    pass); no extra corpus scan."""
+    p = pack_sequences(spark, sf_dir)
+    end = F.col("start_offset") + F.col("n_tokens")
+    n_seqs = (F.ceil(F.max(end) / F.lit(PACK_CAPACITY))).cast("long")
+    total = F.sum("n_tokens")
+    return (
+        p.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            total.alias("total_tokens"),
+            n_seqs.alias("n_seqs"),
+            F.round(
+                total / (n_seqs * PACK_CAPACITY).cast("double"), 6
+            ).alias("fill_ratio"),
+            F.count_if(
+                F.col("offset_in_seq") + F.col("n_tokens") > PACK_CAPACITY
+            ).alias("boundary_docs"),
+        )
+        .orderBy("shard")
+    )
+
+
+PACK_EFFICIENCY_SQL = f"""
+WITH packed AS ({PACK_SEQUENCES_SQL})
+SELECT shard, COUNT(*) AS n_docs,
+  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+  CAST(ceil(MAX(start_offset + n_tokens) / {PACK_CAPACITY}) AS BIGINT) AS n_seqs,
+  {_round_sql(f"CAST(SUM(n_tokens) AS BIGINT) / CAST(CAST(ceil(MAX(start_offset + n_tokens) / {PACK_CAPACITY}) AS BIGINT) * {PACK_CAPACITY} AS DOUBLE)", 6)} AS fill_ratio,
+  COUNT(CASE WHEN offset_in_seq + n_tokens > {PACK_CAPACITY} THEN 1 END)
+    AS boundary_docs
+FROM packed
+GROUP BY shard
+ORDER BY shard
+"""

@@ -687,3 +687,64 @@ SELECT b.batch_id,
 FROM batched b JOIN frontier f ON b.batch_id = f.batch_id
 GROUP BY 1
 """
+
+
+# ----------------------------------------------------- path mining
+
+PATH_LEN = 3
+TOP_PATHS = 10
+
+
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top event-type paths: the TOP_PATHS most frequent runs of
+    PATH_LEN consecutive event types within a user's stream -- the
+    "what do users actually do" complement to the fixed-steps funnel
+    (which counts a GIVEN sequence; this discovers the frequent ones).
+
+    One shuffle builds per-user ordered windows (lead x2 on the same
+    user partitioning), one vocabulary-sized aggregate counts paths,
+    and the final top-K is an orderBy+limit -- Spark compiles that to
+    TakeOrdered (per-partition heads merged on the driver), so no
+    single-reducer global sort exists. Ties break on the path string,
+    making the cut deterministic."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    path = F.concat_ws(
+        ">",
+        F.col("event_type"),
+        F.lead("event_type", 1).over(w),
+        F.lead("event_type", 2).over(w),
+    )
+    steps = (
+        e.select(
+            "user_id",
+            path.alias("path"),
+            F.lead("event_type", 2).over(w).alias("_last"),
+        )
+        .filter(F.col("_last").isNotNull())  # full windows only
+    )
+    return (
+        steps.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("path").asc())
+        .limit(TOP_PATHS)
+    )
+
+
+EVENTS_TOP_PATHS_SQL = f"""
+WITH steps AS (
+  SELECT event_type || '>' ||
+         lead(event_type, 1) OVER w || '>' ||
+         lead(event_type, 2) OVER w AS path,
+         lead(event_type, 2) OVER w AS _last
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT path, COUNT(*) AS n
+FROM steps WHERE _last IS NOT NULL
+GROUP BY path
+ORDER BY n DESC, path ASC
+LIMIT {TOP_PATHS}
+"""

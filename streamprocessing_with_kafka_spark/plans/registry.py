@@ -982,6 +982,21 @@ register(
     "flag; syntactic (parser) vs semantic (try_cast) errors kept distinct",
 )(csv_source.csv_parse_orders)
 register(
+    "pack_efficiency",
+    text.PACK_EFFICIENCY_SQL,
+    doc="per-shard packing audit over pack_sequences: sequences used, "
+    "fill ratio (padding waste), boundary-straddling docs -- one "
+    "aggregate over the packing frame, no extra corpus scan",
+)(text.pack_efficiency)
+register(
+    "events_top_paths",
+    windows.EVENTS_TOP_PATHS_SQL,
+    doc="frequent-path mining: top runs of 3 consecutive event types "
+    "per user (the discovery complement to the fixed-steps funnel); "
+    "lead x2 on one user partitioning, vocabulary-sized count, "
+    "TakeOrdered top-K (no global sort)",
+)(windows.events_top_paths)
+register(
     "pipeline_export_packed",
     compose.EXPORT_PACKED_SQL,
     doc="v3 flagship -- the training-data EXPORT: DSIR importance "
@@ -1117,6 +1132,8 @@ PENDING_WINDOW = [
     "sample_dsir",
     "text_bm25_topk",
     "pipeline_export_packed",
+    "pack_efficiency",
+    "events_top_paths",
 ]
 
 assert len(CORRECTNESS_WINDOW) == 50, len(CORRECTNESS_WINDOW)
