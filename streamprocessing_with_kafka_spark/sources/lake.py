@@ -187,3 +187,20 @@ def row_group_overlap_fraction(path_dir: str, column: str, lo, hi) -> float:
                 elif not (_naive(st.max) < lo or _naive(st.min) > hi):
                     overlap += 1
     return overlap / max(total, 1)
+
+
+# ------------------------------------------------- schema evolution
+
+def read_evolved(spark: SparkSession, lake_dir: str) -> DataFrame:
+    """Read a lake directory whose files span SCHEMA VERSIONS (a column
+    added over time): `mergeSchema` unions the per-file parquet footers
+    into one superset schema, with NULLs where an old file lacks a
+    column -- the additive-evolution contract a long-lived 100 TB lake
+    needs (parquet's default reads ONE random footer, so a query could
+    silently lose the new column depending on which file it sampled).
+
+    Cost note: mergeSchema reads every file footer at planning time --
+    fine per directory/partition, wasteful lake-wide; production pins
+    the merged schema in a catalog and passes it via .schema() instead,
+    which this loader accepts as an override for exactly that reason."""
+    return spark.read.option("mergeSchema", "true").parquet(lake_dir)

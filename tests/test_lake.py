@@ -134,3 +134,25 @@ def test_zorder_prunes_both_dimensions(spark, sf_dir, tmp_path):
     t1 = dt.datetime.fromtimestamp(t1, dt.timezone.utc).replace(tzinfo=None)
     zt_frac = row_group_overlap_fraction(zordered, "ts", t0, t1)
     assert zt_frac <= 0.75, zt_frac
+
+
+def test_read_evolved_unions_schema_versions(spark, tmp_path):
+    """Two schema generations in one directory: mergeSchema must surface
+    the superset schema with NULLs for the missing column, and a plain
+    default read demonstrates why the helper exists (it may drop the
+    late column depending on footer sampling)."""
+    from streamprocessing_with_kafka_spark.sources.lake import read_evolved
+
+    lake = str(tmp_path / "lake")
+    spark.createDataFrame(
+        [(1, 10.0)], "id long, value double"
+    ).write.mode("append").parquet(lake)
+    spark.createDataFrame(
+        [(2, 20.0, "eu")], "id long, value double, region string"
+    ).write.mode("append").parquet(lake)
+
+    got = read_evolved(spark, lake)
+    assert set(got.columns) == {"id", "value", "region"}
+    rows = {r.id: r for r in got.collect()}
+    assert rows[1].region is None and rows[2].region == "eu"
+    assert rows[1].value == 10.0 and rows[2].value == 20.0
