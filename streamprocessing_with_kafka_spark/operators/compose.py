@@ -135,18 +135,35 @@ def export_packed_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from streamprocessing_with_kafka_spark.sources.tables import load_table
 
-    kept = dsir_sample(spark, sf_dir).filter(F.col("is_kept")).select(
-        "doc_id", "avg_logratio"
+    from streamprocessing_with_kafka_spark.operators.decontaminate import (
+        EVAL_MOD,
+    )
+
+    # eval-slice members are excluded OUTRIGHT (they are the benchmark,
+    # not training data -- same contract the v2 pipeline pins); fuzzy
+    # decontamination then drops their near-duplicates
+    kept = (
+        dsir_sample(spark, sf_dir)
+        .filter(F.col("is_kept") & (F.col("doc_id") % EVAL_MOD != 0))
+        .select("doc_id", "avg_logratio")
     )
     contaminated = decontaminate_fuzzy(spark, sf_dir).select("doc_id").distinct()
-    non_keepers = (
-        dedup_cluster_keepers(spark, sf_dir)
-        .filter(F.col("keeper_doc_id") != F.col("doc_id"))
-        .select("doc_id")
+    gated = kept.join(F.broadcast(contaminated), "doc_id", "left_anti")
+    # near-dup collapse happens AMONG THE GATED SURVIVORS: each cluster
+    # keeps its smallest surviving member -- collapsing against the full
+    # corpus's keeper would export NOTHING for a cluster whose keeper was
+    # itself sampled out or contaminated
+    clusters = dedup_cluster_keepers(spark, sf_dir).select(
+        "doc_id", "keeper_doc_id"
     )
-    survivors = kept.join(
-        F.broadcast(contaminated), "doc_id", "left_anti"
-    ).join(F.broadcast(non_keepers), "doc_id", "left_anti")
+    wc = Window.partitionBy("cluster")
+    survivors = (
+        gated.join(F.broadcast(clusters), "doc_id", "left")
+        .withColumn("cluster", F.coalesce("keeper_doc_id", "doc_id"))
+        .withColumn("_rep", F.min("doc_id").over(wc))
+        .filter(F.col("doc_id") == F.col("_rep"))
+        .select("doc_id", "avg_logratio")
+    )
     lens = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.size(_tokens()).alias("n_tokens")
     )
@@ -176,6 +193,7 @@ def export_packed_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _export_packed_sql() -> str:
     from streamprocessing_with_kafka_spark.operators.decontaminate import (
         DECONTAMINATE_FUZZY_SQL,
+        EVAL_MOD,
     )
     from streamprocessing_with_kafka_spark.operators.dedup import (
         DEDUP_CLUSTER_KEEPERS_SQL,
@@ -190,11 +208,21 @@ def _export_packed_sql() -> str:
 WITH dsir AS ({DSIR_SAMPLE_SQL}),
 fuzzy AS ({DECONTAMINATE_FUZZY_SQL}),
 cc AS (SELECT * FROM ({DEDUP_CLUSTER_KEEPERS_SQL})),
-survivors AS (
+gated AS (
   SELECT doc_id, avg_logratio FROM dsir
-  WHERE is_kept
+  WHERE is_kept AND doc_id % {EVAL_MOD} != 0
     AND doc_id NOT IN (SELECT doc_id FROM fuzzy)
-    AND doc_id NOT IN (SELECT doc_id FROM cc WHERE keeper_doc_id <> doc_id)
+),
+clustered AS (
+  SELECT g.doc_id, g.avg_logratio,
+         COALESCE(cc.keeper_doc_id, g.doc_id) AS cluster
+  FROM gated g LEFT JOIN cc ON g.doc_id = cc.doc_id
+),
+survivors AS (
+  SELECT doc_id, avg_logratio FROM (
+    SELECT *, MIN(doc_id) OVER (PARTITION BY cluster) AS _rep
+    FROM clustered
+  ) WHERE doc_id = _rep
 ),
 docs AS (
   SELECT s.doc_id, s.avg_logratio,

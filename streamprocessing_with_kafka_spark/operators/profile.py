@@ -164,7 +164,13 @@ def drift_score(g: DataFrame) -> DataFrame:
     var_b = F.try_divide(
         F.col("_q_b") - F.try_divide(F.col("_s_b") * F.col("_s_b"), nb), nb - 1
     )
-    se = F.sqrt(F.try_divide(var_a, na) + F.try_divide(var_b, nb))
+    # guard the variance sum BEFORE sqrt (exactly like the oracle's
+    # se_pos): a mathematically-zero variance can round to -epsilon in
+    # double, and sqrt(-eps) is NaN -- which Spark orders ABOVE zero, so
+    # a post-sqrt `se > 0` guard would emit welch_z = NaN and a spurious
+    # flag where DuckDB emits NULL
+    sev = F.try_divide(var_a, na) + F.try_divide(var_b, nb)
+    se = F.when(sev > 0, F.sqrt(sev))
     z = F.round(F.try_divide(mean_b - mean_a, se), 4)
     ratio = F.round(F.try_divide(nb, na), 6)
     return g.select(
@@ -175,13 +181,13 @@ def drift_score(g: DataFrame) -> DataFrame:
         "users_b",
         F.round(mean_a, 6).alias("mean_a"),
         F.round(mean_b, 6).alias("mean_b"),
-        F.when((F.col("n_a") > 1) & (F.col("n_b") > 1) & (se > 0), z)
+        F.when((F.col("n_a") > 1) & (F.col("n_b") > 1) & (sev > 0), z)
         .alias("welch_z"),
         ratio.alias("count_ratio"),
         (
             F.coalesce(
                 F.abs(
-                    F.when((F.col("n_a") > 1) & (F.col("n_b") > 1) & (se > 0), z)
+                    F.when((F.col("n_a") > 1) & (F.col("n_b") > 1) & (sev > 0), z)
                 ) > Z_FLAG,
                 F.lit(False),
             )

@@ -421,21 +421,23 @@ def centroid_row(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def nearest_cell(vec: Column) -> Column:
-    """Per-row argmax over the `cents` column: a left fold tracking the
-    best (cosine, cell). Centroids fold in ascending cell order and only
-    a STRICTLY greater cosine replaces the running best, so equal scores
-    keep the smallest cell -- identical tie semantics to a
-    (cos DESC, cell ASC) window rank, with no shuffle at all."""
-    return F.aggregate(
+    """Per-row argmax over the `cents` column: score every centroid ONCE
+    (transform to (cosine, -cell) structs) and take the struct max --
+    lexicographic struct ordering picks the highest cosine and, on ties,
+    the highest negated cell = the SMALLEST cell, identical tie
+    semantics to a (cos DESC, cell ASC) window rank, with no shuffle at
+    all. (An earlier fold evaluated the cosine twice per centroid --
+    once in the predicate, once in the replacement; the transform halves
+    the dominant per-row cost. Assumes non-NaN cosines, i.e. no
+    zero-norm vectors -- true of the embedding fixtures and any sane
+    embedding store.)"""
+    scored = F.transform(
         F.col("cents"),
-        F.struct(
-            F.lit(-2.0).alias("cos"), F.lit(None).cast("bigint").alias("cell")
+        lambda c: F.struct(
+            cosine(vec, c["cv"]).alias("cos"), (-c["cell"]).alias("negcell")
         ),
-        lambda acc, c: F.when(
-            cosine(vec, c["cv"]) > acc["cos"],
-            F.struct(cosine(vec, c["cv"]).alias("cos"), c["cell"].alias("cell")),
-        ).otherwise(acc),
-    )["cell"]
+    )
+    return (-F.array_max(scored)["negcell"]).cast("bigint")
 
 
 def ivf_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:

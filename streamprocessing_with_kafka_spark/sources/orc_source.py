@@ -17,6 +17,7 @@ spark-avro package, which this environment does not ship.
 
 from __future__ import annotations
 
+import hashlib
 import os
 import tempfile
 
@@ -30,8 +31,13 @@ ORC_KEY_MOD = 9
 
 
 def _orc_path(sf_dir: str) -> str:
-    sf = sf_dir.rstrip("/").rsplit("/", 1)[-1]
-    return os.path.join(tempfile.gettempdir(), "spark_graft_orc", sf, "orders")
+    """Scratch location keyed on the FULL input path (md5), not just its
+    basename -- two datasets that happen to share a trailing directory
+    name (or concurrent runs over different roots) must not overwrite
+    each other's slice while a lazily-returned reader still references
+    the files."""
+    key = hashlib.md5(sf_dir.rstrip("/").encode()).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), "spark_graft_orc", key, "orders")
 
 
 def orc_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -18,7 +18,7 @@ second window reproduces its audit rows bit-for-bit
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 from streamprocessing_with_kafka_spark.functions.numeric import dec_sum
 from streamprocessing_with_kafka_spark.operators.profile import drift_score
@@ -62,7 +62,7 @@ def batch_drift_audit(batch: DataFrame, baseline: DataFrame) -> DataFrame:
     return drift_score(joined)
 
 
-def drift_audit_sink(spark: SparkSession, baseline: DataFrame, audit_dir: str):
+def drift_audit_sink(baseline: DataFrame, audit_dir: str):
     """foreachBatch fn appending one audit frame per micro-batch to a
     parquet log (batch_id-stamped, so replays overwrite-by-append are
     deduplicable downstream)."""

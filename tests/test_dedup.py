@@ -211,3 +211,44 @@ def test_dup_span_scrub_matches_python_reference(spark):
     assert got[4][2] == docs[3][1]
     assert any(g[1] < g[0] for g in got.values())
     assert boiler in got[1][2]
+
+
+def test_export_packed_excludes_eval_and_keeps_one_per_cluster(spark, sf_dir):
+    """The v3 export's two pinned hygiene properties: (1) no eval-slice
+    doc ever reaches the training manifest; (2) every near-dup cluster
+    with at least one gated survivor exports EXACTLY one representative
+    (its smallest surviving member), rather than zero when the corpus-
+    wide keeper was itself sampled out or contaminated."""
+    from streamprocessing_with_kafka_spark.operators.compose import (
+        export_packed_pipeline,
+    )
+    from streamprocessing_with_kafka_spark.operators.decontaminate import (
+        EVAL_MOD,
+        decontaminate_fuzzy,
+    )
+    from streamprocessing_with_kafka_spark.operators.dedup import (
+        dedup_cluster_keepers,
+    )
+    from streamprocessing_with_kafka_spark.operators.sampling import dsir_sample
+
+    exported = {r.doc_id for r in export_packed_pipeline(spark, sf_dir).collect()}
+    assert exported and not {d for d in exported if d % EVAL_MOD == 0}
+
+    kept = {
+        r.doc_id
+        for r in dsir_sample(spark, sf_dir).filter("is_kept").collect()
+        if r.doc_id % EVAL_MOD != 0
+    }
+    contaminated = {r.doc_id for r in decontaminate_fuzzy(spark, sf_dir).collect()}
+    gated = kept - contaminated
+    cluster_of = {
+        r.doc_id: r.keeper_doc_id
+        for r in dedup_cluster_keepers(spark, sf_dir).collect()
+    }
+    from collections import defaultdict
+
+    by_cluster = defaultdict(set)
+    for d in gated:
+        by_cluster[cluster_of.get(d, d)].add(d)
+    expected = {min(m) for m in by_cluster.values()}
+    assert exported == expected

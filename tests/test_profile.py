@@ -70,3 +70,28 @@ def test_profile_drift_frame_flags(spark):
     gone = out["gone"]
     assert gone.drift_flag and gone.welch_z is None and gone.n_b == 0
     assert gone.count_ratio == 0.0
+
+
+def test_profile_drift_zero_variance_type_yields_null_z(spark):
+    """A type with constant value in BOTH windows: variance sum is <= 0
+    (possibly -epsilon under double cancellation), so welch_z must be
+    NULL -- never NaN (Spark orders NaN above zero, so a post-sqrt guard
+    would emit a spurious flag where the DuckDB oracle emits NULL)."""
+    import datetime as dt
+
+    from streamprocessing_with_kafka_spark.operators.profile import (
+        profile_drift_frame,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(t0, "flat", 1, 7.0), (t0 + dt.timedelta(minutes=100), "flat", 2, 7.0)]
+    for m in range(1, 41):
+        rows += [
+            (t0 + dt.timedelta(minutes=m), "flat", m, 7.0),
+            (t0 + dt.timedelta(minutes=m + 59), "flat", m, 7.0),
+        ]
+    e = spark.createDataFrame(
+        rows, "ts timestamp, event_type string, user_id long, value double"
+    )
+    out = profile_drift_frame(e).collect()[0]
+    assert out.welch_z is None and not out.drift_flag

@@ -74,7 +74,7 @@ def test_streaming_audit_end_to_end(spark, sf_dir, tmp_path):
     stream = spark.readStream.schema(EVENT_SCHEMA).json(str(inp))
     q = (
         stream.writeStream.foreachBatch(
-            drift_audit_sink(spark, drift_baseline(a), str(audit))
+            drift_audit_sink(drift_baseline(a), str(audit))
         )
         .option("checkpointLocation", str(ckpt))
         .trigger(availableNow=True)
