@@ -190,29 +190,22 @@ def decontaminate_fuzzy_from_shingles(sh: DataFrame) -> DataFrame:
         )
         .distinct()
     )
-    sa = sh.filter(~is_eval).alias("sa")
-    sb = sh.filter(is_eval).alias("sb")
-    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")).cast("double")
-    return (
-        cand.join(sa, F.col("train_doc") == F.col("sa.doc_id"))
-        .join(
-            F.broadcast(sb),
-            (F.col("eval_doc") == F.col("sb.doc_id"))
-            & (F.col("sa._h") == F.col("sb._h")),
-        )
-        .groupBy("train_doc", "eval_doc")
-        .agg(
-            F.count(F.lit(1)).alias("inter"),
-            F.first(F.col("sa.n")).alias("na"),
-            F.first(F.col("sb.n")).alias("nb"),
-        )
-        .withColumn("jaccard", F.round(jac, 6))
-        .filter(F.col("jaccard") >= FUZZY_THRESHOLD)
-        .select(
-            F.col("train_doc").alias("doc_id"),
-            F.col("eval_doc").alias("eval_doc_id"),
-            "jaccard",
-        )
+    from streamprocessing_with_kafka_spark.operators.dedup import (
+        verify_jaccard_pairs,
+    )
+
+    return verify_jaccard_pairs(
+        cand,
+        sh.filter(~is_eval),
+        sh.filter(is_eval),
+        "train_doc",
+        "eval_doc",
+        FUZZY_THRESHOLD,
+        broadcast_right=True,
+    ).select(
+        F.col("train_doc").alias("doc_id"),
+        F.col("eval_doc").alias("eval_doc_id"),
+        "jaccard",
     )
 
 

@@ -181,30 +181,41 @@ def _shingles_with_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window as W
 
-    key = (spark.sparkContext.applicationId, sf_dir)
-    # the whole check-build-materialize-insert sequence holds the lock:
-    # materializing under it serializes first-touch per (session, sf_dir)
-    # but guarantees concurrent queries share ONE persisted frame instead
-    # of racing persist/unpersist on identical plans
+    def build() -> DataFrame:
+        return (
+            _shingles(spark, sf_dir)
+            .select("doc_id", md5_long(F.col("shingle")).alias("_h"))
+            .withColumn("n", F.count(F.lit(1)).over(W.partitionBy("doc_id")))
+        )
+
+    return _cached_persist(spark, sf_dir, "shingles", build)
+
+
+def _cached_persist(spark: SparkSession, sf_dir: str, tag: str, build) -> DataFrame:
+    """Bounded persisted-frame memo keyed (session, sf_dir, tag) -- the
+    shared machinery under the shingle cache and the simhash signature
+    cache (which previously persisted per CALL and never freed, leaking
+    executor storage across bench loops).
+
+    The whole check-build-materialize-insert sequence holds the lock:
+    materializing under it serializes first-touch per key but guarantees
+    concurrent queries share ONE persisted frame instead of racing
+    persist/unpersist on identical plans."""
+    key = (spark.sparkContext.applicationId, sf_dir, tag)
     with _SHINGLE_CACHE_LOCK:
         cached = _SHINGLE_CACHE.get(key)
         if cached is not None:
             return cached
-        sh = (
-            _shingles(spark, sf_dir)
-            .select("doc_id", md5_long(F.col("shingle")).alias("_h"))
-            .withColumn("n", F.count(F.lit(1)).over(W.partitionBy("doc_id")))
-            .persist()
-        )
-        sh.count()  # materialize ONCE before dependent branches race
+        df = build().persist()
+        df.count()  # materialize ONCE before dependent branches race
         while len(_SHINGLE_CACHE) >= _SHINGLE_CACHE_MAX:
             oldest = next(iter(_SHINGLE_CACHE))  # dicts iterate in insert order
             try:
                 _SHINGLE_CACHE.pop(oldest).unpersist()
             except Exception:
                 pass  # session of the evicted frame may already be stopped
-        _SHINGLE_CACHE[key] = sh
-        return sh
+        _SHINGLE_CACHE[key] = df
+        return df
 
 
 def jaccard_pairs_from_shingles(
@@ -250,6 +261,46 @@ def jaccard_pairs_from_shingles(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def verify_jaccard_pairs(
+    cand: DataFrame,
+    sh_left: DataFrame,
+    sh_right: DataFrame,
+    left: str,
+    right: str,
+    threshold: float,
+    broadcast_right: bool = False,
+) -> DataFrame:
+    """Exact-Jaccard verify tail over candidate (left, right) doc pairs:
+    join each side's (doc_id, _h, n) shingle frame on the hash, ONE
+    aggregate counts the intersection (the window-attached n rides the
+    joins, so no extra count branches), round to 6dp, threshold filter.
+
+    THE shared arithmetic under minhash_lsh_pairs, dedup_incremental and
+    decontaminate_fuzzy -- one definition so a change to the rounding or
+    denominator contract cannot silently diverge between operators (each
+    has its own oracle SQL pinning this exact formula)."""
+    sa = sh_left.alias("sa")
+    sb0 = sh_right.alias("sb")
+    sb = F.broadcast(sb0) if broadcast_right else sb0
+    jac = F.round(
+        F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"),
+        6,
+    )
+    return (
+        cand.join(sa, F.col(left) == F.col("sa.doc_id"))
+        .join(sb, (F.col(right) == F.col("sb.doc_id")) & (F.col("sa._h") == F.col("sb._h")))
+        .groupBy(left, right)
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.first(F.col("sa.n")).alias("na"),
+            F.first(F.col("sb.n")).alias("nb"),
+        )
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select(left, right, "jaccard")
     )
 
 
@@ -395,25 +446,9 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    # verify candidates with exact jaccard over the same persisted shingles;
-    # the window-attached n rides the joins, so no extra count branches
-    sa, sb = sh.alias("sa"), sh.alias("sb")
-    return (
-        cand.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, (F.col("doc_b") == F.col("sb.doc_id")) & (F.col("sa._h") == F.col("sb._h")))
-        .groupBy("doc_a", "doc_b")
-        .agg(
-            F.count(F.lit(1)).alias("inter"),
-            F.first(F.col("sa.n")).alias("na"),
-            F.first(F.col("sb.n")).alias("nb"),
-        )
-        .withColumn(
-            "jaccard",
-            F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"), 6),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
-    )
+    # verify candidates with exact jaccard over the same persisted
+    # shingles (the shared tail)
+    return verify_jaccard_pairs(cand, sh, sh, "doc_a", "doc_b", threshold)
 
 
 _MH_COLS_SQL = ",\n         ".join(
@@ -513,8 +548,12 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     provably identical to the brute-force oracle; only the join strategy
     changed -- which is the whole 100 TB story.
     """
-    sig = simhash_signatures(spark, sf_dir).persist()
-    sig.count()  # materialize before the two join branches share it
+    # memoized persist (bounded, evicting): the two join branches share
+    # one materialized frame, and repeated calls reuse it instead of
+    # stacking never-freed persists
+    sig = _cached_persist(
+        spark, sf_dir, "simhash_sig", lambda: simhash_signatures(spark, sf_dir)
+    )
     bits_per = (SIMHASH_BITS + SIMHASH_BLOCKS - 1) // SIMHASH_BLOCKS  # 9
     blocks = sig.select(
         "doc_id",
@@ -631,19 +670,32 @@ def dedup_cluster_keepers(
         .localCheckpoint()
     )
     prev = labels
-    for _ in range(30):  # diameter bound; loop exits on fixpoint below
+    for _ in range(30):
         neighbor_min = (
             edges.join(labels, edges.doc_b == labels.doc_id)
             .groupBy(F.col("doc_a").alias("doc_id"))
             .agg(F.min("label").alias("nbr_label"))
         )
+        # path-halving shortcut: also take the label OF the current
+        # label (labels only ever hold graph-node ids, so the self-join
+        # always hits). Plain propagation advances one hop per round --
+        # a diameter-d chain needs d rounds and a 30-round cap would
+        # SILENTLY return non-converged labels on a 35-revision chain;
+        # with the shortcut the reach doubles per round, so 30 rounds
+        # cover any component a petabyte could hold (2^30 diameter).
+        lab2 = labels.select(
+            F.col("doc_id").alias("_l"), F.col("label").alias("_ll")
+        )
         updated = (
             labels.join(neighbor_min, "doc_id", "left")
+            .join(lab2, F.col("label") == F.col("_l"))
             .select(
                 "doc_id",
-                F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias(
-                    "new_label"
-                ),
+                F.least(
+                    F.col("label"),
+                    F.coalesce(F.col("nbr_label"), F.col("label")),
+                    F.col("_ll"),
+                ).alias("new_label"),
                 "label",
             )
         ).localCheckpoint()  # eager: materializes the round, truncates lineage
@@ -653,13 +705,17 @@ def dedup_cluster_keepers(
         labels = updated.select("doc_id", F.col("new_label").alias("label"))
         if changed == 0:
             break
+    else:  # pragma: no cover - 2^30-diameter component
+        raise RuntimeError(
+            "connected components did not converge in 30 doubling rounds"
+        )
     _free_checkpoint(edges)
     return labels.select("doc_id", F.col("label").alias("keeper_doc_id"))
 
 
 DEDUP_CLUSTER_KEEPERS_SQL = f"""
 WITH RECURSIVE pairs AS (
-  SELECT doc_a, doc_b FROM ({MINHASH_LSH_SQL.replace('0.7', '0.7')})
+  SELECT doc_a, doc_b FROM ({MINHASH_LSH_SQL})
 ),
 edges AS (
   SELECT doc_a, doc_b FROM pairs
@@ -1038,27 +1094,9 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    sa, sb = sh.alias("sa"), sh.alias("sb")
     near_dups = (
-        cand.join(sa, F.col("batch_doc") == F.col("sa.doc_id"))
-        .join(
-            sb,
-            (F.col("hist_doc") == F.col("sb.doc_id"))
-            & (F.col("sa._h") == F.col("sb._h")),
-        )
-        .groupBy("batch_doc", "hist_doc")
-        .agg(
-            F.count(F.lit(1)).alias("inter"),
-            F.first(F.col("sa.n")).alias("na"),
-            F.first(F.col("sb.n")).alias("nb"),
-        )
-        .filter(
-            F.round(
-                F.col("inter")
-                / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"),
-                6,
-            )
-            >= INCREMENTAL_THRESHOLD
+        verify_jaccard_pairs(
+            cand, sh, sh, "batch_doc", "hist_doc", INCREMENTAL_THRESHOLD
         )
         .select(F.col("batch_doc").alias("doc_id"))
         .distinct()

@@ -713,10 +713,31 @@ def ann_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     divide+sqrt -- deterministic across engines by construction, no
     summation-order hazard at any partition count. Approximation error vs
     the float cosine is bounded in tests/test_similarity.py."""
-    cand = _lsh_candidates(spark, sf_dir)
-    qa = _quantize(F.col("qv"), _quant_scale(F.col("qv")))
-    qb = _quantize(F.col("nv"), _quant_scale(F.col("nv")))
-    with_codes = cand.select("q_id", "n_id", qa.alias("qa"), qb.alias("qb"))
+    # quantize each vector ONCE (the SQL twin's qz CTE): the earlier
+    # version re-quantized qv/nv per CANDIDATE row, paying C redundant
+    # 3-pass quantizations of the same query vector and one per
+    # (query, neighbor) hit on popular neighbors
+    e = load_table(spark, sf_dir, "embeddings")
+    qz = e.select(
+        "vec_id",
+        _quantize(F.col("embedding"), _quant_scale(F.col("embedding"))).alias(
+            "codes"
+        ),
+    )
+    cand = _lsh_candidates(spark, sf_dir).select("q_id", "n_id")
+    with_codes = (
+        F.broadcast(cand)
+        .join(qz.select(F.col("vec_id").alias("n_id"), F.col("codes").alias("qb")), "n_id")
+        .join(
+            F.broadcast(
+                qz.filter(F.col("vec_id") < N_QUERIES).select(
+                    F.col("vec_id").alias("q_id"), F.col("codes").alias("qa")
+                )
+            ),
+            "q_id",
+        )
+        .select("q_id", "n_id", "qa", "qb")
+    )
     cos_q = F.round(
         _int_dot(F.col("qa"), F.col("qb")).cast("double")
         / (
@@ -795,18 +816,11 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition-then-prune recipe curation pipelines use for diversity.
     """
     e = load_table(spark, sf_dir, "embeddings")
-    cent = e.filter(F.col("vec_id") % 50 == 0).select(
-        F.col("vec_id").alias("cell"), F.col("embedding").alias("cv")
-    )
-    scored = e.select("vec_id", "embedding").crossJoin(F.broadcast(cent)).select(
-        "vec_id", "embedding", "cell",
-        cosine(F.col("embedding"), F.col("cv")).alias("cos_c"),
-    )
-    w = W.partitionBy("vec_id").orderBy(F.col("cos_c").desc(), F.col("cell").asc())
-    assigned = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", "cell")
+    # assignment = the shared shuffle-free fold argmax (ivf_assignments'
+    # path) -- identical semantics, and one code path to keep tie/centroid
+    # changes consistent across the three assignment consumers
+    assigned = e.crossJoin(F.broadcast(centroid_row(spark, sf_dir))).select(
+        "vec_id", "embedding", nearest_cell(F.col("embedding")).alias("cell")
     )
     a = assigned.select("vec_id", "cell", F.col("embedding").alias("va"))
     b = assigned.select(

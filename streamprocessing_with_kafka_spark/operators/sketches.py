@@ -74,7 +74,10 @@ def value_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged = daily.agg(F.collect_list("sk").alias("sks")).select(
         F.aggregate(
             F.slice("sks", 2, 1 << 30),
-            F.element_at("sks", 1),
+            # try_element_at: an EMPTY sketch list (no events) must seed
+            # the fold with NULL and yield null quantiles -- plain
+            # element_at throws INVALID_ARRAY_INDEX under ANSI mode
+            F.try_element_at("sks", F.lit(1)),
             lambda acc, x: F.kll_sketch_merge_double(acc, x),
         ).alias("sk"),
     )
