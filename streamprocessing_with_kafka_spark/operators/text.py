@@ -875,9 +875,17 @@ def bm25_index(d: DataFrame):
     return postings, dfreq, stats
 
 
-def bm25_topk_for_queries(qterms: DataFrame, index) -> DataFrame:
+def bm25_topk_for_queries(
+    qterms: DataFrame, index, exclude_self: bool = False
+) -> DataFrame:
     """Rank the corpus for a (q_id, term) query-term frame against a
-    bm25_index -- the scoring tail shared by batch and streaming."""
+    bm25_index -- the scoring tail shared by batch and streaming.
+
+    exclude_self drops q_id == n_id BEFORE ranking and is only correct
+    when q_id lives in the CORPUS id space (the batch probe path, whose
+    probes are corpus docs scoring against themselves); an external
+    query stream must leave it off -- its ids are unrelated to corpus
+    doc_ids, and a coincidental collision must still retrieve the doc."""
     from pyspark.sql import Window as W
 
     postings, dfreq, stats = index
@@ -890,10 +898,13 @@ def bm25_topk_for_queries(qterms: DataFrame, index) -> DataFrame:
             + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / avgdl)
         )
     ).cast("decimal(28,10)")
+    hits = F.broadcast(qterms).join(
+        postings.withColumnRenamed("doc_id", "n_id"), "term"
+    )
+    if exclude_self:
+        hits = hits.filter(F.col("q_id") != F.col("n_id"))
     scored = (
-        F.broadcast(qterms)
-        .join(postings.withColumnRenamed("doc_id", "n_id"), "term")
-        .filter(F.col("q_id") != F.col("n_id"))
+        hits
         .join(F.broadcast(dfreq), "term")
         .crossJoin(F.broadcast(stats))
         .groupBy("q_id", "n_id")
@@ -915,7 +926,8 @@ def text_bm25_topk_frame(d: DataFrame) -> DataFrame:
         postings.filter(F.col("doc_id") < BM25_N_QUERIES)
         .select(F.col("doc_id").alias("q_id"), "term")
     )
-    return bm25_topk_for_queries(qterms, index)
+    # probes ARE corpus docs here -> exclude the self-match pre-ranking
+    return bm25_topk_for_queries(qterms, index, exclude_self=True)
 
 
 TEXT_BM25_TOPK_SQL = f"""

@@ -714,14 +714,13 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = F.concat_ws(
         ">",
         F.col("event_type"),
-        F.lead("event_type", 1).over(w),
-        F.lead("event_type", 2).over(w),
+        *[F.lead("event_type", i).over(w) for i in range(1, PATH_LEN)],
     )
     steps = (
         e.select(
             "user_id",
             path.alias("path"),
-            F.lead("event_type", 2).over(w).alias("_last"),
+            F.lead("event_type", PATH_LEN - 1).over(w).alias("_last"),
         )
         .filter(F.col("_last").isNotNull())  # full windows only
     )
@@ -733,12 +732,15 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PATH_CONCAT = " || '>' || ".join(
+    ["event_type"]
+    + [f"lead(event_type, {i}) OVER w" for i in range(1, PATH_LEN)]
+)
+
 EVENTS_TOP_PATHS_SQL = f"""
 WITH steps AS (
-  SELECT event_type || '>' ||
-         lead(event_type, 1) OVER w || '>' ||
-         lead(event_type, 2) OVER w AS path,
-         lead(event_type, 2) OVER w AS _last
+  SELECT {_PATH_CONCAT} AS path,
+         lead(event_type, {PATH_LEN - 1}) OVER w AS _last
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 )

@@ -14,8 +14,12 @@ per-query aggregate + top-K, which append-mode streaming would reject
 without a watermark the query stream doesn't have.
 
 Scoring is operators/text.bm25_topk_for_queries -- the batch ranker's
-own tail, shared verbatim -- so a query doc streamed through produces
-the batch operator's rows bit-for-bit (tests/test_streaming_bm25.py)."""
+own tail, shared verbatim -- so streamed rankings are bit-identical to
+a batch invocation over the same query set. Unlike the batch probe
+operator (whose probes are corpus docs and exclude themselves), the
+stream keeps q_id == n_id hits: query ids are an EXTERNAL id space, and
+a coincidental collision with a corpus doc_id must still retrieve that
+doc (tests/test_streaming_bm25.py)."""
 
 from __future__ import annotations
 
@@ -35,6 +39,9 @@ def query_terms(query_docs: DataFrame) -> DataFrame:
             F.col("doc_id").alias("q_id"),
             F.explode(F.array_distinct(_tokens())).alias("term"),
         )
+        # distinct ACROSS rows too: a re-delivered query doc in the same
+        # micro-batch would otherwise double every score
+        .distinct()
     )
 
 

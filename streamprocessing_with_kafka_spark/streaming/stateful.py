@@ -24,7 +24,7 @@ streaming/pipeline.py.
 
 from __future__ import annotations
 
-from typing import Any, Iterable, Iterator, Tuple
+from typing import Iterator, Tuple
 
 import pandas as pd
 
@@ -35,15 +35,22 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
-    TimestampType,
 )
 
 
 def with_event_time(routed: DataFrame) -> DataFrame:
     """Attach an event-time column to the routed order stream: the
-    normalized order_date as a timestamp (midnight UTC)."""
+    normalized order_date as a timestamp (midnight UTC).
+
+    try_to_timestamp, not to_timestamp: under Spark 4's default ANSI
+    mode a malformed date would THROW and kill the whole streaming query
+    -- the poison-pill failure mode this pipeline exists to prevent (the
+    validator checks date presence/epoch-days shape, not full format).
+    An unparseable date yields a NULL event_ts instead; the watermark
+    dedup passes such rows through unsuppressed (null event time cannot
+    age), which is the safe direction for a dedup."""
     return routed.withColumn(
-        "event_ts", F.to_timestamp(F.col("order_date"), "yyyy-MM-dd")
+        "event_ts", F.try_to_timestamp(F.col("order_date"), F.lit("yyyy-MM-dd"))
     )
 
 
@@ -190,10 +197,15 @@ def running_counters_tws(
     """ST3 counters on transformWithStateInPandas (state v2). Same
     semantics as `running_counters_stateful`; state schema is declared,
     TTL is store-enforced, and the operator composes with timers /
-    list / map state for richer monitors."""
+    list / map state for richer monitors.
+
+    timeMode must be ProcessingTime when a TTL is set: Spark rejects
+    state TTL under TimeMode.None at query start
+    (STATEFUL_PROCESSOR_INCORRECT_TIME_MODE_TO_ASSIGN_TTL), so the mode
+    follows the ttl_ms argument instead of hardcoding None."""
     return routed.groupBy("target").transformWithStateInPandas(
         CounterProcessor(ttl_ms),
         outputStructType=COUNTER_OUTPUT_SCHEMA,
         outputMode="Update",
-        timeMode="None",
+        timeMode="ProcessingTime" if ttl_ms is not None else "None",
     )
