@@ -745,7 +745,7 @@ def disjunctive_predicate_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
     return j.filter(
         branch("Brand#12", 1, 11, 5)
         | branch("Brand#23", 10, 20, 10)
-        | branch("Brand#34", 20, 30, 15)
+        | branch("Brand#15", 20, 30, 15)
     ).agg(
         dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
         F.count(F.lit(1)).alias("n_items"),
@@ -758,7 +758,7 @@ SELECT {dec_sum_sql('l_extendedprice * (1 - l_discount)')} AS revenue,
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11 AND p_size <= 5)
    OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 20 AND p_size <= 10)
-   OR (p_brand = 'Brand#34' AND l_quantity BETWEEN 20 AND 30 AND p_size <= 15)
+   OR (p_brand = 'Brand#15' AND l_quantity BETWEEN 20 AND 30 AND p_size <= 15)
 """
 
 

@@ -45,9 +45,13 @@ def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Each purchase joined to the same user's most recent view at-or-
     before it (left join: unmatched purchases keep null view columns).
 
-    Single shuffle: window over (user_id) ordered by (ts, side) with the
-    right side sorted first at equal ts, so the match is inclusive
-    (right.ts <= left.ts), mirroring ASOF JOIN's >= bound.
+    Single shuffle: window over (user_id) ordered by (ts, side,
+    event_id) with the right side sorted first at equal ts, so the match
+    is inclusive (right.ts <= left.ts), mirroring ASOF JOIN's >= bound;
+    event_id makes the order TOTAL -- without it, two same-side events
+    with identical timestamps would make F.last's pick depend on shuffle
+    order, breaking run-to-run determinism (no such tie exists in the
+    fixtures, but real event streams have them).
     """
     ev = load_table(spark, sf_dir, "events")
     both = ev.filter(F.col("event_type").isin(LEFT_TYPE, RIGHT_TYPE)).withColumn(
@@ -55,7 +59,7 @@ def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = (
         W.partitionBy("user_id")
-        .orderBy("ts", "side")
+        .orderBy("ts", "side", "event_id")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     right_ts = F.last(

@@ -431,7 +431,14 @@ def important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = per_part.agg(F.sum("val_dec").alias("total_dec"))
     return (
         per_part.join(F.broadcast(total))
-        .filter(F.col("val_dec") * 10000 > F.col("total_dec"))
+        # keep the product EXACT: the 38,10 sum times an int would
+        # overflow precision and Spark silently trims scale to 6 (DuckDB
+        # keeps 10) -- downcast the per-part value (bounded far below
+        # 28,10) so (28,10)x(5,0) -> (34,10) stays lossless
+        .filter(
+            F.col("val_dec").cast(DEC) * F.lit(10000).cast("decimal(5,0)")
+            > F.col("total_dec")
+        )
         .select("l_partkey", F.col("val_dec").cast("double").alias("part_value"))
     )
 
@@ -474,7 +481,12 @@ def excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = W.partitionBy("l_partkey")
     excess = (
         ps.withColumn("tot_dec", F.sum("qty_dec").over(w))
-        .filter(F.col("qty_dec") * 2 > F.col("tot_dec"))
+        # same exactness argument as important_parts: (28,10)x(1,0)
+        # stays scale 10; the raw 38,10 x int would trim to scale 8
+        .filter(
+            F.col("qty_dec").cast(DEC) * F.lit(2).cast("decimal(1,0)")
+            > F.col("tot_dec")
+        )
         .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey, "left_semi")
         .select("l_suppkey")
         .distinct()
