@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from streamprocessing_with_kafka_spark.functions.numeric import (
+    DEC,
+    dec_avg,
     dec_sum,
     dec_sum_sql,
     round_sql,
@@ -40,9 +42,9 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             dec_sum(
                 F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
             ).alias("sum_charge"),
-            (dec_sum("l_quantity") / cnt.cast("double")).alias("avg_qty"),
-            (dec_sum("l_extendedprice") / cnt.cast("double")).alias("avg_price"),
-            (dec_sum("l_discount") / cnt.cast("double")).alias("avg_disc"),
+            dec_avg("l_quantity", cnt).alias("avg_qty"),
+            dec_avg("l_extendedprice", cnt).alias("avg_price"),
+            dec_avg("l_discount", cnt).alias("avg_disc"),
             cnt.alias("count_order"),
         )
     )
@@ -91,7 +93,18 @@ GROUP BY n_name
 """
 
 
-def top_orders_per_customer(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+# Oracle-paired knobs: each parameterized operator's default AND its SQL
+# oracle interpolate the SAME constant, so a default change cannot
+# silently desync the registered pairing (a non-default call site owns
+# its own oracle).
+TOP_ORDERS_K = 3
+TOP_PARTS_K = 10
+SHIPPING_PRIORITY_K = 10
+RETURNED_ITEM_K = 20
+LARGE_VOLUME_THRESHOLD = 300
+
+
+def top_orders_per_customer(spark: SparkSession, sf_dir: str, k: int = TOP_ORDERS_K) -> DataFrame:
     """Ranking window: top-k orders per customer, deterministic tie-break."""
     o = load_table(spark, sf_dir, "orders")
     w = W.partitionBy("o_custkey").orderBy(
@@ -104,7 +117,7 @@ def top_orders_per_customer(spark: SparkSession, sf_dir: str, k: int = 3) -> Dat
     )
 
 
-TOP_ORDERS_PER_CUSTOMER_SQL = """
+TOP_ORDERS_PER_CUSTOMER_SQL = f"""
 SELECT o_custkey, o_orderkey, o_totalprice, rank_in_cust
 FROM (
   SELECT o_custkey, o_orderkey, o_totalprice,
@@ -112,7 +125,7 @@ FROM (
                        ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank_in_cust
   FROM orders
 )
-WHERE rank_in_cust <= 3
+WHERE rank_in_cust <= {TOP_ORDERS_K}
 """
 
 
@@ -150,7 +163,7 @@ SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
 """
 
 
-def top_parts_by_revenue(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+def top_parts_by_revenue(spark: SparkSession, sf_dir: str, k: int = TOP_PARTS_K) -> DataFrame:
     """Top-k fact-side aggregate joined to a broadcast dimension."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
@@ -173,11 +186,11 @@ FROM (
 ) r
 JOIN part ON l_partkey = p_partkey
 ORDER BY revenue DESC, p_partkey ASC
-LIMIT 10
+LIMIT {TOP_PARTS_K}
 """
 
 
-def shipping_priority(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+def shipping_priority(spark: SparkSession, sf_dir: str, k: int = SHIPPING_PRIORITY_K) -> DataFrame:
     """TPC-H Q3-style: 3-way fact join with pre-join filters on every
     input, group on the order, top-k by revenue.
 
@@ -221,7 +234,7 @@ WHERE c_mktsegment = 'BUILDING'
   AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
 GROUP BY l_orderkey, o_orderdate, o_orderpriority
 ORDER BY revenue DESC, l_orderkey ASC
-LIMIT 10
+LIMIT {SHIPPING_PRIORITY_K}
 """
 
 
@@ -286,7 +299,7 @@ def salted_revenue_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     salted = o.withColumn("_salt", F.pmod(F.col("o_orderkey"), F.lit(SALT_BUCKETS)))
     partial = salted.groupBy("o_orderstatus", "_salt").agg(
-        F.sum(F.col("o_totalprice").cast("decimal(28,10)")).alias("rev_part"),
+        F.sum(F.col("o_totalprice").cast(DEC)).alias("rev_part"),
         F.count(F.lit(1)).alias("n_part"),
     )
     return partial.groupBy("o_orderstatus").agg(
@@ -350,7 +363,7 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
     avg_q = li.groupBy("l_partkey").agg(
-        (dec_sum("l_quantity") / F.count(F.lit(1)).cast("double")).alias("avg_qty")
+        dec_avg("l_quantity", F.count(F.lit(1))).alias("avg_qty")
     )
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
@@ -374,7 +387,7 @@ WHERE p.p_brand = 'Brand#1' AND l.l_quantity < 0.2 * a.avg_qty
 """
 
 
-def large_volume_customers(spark: SparkSession, sf_dir: str, threshold: int = 300) -> DataFrame:
+def large_volume_customers(spark: SparkSession, sf_dir: str, threshold: int = LARGE_VOLUME_THRESHOLD) -> DataFrame:
     """TPC-H Q18 shape: HAVING over a fact-side aggregate, joined back to
     orders and customer.
 
@@ -407,7 +420,7 @@ FROM (
 ) b
 JOIN orders ON o_orderkey = b.l_orderkey
 JOIN customer ON o_custkey = c_custkey
-WHERE sum_qty > 300
+WHERE sum_qty > {LARGE_VOLUME_THRESHOLD}
 """
 
 
@@ -535,7 +548,7 @@ def inactive_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
-        (dec_sum("c_acctbal") / F.count(F.lit(1)).cast("double")).alias("avg_bal")
+        dec_avg("c_acctbal", F.count(F.lit(1))).alias("avg_bal")
     )
     return (
         c.join(F.broadcast(avg_bal))
@@ -634,7 +647,7 @@ WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
 """
 
 
-def returned_item_topk(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
+def returned_item_topk(spark: SparkSession, sf_dir: str, k: int = RETURNED_ITEM_K) -> DataFrame:
     """TPC-H Q10 shape: lost-revenue ranking of customers who returned
     items. lineitem filters to returnflag='R' at the scan, joins orders
     on the order key (the one big shuffle), re-aggregates per customer
@@ -676,7 +689,7 @@ FROM (
 ) r
 JOIN customer ON o_custkey = c_custkey
 ORDER BY revenue DESC, c_custkey ASC
-LIMIT 20
+LIMIT {RETURNED_ITEM_K}
 """
 
 

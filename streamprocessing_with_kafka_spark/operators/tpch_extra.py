@@ -332,7 +332,11 @@ GROUP BY p_brand, p_size
 """
 
 
-def waiting_supplier(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+#: paired with WAITING_SUPPLIER_SQL's LIMIT -- change both via this constant
+WAITING_SUPPLIER_K = 10
+
+
+def waiting_supplier(spark: SparkSession, sf_dir: str, k: int = WAITING_SUPPLIER_K) -> DataFrame:
     """TPC-H Q21 shape (adapted: no l_receiptdate/l_commitdate, so "late"
     means shipping on an order's latest ship date): suppliers who were the
     SOLE latest shipper on multi-supplier fulfilled orders -- the
@@ -379,7 +383,7 @@ def waiting_supplier(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame
     )
 
 
-WAITING_SUPPLIER_SQL = """
+WAITING_SUPPLIER_SQL = f"""
 WITH fo AS (
   SELECT l_orderkey, l_suppkey, l_shipdate
   FROM lineitem
@@ -426,6 +430,12 @@ def important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_part = (
         li.groupBy("l_partkey")
         .agg(F.sum(_rev().cast(DEC)).alias("val_dec"))
+        # single-JVM pin so the scalar-total branch and the filter branch
+        # share one materialization (Spark does not reuse exchanges across
+        # consumers). CLUSTER NOTE: localCheckpoint is NOT fault-tolerant
+        # (executor loss = unrecoverable partitions); a production run
+        # swaps this for persist() (recomputable lineage) or reliable
+        # checkpoint() -- same plan shape either way
         .localCheckpoint(eager=True)
     )
     total = per_part.agg(F.sum("val_dec").alias("total_dec"))
