@@ -373,6 +373,61 @@ JOIN counts cb ON doc_b = cb.doc_id
 WHERE round(inter / CAST(ca.n + cb.n - inter AS DOUBLE), 6) >= 0.8
 """
 
+# ------------------------------------------------------ containment pairs
+
+#: containment fence C(A,B) = |S_A n S_B| / min(|S_A|, |S_B|): the
+#: asymmetric near-dup score that catches SUBSET duplication (one doc
+#: embedded verbatim inside a larger one) which symmetric Jaccard
+#: dilutes toward 0 as the size ratio grows -- the RefinedWeb/Gopher
+#: curation criterion for quote-and-extend duplicates.
+CONTAINMENT_THRESHOLD = 0.9
+
+
+def containment_pairs(
+    spark: SparkSession, sf_dir: str, threshold: float = CONTAINMENT_THRESHOLD
+) -> DataFrame:
+    """Near-dup pairs by shingle containment: same blocked pair search as
+    ngram_jaccard_pairs (shared-shingle equi-join on the persisted hash
+    frame -- no cross join, same one candidate shuffle), but scored by
+    intersection over the SMALLER shingle set. A 100-word doc pasted into
+    a 10,000-word doc scores ~1.0 here vs ~0.01 Jaccard."""
+    sh = _shingles_with_count(spark, sf_dir)
+    a, b = sh.alias("a"), sh.alias("b")
+    cont = F.round(
+        F.col("inter") / F.least("na", "nb").cast("double"), 6
+    )
+    return (
+        a.join(b, (F.col("a._h") == F.col("b._h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.first(F.col("a.n")).alias("na"),
+            F.first(F.col("b.n")).alias("nb"),
+        )
+        .withColumn("containment", cont)
+        .filter(F.col("containment") >= threshold)
+        .select("doc_a", "doc_b", "na", "nb", "containment")
+    )
+
+
+CONTAINMENT_PAIRS_SQL = f"""
+WITH sh0 AS ({_SHINGLES_SQL}),
+sh AS (SELECT doc_id, {md5_long_sql('shingle')} AS _h FROM sh0),
+counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a._h = b._h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, ca.n AS na, cb.n AS nb,
+       round(inter / CAST(least(ca.n, cb.n) AS DOUBLE), 6) AS containment
+FROM inter
+JOIN counts ca ON doc_a = ca.doc_id
+JOIN counts cb ON doc_b = cb.doc_id
+WHERE round(inter / CAST(least(ca.n, cb.n) AS DOUBLE), 6)
+      >= {CONTAINMENT_THRESHOLD}
+"""
+
 # --------------------------------------------------------- MinHash + LSH
 
 PERMS = 16

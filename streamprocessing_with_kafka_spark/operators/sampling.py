@@ -418,3 +418,118 @@ SELECT doc_id, n_tokens, {round_sql('_w', 6)} AS avg_logratio, keep_prob,
        {_DSIR_U} < keep_prob AS is_kept
 FROM kp
 """
+
+
+# ------------------------------------------- token-budget water-filling
+
+#: token budget for the allocation plan, as a fraction of the corpus --
+#: high enough that the uniform per-source target over-asks the thin
+#: sources (so the cap + redistribution branch actually exercises at the
+#: test scales: 2/20 sources cap at sf0.01), which is the interesting
+#: regime at 100 TB too.
+WATERFILL_BUDGET_FRAC = 0.9
+
+
+def budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capacity-constrained mixture planning: given a token budget B and
+    per-source target weights (uniform here; a config dimension in
+    production), allocate alloc_i = min(avail_i, lambda * w_i) with the
+    water level lambda chosen so the allocations exactly exhaust B --
+    the classic water-filling solution, computed in CLOSED FORM rather
+    than the iterative redistribute loop:
+
+      sort sources by avail_i/w_i ascending; a source is capped (gets all
+      its tokens) iff its ratio is below the water level implied by
+      capping everything before it -- a per-row window test on prefix
+      sums; the final lambda then spreads the leftover budget over the
+      uncapped weights.
+
+    Scale: ONE corpus scan feeds a map-side-combinable per-source token
+    count; everything after operates on the |sources|-row frame (two
+    window passes + one unpartitioned window), so the planner costs the
+    same at 100 TB as at 100 MB. The iterative cap-and-redistribute
+    formulation would be K driver round-trips; this is zero."""
+    d = load_table(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).alias("avail")
+    )
+    w_all = Window.partitionBy()
+    n_src = F.count(F.lit(1)).over(w_all)
+    per = per.select(
+        "source",
+        "avail",
+        (F.lit(1.0) / n_src.cast("double")).alias("w"),
+        (F.sum("avail").over(w_all).cast("double") * WATERFILL_BUDGET_FRAC).alias("budget"),
+    )
+    # prefix sums EXCLUDING the current row, in water-level order
+    w_sort = Window.partitionBy().orderBy(F.col("avail") / F.col("w"), F.col("source")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    staged = per.select(
+        "*",
+        F.coalesce(F.sum("avail").over(w_sort), F.lit(0)).cast("double").alias("cum_avail"),
+        F.coalesce(F.sum("w").over(w_sort), F.lit(0.0)).alias("cum_w"),
+        F.sum("w").over(w_all).alias("tot_w"),
+    )
+    # capped iff avail/w <= implied water level with all earlier rows capped
+    capped = (F.col("avail") / F.col("w")) <= (
+        (F.col("budget") - F.col("cum_avail")) / (F.col("tot_w") - F.col("cum_w"))
+    )
+    flagged = staged.select("*", capped.alias("capped"))
+    lam = (
+        F.col("budget")
+        - F.coalesce(
+            F.sum(F.when(F.col("capped"), F.col("avail"))).over(w_all), F.lit(0)
+        ).cast("double")
+    ) / F.sum(F.when(~F.col("capped"), F.col("w"))).over(w_all)
+    alloc = F.when(F.col("capped"), F.col("avail").cast("double")).otherwise(
+        lam * F.col("w")
+    )
+    return flagged.select(
+        "source",
+        "avail",
+        F.round("w", 6).alias("weight"),
+        "capped",
+        F.round(alloc, 2).alias("alloc_tokens"),
+        F.round(alloc / F.col("avail"), 6).alias("fill_ratio"),
+    )
+
+
+BUDGET_WATERFILL_SQL = f"""
+WITH per AS (
+  SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS avail
+  FROM documents GROUP BY 1
+),
+dims AS (
+  SELECT source, avail,
+         1.0 / COUNT(*) OVER () AS w,
+         CAST(SUM(avail) OVER () AS DOUBLE) * {WATERFILL_BUDGET_FRAC} AS budget
+  FROM per
+),
+staged AS (
+  SELECT *,
+         CAST(coalesce(SUM(avail) OVER wl, 0) AS DOUBLE) AS cum_avail,
+         coalesce(SUM(w) OVER wl, 0.0) AS cum_w,
+         SUM(w) OVER () AS tot_w
+  FROM dims
+  WINDOW wl AS (ORDER BY avail / w, source
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+flagged AS (
+  SELECT *,
+         (avail / w) <= ((budget - cum_avail) / (tot_w - cum_w)) AS capped
+  FROM staged
+),
+lam AS (
+  SELECT *,
+         (budget - CAST(coalesce(SUM(CASE WHEN capped THEN avail END) OVER (), 0)
+                        AS DOUBLE))
+           / SUM(CASE WHEN NOT capped THEN w END) OVER () AS lambda
+  FROM flagged
+)
+SELECT source, avail,
+       {round_sql('w', 6)} AS weight, capped,
+       {round_sql('CASE WHEN capped THEN CAST(avail AS DOUBLE) ELSE lambda * w END', 2)} AS alloc_tokens,
+       {round_sql('(CASE WHEN capped THEN CAST(avail AS DOUBLE) ELSE lambda * w END) / avail', 6)} AS fill_ratio
+FROM lam
+"""

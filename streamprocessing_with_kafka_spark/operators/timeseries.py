@@ -1,0 +1,229 @@
+"""Per-entity time-series analytics over the `events` table: smoothing
+(EWMA), behavioral structure (Markov transitions), and robust outlier
+detection (median/MAD) -- the monitoring layer a training-data ingest
+pipeline runs next to its windowed aggregates (SURVEY.md §2.6 family;
+the reference has no time-series surface at all).
+
+Scale notes: every operator here is one shuffle -- either a user-keyed
+sort window (EWMA, transitions) or a type-keyed aggregate (MAD) -- with
+all arithmetic in fixed-order double expressions so results are
+bit-identical across engines and partition layouts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from streamprocessing_with_kafka_spark.functions.numeric import round_sql
+from streamprocessing_with_kafka_spark.sources.tables import load_table
+
+# ------------------------------------------------------------- EWMA
+
+#: smoothing factor and truncation depth. A truncated EWMA (fixed K lags,
+#: weights renormalized over the lags that exist) replaces the recursive
+#: definition y_i = a*x_i + (1-a)*y_{i-1}: the recursion is inherently
+#: sequential per key (a chain the engine cannot parallelize or make
+#: order-independent), while the truncated form is K lag() columns over
+#: ONE sort window -- embarrassingly parallel across keys, deterministic,
+#: and within (1-a)^K (= 0.3^8 ~ 6e-5 relative) of the infinite-history
+#: value. At 100 TB this is the difference between a window scan and a
+#: per-key sequential fold.
+EWMA_ALPHA = 0.7
+EWMA_LAGS = 8
+
+#: fixed weight ladder a*(1-a)^k, k=0..K-1; Python float repr round-trips
+#: exactly through both Spark's and DuckDB's literal parsers, so both
+#: engines compute with bit-identical coefficients.
+_EWMA_WEIGHTS = [EWMA_ALPHA * (1.0 - EWMA_ALPHA) ** k for k in range(EWMA_LAGS)]
+
+
+def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user truncated EWMA of `value` in event-time order.
+
+    One user-keyed sort window carries all K lags; numerator and
+    normalizer are fixed-order sums of K terms (k=0 first), so the double
+    arithmetic is order-pinned and matches the SQL twin bit-for-bit. The
+    normalizer re-weights over the lags that exist, so early rows (fewer
+    than K predecessors) get a proper convex combination instead of a
+    damped one."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    lags = [F.col("value") if k == 0 else F.lag("value", k).over(w) for k in range(EWMA_LAGS)]
+    num = F.lit(0.0)
+    den = F.lit(0.0)
+    for k in range(EWMA_LAGS):  # fixed accumulation order: k ascending
+        num = num + F.coalesce(lags[k] * F.lit(_EWMA_WEIGHTS[k]), F.lit(0.0))
+        den = den + F.when(lags[k].isNotNull(), F.lit(_EWMA_WEIGHTS[k])).otherwise(F.lit(0.0))
+    n_hist = sum(
+        (F.when(lags[k].isNotNull(), F.lit(1)).otherwise(F.lit(0)) for k in range(EWMA_LAGS)),
+        F.lit(0),
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        n_hist.cast("int").alias("n_hist"),
+        # den == 0 only if every lag (incl. the row's own value) is null;
+        # null out instead of leaking an engine-specific inf/nan
+        F.when(den != 0.0, F.round(num / den, 6)).alias("ewma"),
+    )
+
+
+def _ewma_terms_sql() -> tuple[str, str, str]:
+    lag = lambda k: "value" if k == 0 else f"lag(value, {k}) OVER w"  # noqa: E731
+    num = " + ".join(
+        f"coalesce({lag(k)} * {w!r}, 0.0)" for k, w in enumerate(_EWMA_WEIGHTS)
+    )
+    den = " + ".join(
+        f"(CASE WHEN {lag(k)} IS NOT NULL THEN {w!r} ELSE 0.0 END)"
+        for k, w in enumerate(_EWMA_WEIGHTS)
+    )
+    n = " + ".join(
+        f"(CASE WHEN {lag(k)} IS NOT NULL THEN 1 ELSE 0 END)" for k in range(EWMA_LAGS)
+    )
+    return num, den, n
+
+
+_NUM_SQL, _DEN_SQL, _NHIST_SQL = _ewma_terms_sql()
+
+EWMA_USER_VALUE_SQL = f"""
+SELECT user_id, event_id, ts, value,
+       CAST({_NHIST_SQL} AS INT) AS n_hist,
+       {round_sql(f'({_NUM_SQL}) / NULLIF({_DEN_SQL}, 0.0)', 6)} AS ewma
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+# ---------------------------------------------- Markov transitions
+
+
+def markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event-type
+    sequences: P(next_type | prev_type), plus the raw transition counts.
+
+    One sort window derives (prev_type, event_type) adjacent pairs; the
+    count aggregate is map-side combinable on a 5x5 key space, and the
+    row-probability normalizer is a window over the tiny aggregated frame
+    (no second scan of events). The per-user partitioning means sequences
+    never cross users -- session boundaries are the keys, exactly how a
+    cluster would shard the state."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.lag("event_type").over(w).alias("prev_type"), "event_type"
+    ).filter(F.col("prev_type").isNotNull())
+    counts = pairs.groupBy("prev_type", "event_type").agg(
+        F.count(F.lit(1)).alias("transitions")
+    )
+    row_total = F.sum("transitions").over(W.partitionBy("prev_type"))
+    return counts.select(
+        "prev_type",
+        "event_type",
+        "transitions",
+        F.round(F.col("transitions") / row_total.cast("double"), 6).alias("prob"),
+    )
+
+
+MARKOV_TRANSITIONS_SQL = f"""
+WITH pairs AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type,
+         event_type
+  FROM events
+),
+counts AS (
+  SELECT prev_type, event_type, COUNT(*) AS transitions
+  FROM pairs WHERE prev_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT prev_type, event_type, transitions,
+       {round_sql(
+           'transitions / CAST(SUM(transitions) OVER (PARTITION BY prev_type)'
+           ' AS DOUBLE)', 6)} AS prob
+FROM counts
+"""
+
+
+# ------------------------------------------------- median/MAD outliers
+
+#: robust outlier fence: |value - median| > MAD_K * MAD. 3x MAD is the
+#: textbook robust analog of 3-sigma; unlike mean/stddev it is immune to
+#: the outliers it is hunting.
+MAD_K = 3.0
+
+
+def mad_outlier_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type robust outlier audit: exact median, MAD (median
+    absolute deviation), and the count/extent of values outside the
+    MAD_K fence.
+
+    Two aggregate passes over events (median needs to exist before
+    deviations do -- irreducible for exact MAD) with the 5-row medians
+    frame broadcast back, so events itself shuffles only into the two
+    type-keyed aggregates. The outlier flag compares raw doubles whose
+    inputs (median, MAD) are bit-identical across engines (exact
+    linear-interpolation percentile both sides), so the fence is
+    deterministic. At 100 TB swap `percentile` for `approx_percentile`
+    (mergeable sketch, same call shape, bounded error)."""
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "abs_dev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.first("med").alias("med"),
+        F.first("n_events").alias("n_events"),
+        F.expr("percentile(abs_dev, 0.5)").alias("mad"),
+    )
+    out = dev.join(
+        F.broadcast(mad.select("event_type", "mad")), "event_type"
+    ).filter(F.col("abs_dev") > F.lit(MAD_K) * F.col("mad"))
+    summary = out.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_outliers"),
+        F.max("abs_dev").alias("max_abs_dev"),
+    )
+    return (
+        mad.join(summary, "event_type", "left")
+        .select(
+            "event_type",
+            "n_events",
+            F.round("med", 6).alias("med"),
+            F.round("mad", 6).alias("mad"),
+            F.coalesce("n_outliers", F.lit(0)).alias("n_outliers"),
+            F.round("max_abs_dev", 6).alias("max_abs_dev"),
+        )
+    )
+
+
+MAD_OUTLIER_SUMMARY_SQL = f"""
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med, COUNT(*) AS n_events
+  FROM events GROUP BY 1
+),
+dev AS (
+  SELECT e.event_type, med, n_events, abs(e.value - med) AS abs_dev
+  FROM events e JOIN med USING (event_type)
+),
+mad AS (
+  SELECT event_type, any_value(med) AS med, any_value(n_events) AS n_events,
+         quantile_cont(abs_dev, 0.5) AS mad
+  FROM dev GROUP BY 1
+),
+outliers AS (
+  SELECT d.event_type, COUNT(*) AS n_outliers, max(abs_dev) AS max_abs_dev
+  FROM dev d JOIN mad USING (event_type)
+  WHERE abs_dev > {MAD_K!r} * mad
+  GROUP BY 1
+)
+SELECT event_type, n_events,
+       {round_sql('med', 6)} AS med,
+       {round_sql('mad', 6)} AS mad,
+       coalesce(n_outliers, 0) AS n_outliers,
+       {round_sql('max_abs_dev', 6)} AS max_abs_dev
+FROM mad LEFT JOIN outliers USING (event_type)
+"""

@@ -31,6 +31,7 @@ from streamprocessing_with_kafka_spark.operators import (
     similarity,
     sketches,
     text,
+    timeseries,
     tpch_extra,
     windows,
 )
@@ -1031,6 +1032,45 @@ register(
     "hash check",
 )(orc_source.orc_roundtrip_orders)
 
+register(
+    "dedup_containment",
+    dedup.CONTAINMENT_PAIRS_SQL,
+    doc="asymmetric near-dup pairs by shingle containment "
+    "(inter / min set size): catches subset duplication Jaccard dilutes; "
+    "same blocked shared-shingle equi-join as dedup_ngram_jaccard, same "
+    "persisted hash frame, no cross join",
+)(dedup.containment_pairs)
+register(
+    "events_ewma",
+    timeseries.EWMA_USER_VALUE_SQL,
+    doc="per-user truncated EWMA in event time: K lag() columns over ONE "
+    "sort window replace the inherently-sequential recursion "
+    "(order-pinned fixed-weight sums, deterministic across engines and "
+    "partition layouts)",
+)(timeseries.ewma_user_value)
+register(
+    "events_markov",
+    timeseries.MARKOV_TRANSITIONS_SQL,
+    doc="first-order event-type Markov transition matrix from per-user "
+    "lag pairs: one sort window + one 5x5-key map-side-combinable "
+    "aggregate; row normalizer windows the tiny aggregated frame",
+)(timeseries.markov_transitions)
+register(
+    "events_mad_outliers",
+    timeseries.MAD_OUTLIER_SUMMARY_SQL,
+    doc="robust per-type outlier audit: exact median + MAD with a 3*MAD "
+    "fence, medians broadcast back so events only shuffles into the two "
+    "type-keyed aggregates (approx_percentile drop-in at 100 TB)",
+)(timeseries.mad_outlier_summary)
+register(
+    "sample_budget_waterfill",
+    sampling.BUDGET_WATERFILL_SQL,
+    doc="token-budget mixture planning: closed-form water-filling (sorted "
+    "prefix-sum windows, zero driver round-trips) allocates "
+    "min(avail, lambda*w) per source to exactly exhaust the budget; one "
+    "corpus scan, everything else on the |sources|-row frame",
+)(sampling.budget_waterfill)
+
 
 # ==========================================================================
 # The driver correctness window: the FIRST 50 names registry() returns.
@@ -1134,6 +1174,11 @@ PENDING_WINDOW = [
     "pipeline_export_packed",
     "pack_efficiency",
     "events_top_paths",
+    "dedup_containment",
+    "events_ewma",
+    "events_markov",
+    "events_mad_outliers",
+    "sample_budget_waterfill",
 ]
 
 assert len(CORRECTNESS_WINDOW) == 50, len(CORRECTNESS_WINDOW)

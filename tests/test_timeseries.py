@@ -1,0 +1,161 @@
+"""Semantic invariants for the time-series operators and the waterfill
+planner that the oracle hash-match cannot express: EWMA convexity and
+truncation bounds, Markov row-stochasticity, the MAD fence's robustness,
+containment vs Jaccard asymmetry, and water-filling budget exhaustion."""
+
+import math
+
+from pyspark.sql import Window, functions as F
+
+from streamprocessing_with_kafka_spark.operators.dedup import containment_pairs
+from streamprocessing_with_kafka_spark.operators.sampling import (
+    WATERFILL_BUDGET_FRAC,
+    budget_waterfill,
+)
+from streamprocessing_with_kafka_spark.operators.timeseries import (
+    EWMA_ALPHA,
+    EWMA_LAGS,
+    ewma_user_value,
+    mad_outlier_summary,
+    markov_transitions,
+)
+
+
+def test_ewma_is_convex_and_tracks_recursive_form(spark, sf_dir):
+    rows = ewma_user_value(spark, sf_dir).collect()
+    assert rows
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    for user_rows in by_user.values():
+        user_rows.sort(key=lambda r: (r.ts, r.event_id))
+        vals = [r.value for r in user_rows]
+        for i, r in enumerate(user_rows):
+            window = vals[max(0, i - EWMA_LAGS + 1) : i + 1]
+            # convex combination of the window it was computed from
+            assert min(window) - 1e-6 <= r.ewma <= max(window) + 1e-6
+            assert r.n_hist == len(window)
+            # matches the truncated-EWMA definition recomputed in python
+            ws = [EWMA_ALPHA * (1 - EWMA_ALPHA) ** k for k in range(len(window))]
+            expect = sum(w * x for w, x in zip(ws, reversed(window))) / sum(ws)
+            assert math.isclose(r.ewma, round(expect, 6), rel_tol=0, abs_tol=2e-6)
+
+
+def test_markov_rows_are_stochastic(spark, sf_dir):
+    rows = markov_transitions(spark, sf_dir).collect()
+    assert rows
+    by_prev: dict = {}
+    for r in rows:
+        assert r.transitions > 0
+        by_prev.setdefault(r.prev_type, []).append(r.prob)
+    for probs in by_prev.values():
+        assert math.isclose(sum(probs), 1.0, abs_tol=1e-4)
+
+
+def test_mad_fence_flags_planted_outlier_only(spark):
+    base = [(i, "t", 10.0 + (i % 5) * 0.1) for i in range(50)]
+    planted = [(99, "t", 1e6)]
+    ev = spark.createDataFrame(
+        [(eid, "2024-01-01 00:00:00", 1, t, v, "{}") for (eid, t, v) in base + planted],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    import streamprocessing_with_kafka_spark.operators.timeseries as ts_mod
+
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med"), F.count(F.lit(1)).alias("n_events")
+    )
+    # exercise the full operator via a monkeypatched loader-free path:
+    # rebuild the same pipeline on the in-memory frame
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "abs_dev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(abs_dev, 0.5)").alias("mad")
+    )
+    row = dev.join(F.broadcast(mad), "event_type").filter(
+        F.col("abs_dev") > ts_mod.MAD_K * F.col("mad")
+    ).collect()
+    # mean/stddev would be dragged by the 1e6 outlier; MAD flags only it
+    assert {r.event_id for r in row} == {99}
+
+
+def test_mad_summary_counts_match_manual_fence(spark, sf_dir):
+    import duckdb
+
+    out = {r.event_type: r for r in mad_outlier_summary(spark, sf_dir).collect()}
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'"
+    )
+    manual = dict(
+        con.sql(
+            """
+            WITH med AS (SELECT event_type, quantile_cont(value, .5) m FROM events GROUP BY 1),
+            dev AS (SELECT e.event_type, abs(value - m) d FROM events e JOIN med USING (event_type)),
+            mad AS (SELECT event_type, quantile_cont(d, .5) md FROM dev GROUP BY 1)
+            SELECT d.event_type, count(*) FILTER (d > 3.0 * md) FROM dev d JOIN mad USING (event_type) GROUP BY 1
+            """
+        ).fetchall()
+    )
+    con.close()
+    assert {t: r.n_outliers for t, r in out.items()} == manual
+
+
+def test_containment_catches_subset_dup_jaccard_misses(spark):
+    small = "alpha beta gamma delta epsilon zeta"
+    big = small + " " + " ".join(f"w{i}" for i in range(200))
+    docs = spark.createDataFrame(
+        [(1, small), (2, big)], "doc_id long, text string"
+    )
+    import streamprocessing_with_kafka_spark.operators.dedup as dd
+
+    sh = (
+        dd.word_ngram_rows(docs, dd.SHINGLE_N, alias="shingle")
+        .select("doc_id", dd.md5_long(F.col("shingle")).alias("_h"))
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    pair = (
+        a.join(b, (F.col("a._h") == F.col("b._h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id"), F.col("b.doc_id"))
+        .agg(F.count(F.lit(1)).alias("inter"), F.first("a.n").alias("na"), F.first("b.n").alias("nb"))
+        .collect()
+    )
+    assert len(pair) == 1
+    inter, na, nb = pair[0].inter, pair[0].na, pair[0].nb
+    jac = inter / (na + nb - inter)
+    cont = inter / min(na, nb)
+    # the small doc is fully embedded: containment ~= 1, jaccard tiny
+    assert cont >= 0.9
+    assert jac < 0.1
+
+
+def test_containment_pairs_runs_and_scores_in_unit_interval(spark, sf_dir):
+    rows = containment_pairs(spark, sf_dir, threshold=0.0).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 < r.containment <= 1.0
+        assert r.doc_a < r.doc_b
+        assert r.na > 0 and r.nb > 0
+
+
+def test_waterfill_exhausts_budget_and_respects_caps(spark, sf_dir):
+    rows = budget_waterfill(spark, sf_dir).collect()
+    assert rows
+    total_avail = sum(r.avail for r in rows)
+    budget = WATERFILL_BUDGET_FRAC * total_avail
+    allocated = sum(r.alloc_tokens for r in rows)
+    # exactly exhausts the budget (closed form, no iteration residue)
+    assert math.isclose(allocated, budget, rel_tol=1e-6)
+    levels = []
+    for r in rows:
+        assert r.alloc_tokens <= r.avail + 1e-6  # never over-allocates
+        assert 0.0 < r.fill_ratio <= 1.0 + 1e-9
+        if r.capped:
+            assert math.isclose(r.alloc_tokens, r.avail, rel_tol=1e-9)
+        else:
+            levels.append(r.alloc_tokens / r.weight)
+    # all uncapped sources sit at ONE water level (2dp alloc rounding
+    # re-inflated by 1/w bounds the spread)
+    if levels:
+        assert max(levels) - min(levels) <= 0.01 / min(r.weight for r in rows) + 1e-6
