@@ -37,16 +37,17 @@ EWMA_LAGS = 8
 _EWMA_WEIGHTS = [EWMA_ALPHA * (1.0 - EWMA_ALPHA) ** k for k in range(EWMA_LAGS)]
 
 
-def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-user truncated EWMA of `value` in event-time order.
+def ewma_frame(ev: DataFrame) -> DataFrame:
+    """Per-user truncated EWMA of `value` in event-time order, over any
+    frame with (user_id, event_id, ts, value).
 
     One user-keyed sort window carries all K lags; numerator and
     normalizer are fixed-order sums of K terms (k=0 first), so the double
-    arithmetic is order-pinned and matches the SQL twin bit-for-bit. The
-    normalizer re-weights over the lags that exist, so early rows (fewer
-    than K predecessors) get a proper convex combination instead of a
-    damped one."""
-    ev = load_table(spark, sf_dir, "events")
+    arithmetic is order-pinned and matches both the SQL twin and the
+    streaming twin (streaming/ewma.py replays the identical fixed-order
+    float ops per row) bit-for-bit. The normalizer re-weights over the
+    lags that exist, so early rows (fewer than K predecessors) get a
+    proper convex combination instead of a damped one."""
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     lags = [F.col("value") if k == 0 else F.lag("value", k).over(w) for k in range(EWMA_LAGS)]
     num = F.lit(0.0)
@@ -68,6 +69,11 @@ def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         # null out instead of leaking an engine-specific inf/nan
         F.when(den != 0.0, F.round(num / den, 6)).alias("ewma"),
     )
+
+
+def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ewma_frame over the events table."""
+    return ewma_frame(load_table(spark, sf_dir, "events"))
 
 
 def _ewma_terms_sql() -> tuple[str, str, str]:

@@ -451,3 +451,42 @@ def test_profile_drift_single_corpus_aggregate(spark, sf_dir):
     plan = _plan(spark, profile.profile_drift(spark, sf_dir))
     assert "SortMergeJoin" not in plan, plan
     assert plan.count("Scan parquet") <= 2, plan  # events + 1-row bounds
+
+
+def test_ewma_is_one_sort_window_pass(spark, sf_dir):
+    """K lags must ride ONE user-keyed sort window: one hash exchange,
+    one sort, no join -- the whole point of the truncated formulation."""
+    from streamprocessing_with_kafka_spark.operators import timeseries
+
+    plan = _plan(spark, timeseries.ewma_user_value(spark, sf_dir))
+    assert _n_shuffles(plan) == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_containment_reuses_blocked_equi_join(spark, sf_dir):
+    """Containment must pair through the shared-shingle EQUI join (the
+    cached hash frame), never a cartesian/theta product."""
+    from streamprocessing_with_kafka_spark.operators import dedup
+
+    plan = _plan(spark, dedup.containment_pairs(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_waterfill_scans_corpus_once(spark, sf_dir):
+    """The planner's windows run on the |sources|-row frame; documents
+    itself must be scanned exactly once."""
+    from streamprocessing_with_kafka_spark.operators import sampling
+
+    plan = _plan(spark, sampling.budget_waterfill(spark, sf_dir))
+    assert plan.count("Scan parquet") == 1, plan
+
+
+def test_mad_outliers_broadcasts_all_medians(spark, sf_dir):
+    """The medians/MAD frames are 5-row dims: every join back onto events
+    (and the final summary join) must be broadcast, never a sort-merge
+    shuffle of the fact side."""
+    from streamprocessing_with_kafka_spark.operators import timeseries
+
+    plan = _plan(spark, timeseries.mad_outlier_summary(spark, sf_dir))
+    assert "SortMergeJoin" not in plan, plan
