@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W, functions as F
 
 from streamprocessing_with_kafka_spark.functions.hashing import md5_long
+from streamprocessing_with_kafka_spark.functions.numeric import dec_sum, round_sql
 from streamprocessing_with_kafka_spark.sources.tables import load_table
 
 DIM = 64
@@ -875,3 +876,120 @@ SELECT a.vec_id, a.cell,
        CASE WHEN d.vec_id IS NOT NULL THEN 'sem_dup' ELSE 'kept' END AS status
 FROM assigned a LEFT JOIN dups d ON a.vec_id = d.vec_id
 """
+
+
+# --------------------------------------------------------- KMeans (Lloyd)
+
+#: fixed Lloyd iterations for the trained-centroid path. Fixed-count
+#: (not convergence-tested) keeps the computation a deterministic DAG:
+#: the oracle unrolls the same 3 iterations, and a production run picks
+#: iterations by inertia curve offline.
+KMEANS_ITERS = 3
+
+
+def kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means over the embedding corpus -- the
+    TRAINING step the IVF family's frozen centroids come from
+    (`centroid_row` documents that a production IVF k-means its seeds;
+    this is that path, kept deterministic end-to-end).
+
+    Per iteration: (1) assignment = the same zero-shuffle broadcast
+    fold-argmax as `ivf_assignments` (cosine metric, rounded to 6dp,
+    ties to the smallest cell); (2) update = per-(cell, dim) exact
+    decimal mean of the members, rounded to 6dp so the next iteration's
+    cosines -- and the oracle's -- see bit-identical centroids; empty
+    cells keep their previous centroid. `localCheckpoint` cuts the
+    lineage between iterations (the connected-components pattern from
+    dedup_cluster_keepers): without it each round's broadcast re-derives
+    every prior round's plan.
+
+    Scale: assignment is a narrow map over a K-row broadcast; the update
+    shuffles (cell, dim) partial sums -- map-side combinable, K*DIM rows
+    after combine, independent of corpus size. Output is the
+    driver-canonicalizable (cell, n_members, dim, value) long form.
+
+    Returns centroids after KMEANS_ITERS rounds with each cell's member
+    count from the LAST update (standard Lloyd reporting)."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cent = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("cell"), F.col("v").alias("cv")
+    )
+    n_members = F.lit(None).cast("long")
+    for _ in range(KMEANS_ITERS):
+        cents1 = cent.select(F.struct("cell", "cv").alias("c")).agg(
+            F.sort_array(F.collect_list("c")).alias("cents")
+        )
+        assigned = e.crossJoin(F.broadcast(cents1)).select(
+            "vec_id", "v", nearest_cell(F.col("v")).alias("cell")
+        )
+        means = (
+            assigned.select("cell", F.posexplode("v").alias("dim", "val"))
+            .groupBy("cell", "dim")
+            .agg(
+                F.round(
+                    dec_sum("val") / F.count(F.lit(1)).cast("double"), 6
+                ).alias("val_m"),
+                F.count(F.lit(1)).alias("n_rows"),
+            )
+        )
+        upd = means.groupBy("cell").agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("dim", "val_m"))),
+                lambda c: c["val_m"],
+            ).alias("cv_new"),
+            F.first("n_rows").alias("n_new"),
+        )
+        cent = (
+            cent.alias("p")
+            .join(upd, "cell", "left")
+            .select(
+                "cell",
+                F.coalesce("cv_new", F.col("p.cv")).alias("cv"),
+                F.coalesce("n_new", F.lit(0)).alias("n_members"),
+            )
+            .localCheckpoint()
+        )
+    return cent.select(
+        "cell", "n_members", F.posexplode("cv").alias("dim", "value")
+    )
+
+
+def _kmeans_iter_sql(i: int, prev: str) -> str:
+    mean = round_sql(
+        "CAST(CAST(SUM(CAST(v[r.range + 1] AS DECIMAL(28,10))) AS VARCHAR)"
+        " AS DOUBLE) / COUNT(*)",
+        6,
+    )
+    return f"""
+s{i} AS (SELECT e.vec_id, e.v, c.cell,
+         round(list_dot_product(e.v, c.cv)
+               / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))), 6) AS cos_c
+         FROM e CROSS JOIN {prev} c),
+a{i} AS (SELECT vec_id, v, cell FROM (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                        ORDER BY cos_c DESC, cell ASC) AS rn
+           FROM s{i})
+         WHERE rn = 1),
+m{i} AS (SELECT cell, r.range AS dim, {mean} AS val_m, COUNT(*) AS n_rows
+         FROM a{i} CROSS JOIN range(0, {DIM}) r
+         GROUP BY 1, 2),
+u{i} AS (SELECT cell, list(val_m ORDER BY dim) AS cv, any_value(n_rows) AS n
+         FROM m{i} GROUP BY 1),
+c{i} AS (SELECT p.cell, coalesce(u{i}.cv, p.cv) AS cv, coalesce(u{i}.n, 0) AS n
+         FROM {prev} p LEFT JOIN u{i} USING (cell))"""
+
+
+KMEANS_TRAIN_SQL = (
+    """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c0 AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id % 50 = 0),"""
+    + ",".join(
+        _kmeans_iter_sql(i + 1, f"c{i}") for i in range(KMEANS_ITERS)
+    )
+    + f"""
+SELECT c.cell, c.n AS n_members, r.range AS dim, c.cv[r.range + 1] AS value
+FROM c{KMEANS_ITERS} c CROSS JOIN range(0, {DIM}) r
+"""
+)

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
-from streamprocessing_with_kafka_spark.functions.numeric import round_sql
+from streamprocessing_with_kafka_spark.functions.numeric import DEC, round_sql
 from streamprocessing_with_kafka_spark.sources.tables import load_table
 
 # ------------------------------------------------------------- EWMA
@@ -233,3 +233,114 @@ SELECT event_type, n_events,
        {round_sql('max_abs_dev', 6)} AS max_abs_dev
 FROM mad LEFT JOIN outliers USING (event_type)
 """
+
+
+# ------------------------------------------------- autocorrelation
+
+#: autocorrelation lags computed over each type's hourly series
+ACF_LAGS = 3
+
+
+def autocorr_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1..ACF_LAGS autocorrelation of each event type's hourly value
+    series -- the seasonality/burstiness profile of the stream (is load
+    sticky hour-over-hour?).
+
+    Determinism: the textbook estimator needs the mean BEFORE the
+    deviations, which would be a second pass; instead the covariance is
+    expanded algebraically (sum x_t*x_{t-k}, sum x_t, sum x_{t-k},
+    counts) so ONE aggregate per type collects every term as an exact
+    decimal sum -- order-independent, then the r_k arithmetic runs in
+    fixed-order double. Adjacent = consecutive observed hourly buckets
+    (gaps close ranks; a gap-filled spine is `events_gapfill`'s job).
+
+    Scale: hourly rollup is one map-side-combinable shuffle; the lag
+    window + final aggregate ride one event_type partitioning over the
+    |types * hours| rollup frame -- corpus-size-independent."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("bucket"))
+        .agg(F.sum(F.col("value").cast(DEC)).cast("double").alias("x"))
+    )
+    w = W.partitionBy("event_type").orderBy("bucket")
+    dec = lambda c: c.cast(DEC)  # noqa: E731
+    prod = lambda a, b: (dec(a) * dec(b)).cast("decimal(38,10)")  # noqa: E731
+    lagged = hourly.select(
+        "event_type",
+        "x",
+        *[F.lag("x", k).over(w).alias(f"xl{k}") for k in range(1, ACF_LAGS + 1)],
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec(F.col("x"))).cast("double").alias("s1"),
+        F.sum(prod(F.col("x"), F.col("x"))).cast("double").alias("sxx"),
+    ]
+    for k in range(1, ACF_LAGS + 1):
+        xl = F.col(f"xl{k}")
+        aggs += [
+            F.count(xl).alias(f"n{k}"),
+            F.sum(prod(F.col("x"), xl)).cast("double").alias(f"sxy{k}"),
+            F.sum(F.when(xl.isNotNull(), dec(F.col("x")))).cast("double").alias(f"sa{k}"),
+            F.sum(F.when(xl.isNotNull(), dec(xl))).cast("double").alias(f"sb{k}"),
+        ]
+    g = lagged.groupBy("event_type").agg(*aggs)
+    mu = F.col("s1") / F.col("n").cast("double")
+    den = F.col("sxx") - F.col("n").cast("double") * mu * mu
+    out_cols = [F.col("event_type"), F.col("n").alias("n_buckets")]
+    for k in range(1, ACF_LAGS + 1):
+        num = (
+            F.col(f"sxy{k}")
+            - mu * F.col(f"sa{k}")
+            - mu * F.col(f"sb{k}")
+            + F.col(f"n{k}").cast("double") * mu * mu
+        )
+        out_cols.append(
+            F.when(den != 0.0, F.round(num / den, 6)).alias(f"r{k}")
+        )
+    return g.select(*out_cols)
+
+
+def _acf_sql() -> str:
+    dsum = lambda e: f"CAST(CAST(SUM(CAST(({e}) AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)"  # noqa: E731
+    dprod = (
+        lambda a, b: f"CAST(CAST(SUM(CAST(CAST(({a}) AS DECIMAL(28,10)) * CAST(({b}) AS DECIMAL(28,10)) AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)"
+    )  # noqa: E731
+    lag_cols = ", ".join(
+        f"lag(x, {k}) OVER (PARTITION BY event_type ORDER BY bucket) AS xl{k}"
+        for k in range(1, ACF_LAGS + 1)
+    )
+    agg_cols = [
+        "COUNT(*) AS n",
+        f"{dsum('x')} AS s1",
+        f"{dprod('x', 'x')} AS sxx",
+    ]
+    for k in range(1, ACF_LAGS + 1):
+        agg_cols += [
+            f"COUNT(xl{k}) AS n{k}",
+            f"{dprod('x', f'xl{k}')} AS sxy{k}",
+            f"{dsum(f'CASE WHEN xl{k} IS NOT NULL THEN x END')} AS sa{k}",
+            f"{dsum(f'xl{k}')} AS sb{k}",
+        ]
+    r_cols = ", ".join(
+        round_sql(
+            f"(sxy{k} - (s1 / n) * sa{k} - (s1 / n) * sb{k}"
+            f" + n{k} * (s1 / n) * (s1 / n))"
+            f" / NULLIF(sxx - n * (s1 / n) * (s1 / n), 0.0)",
+            6,
+        )
+        + f" AS r{k}"
+        for k in range(1, ACF_LAGS + 1)
+    )
+    return f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket,
+         {dsum('value')} AS x
+  FROM events GROUP BY 1, 2
+),
+lagged AS (SELECT event_type, x, {lag_cols} FROM hourly),
+g AS (SELECT event_type, {', '.join(agg_cols)} FROM lagged GROUP BY 1)
+SELECT event_type, n AS n_buckets, {r_cols} FROM g
+"""
+
+
+AUTOCORR_HOURLY_SQL = _acf_sql()

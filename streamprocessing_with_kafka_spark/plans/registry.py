@@ -1033,6 +1033,15 @@ register(
 )(orc_source.orc_roundtrip_orders)
 
 register(
+    "ann_kmeans_train",
+    similarity.KMEANS_TRAIN_SQL,
+    doc="distributed Lloyd's k-means (cosine, 3 fixed iterations) -- the "
+    "training step behind the IVF family's centroids: zero-shuffle "
+    "broadcast fold-argmax assignment + map-side-combinable (cell, dim) "
+    "decimal-mean update, localCheckpoint between rounds (CC pattern); "
+    "oracle unrolls the identical iterations",
+)(similarity.kmeans_train)
+register(
     "dedup_containment",
     dedup.CONTAINMENT_PAIRS_SQL,
     doc="asymmetric near-dup pairs by shingle containment "
@@ -1062,6 +1071,14 @@ register(
     "fence, medians broadcast back so events only shuffles into the two "
     "type-keyed aggregates (approx_percentile drop-in at 100 TB)",
 )(timeseries.mad_outlier_summary)
+register(
+    "events_autocorr",
+    timeseries.AUTOCORR_HOURLY_SQL,
+    doc="lag-1..3 autocorrelation of each type's hourly value series: "
+    "covariance expanded algebraically so ONE aggregate per type "
+    "collects every term as an exact decimal sum (no mean-first second "
+    "pass), r_k arithmetic in fixed-order double",
+)(timeseries.autocorr_hourly)
 register(
     "sample_budget_waterfill",
     sampling.BUDGET_WATERFILL_SQL,
@@ -1179,6 +1196,8 @@ PENDING_WINDOW = [
     "events_markov",
     "events_mad_outliers",
     "sample_budget_waterfill",
+    "ann_kmeans_train",
+    "events_autocorr",
 ]
 
 assert len(CORRECTNESS_WINDOW) == 50, len(CORRECTNESS_WINDOW)

@@ -251,3 +251,48 @@ def test_dedup_semantic_pair_join_is_equi_on_cell(spark, sf_dir):
     for frag in re.findall(r"BroadcastNestedLoopJoin[^\n]*", plan):
         assert "Cross" in frag or "cv" not in frag, frag
     assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan), plan
+
+
+def test_kmeans_train_improves_inertia_and_keeps_all_cells(spark, sf_dir):
+    """Lloyd invariants the oracle hash cannot express: every iteration's
+    model must not increase total within-cell distance (1 - cosine to the
+    assigned centroid), and the trained model must beat the seed model."""
+    from collections import defaultdict
+
+    import math
+
+    from streamprocessing_with_kafka_spark.operators.similarity import (
+        KMEANS_ITERS,
+        kmeans_train,
+    )
+
+    rows = kmeans_train(spark, sf_dir).collect()
+    cents = defaultdict(dict)
+    members = {}
+    for r in rows:
+        cents[r.cell][r.dim] = r.value
+        members[r.cell] = r.n_members
+    assert len(cents) == 10 and all(len(v) == 64 for v in cents.values())
+    # member counts cover the corpus exactly once
+    emb = {
+        r.vec_id: r.embedding
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    }
+    assert sum(members.values()) == len(emb)
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(y * y for y in b))
+        return d / (na * nb)
+
+    def inertia(model):
+        tot = 0.0
+        for v in emb.values():
+            tot += 1.0 - max(cos(v, c) for c in model.values())
+        return tot
+
+    seed = {i: emb[i] for i in emb if i % 50 == 0}
+    trained = {c: [cents[c][d] for d in range(64)] for c in cents}
+    assert inertia(trained) < inertia(seed), (inertia(trained), inertia(seed))
+    assert KMEANS_ITERS >= 2  # the loop actually iterates

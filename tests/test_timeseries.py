@@ -159,3 +159,31 @@ def test_waterfill_exhausts_budget_and_respects_caps(spark, sf_dir):
     # re-inflated by 1/w bounds the spread)
     if levels:
         assert max(levels) - min(levels) <= 0.01 / min(r.weight for r in rows) + 1e-6
+
+
+def test_autocorr_matches_python_recompute(spark, sf_dir):
+    import duckdb
+
+    from streamprocessing_with_kafka_spark.operators.timeseries import (
+        autocorr_hourly,
+    )
+
+    got = {r.event_type: r for r in autocorr_hourly(spark, sf_dir).collect()}
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'")
+    series = {}
+    for t, b, x in con.sql(
+        "SELECT event_type, date_trunc('hour', ts), sum(value) FROM events GROUP BY 1,2 ORDER BY 1,2"
+    ).fetchall():
+        series.setdefault(t, []).append(x)
+    con.close()
+    for t, xs in series.items():
+        n = len(xs)
+        mu = sum(xs) / n
+        den = sum((x - mu) ** 2 for x in xs)
+        assert got[t].n_buckets == n
+        for k in (1, 2, 3):
+            rk = getattr(got[t], f"r{k}")
+            assert -1.0 <= rk <= 1.0
+            expect = sum((xs[i] - mu) * (xs[i - k] - mu) for i in range(k, n)) / den
+            assert abs(rk - expect) < 1e-4, (t, k, rk, expect)
