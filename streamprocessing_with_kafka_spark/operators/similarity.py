@@ -993,3 +993,83 @@ SELECT c.cell, c.n AS n_members, r.range AS dim, c.cv[r.range + 1] AS value
 FROM c{KMEANS_ITERS} c CROSS JOIN range(0, {DIM}) r
 """
 )
+
+
+def kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained (cell, cv) centroid frame = kmeans_train's long-form
+    output re-assembled -- ONE shared code path with the registered query
+    so the trained-IVF search below can never drift from the audited
+    training loop."""
+    t = kmeans_train(spark, sf_dir)
+    return t.groupBy("cell").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("dim", "value"))),
+            lambda c: c["value"],
+        ).alias("cv")
+    )
+
+
+def ivf_topk_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search over the TRAINED k-means centroids (ann_kmeans_train)
+    instead of the deterministic seed cells -- the end-to-end production
+    path: train offline, freeze, serve. Same plan shape as `ann_ivf_topk`
+    (broadcast centroid scoring, cell-id equi-join candidates); the only
+    change is the model frame feeding the broadcast."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cent = kmeans_centroids(spark, sf_dir)
+    scored_all = e.select("vec_id", "embedding").crossJoin(F.broadcast(cent)).select(
+        "vec_id", "embedding", "cell", cosine(F.col("embedding"), F.col("cv")).alias("cos_c")
+    )
+    w1 = W.partitionBy("vec_id").orderBy(F.col("cos_c").desc(), F.col("cell").asc())
+    ranked = scored_all.withColumn("rn", F.row_number().over(w1))
+    assigned = ranked.filter(F.col("rn") == 1).select(
+        F.col("vec_id").alias("n_id"), F.col("embedding").alias("nv"), F.col("cell")
+    )
+    probes = (
+        ranked.filter((F.col("vec_id") < N_QUERIES) & (F.col("rn") <= N_PROBE))
+        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv"), "cell")
+    )
+    cand = F.broadcast(probes).join(assigned, "cell").filter(
+        F.col("q_id") != F.col("n_id")
+    )
+    scored = cand.select("q_id", "n_id", cosine(F.col("qv"), F.col("nv")).alias("cosine"))
+    return _topk_ranked(scored, "cosine")
+
+
+#: the kmeans CTE chain (e, c0..c{ITERS}) with the search SQL of
+#: IVF_TOPK_SQL pointed at the trained model instead of the seed cells.
+IVF_TOPK_TRAINED_SQL = (
+    """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c0 AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id % 50 = 0),"""
+    + ",".join(_kmeans_iter_sql(i + 1, f"c{i}") for i in range(KMEANS_ITERS))
+    + f""",
+scored AS (
+  SELECT e.vec_id, e.v, cent.cell,
+         round(list_dot_product(e.v, cent.cv)
+               / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cent.cv, cent.cv))), 6) AS cos_c
+  FROM e CROSS JOIN c{KMEANS_ITERS} cent
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                               ORDER BY cos_c DESC, cell ASC) AS rn
+  FROM scored
+),
+assigned AS (SELECT vec_id AS n_id, v AS nv, cell FROM ranked WHERE rn = 1),
+probes AS (SELECT vec_id AS q_id, v AS qv, cell FROM ranked
+           WHERE vec_id < {N_QUERIES} AND rn <= {N_PROBE}),
+cand AS (
+  SELECT p.q_id, a.n_id,
+         round(list_dot_product(p.qv, a.nv)
+               / (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(a.nv, a.nv))), 6) AS cosine
+  FROM probes p JOIN assigned a USING (cell)
+  WHERE p.q_id <> a.n_id
+)
+SELECT q_id, n_id, cosine, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                               ORDER BY cosine DESC, n_id ASC) AS rank
+  FROM cand
+)
+WHERE rank <= {TOP_K}
+"""
+)

@@ -1072,6 +1072,14 @@ register(
     "type-keyed aggregates (approx_percentile drop-in at 100 TB)",
 )(timeseries.mad_outlier_summary)
 register(
+    "ann_ivf_topk_trained",
+    similarity.IVF_TOPK_TRAINED_SQL,
+    doc="IVF search served from the TRAINED k-means centroids (the "
+    "offline-train / freeze / serve production path): same broadcast "
+    "scoring + cell-id equi-join plan as ann_ivf_topk, model frame "
+    "swapped for ann_kmeans_train's output",
+)(similarity.ivf_topk_trained)
+register(
     "events_autocorr",
     timeseries.AUTOCORR_HOURLY_SQL,
     doc="lag-1..3 autocorrelation of each type's hourly value series: "
@@ -1198,6 +1206,7 @@ PENDING_WINDOW = [
     "sample_budget_waterfill",
     "ann_kmeans_train",
     "events_autocorr",
+    "ann_ivf_topk_trained",
 ]
 
 assert len(CORRECTNESS_WINDOW) == 50, len(CORRECTNESS_WINDOW)

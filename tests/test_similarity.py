@@ -296,3 +296,24 @@ def test_kmeans_train_improves_inertia_and_keeps_all_cells(spark, sf_dir):
     trained = {c: [cents[c][d] for d in range(64)] for c in cents}
     assert inertia(trained) < inertia(seed), (inertia(trained), inertia(seed))
     assert KMEANS_ITERS >= 2  # the loop actually iterates
+
+
+def test_trained_ivf_recall_not_worse_than_seed(spark, sf_dir):
+    """The trained model must serve: recall vs brute force at least as
+    good as the seed-centroid IVF on the same probes (Lloyd tightens
+    cells, it cannot systematically scatter them)."""
+    from streamprocessing_with_kafka_spark.operators.similarity import (
+        ann_topk_bruteforce,
+        ivf_topk,
+        ivf_topk_trained,
+    )
+
+    truth = {
+        (r.q_id, r.n_id) for r in ann_topk_bruteforce(spark, sf_dir).collect()
+    }
+    seed = {(r.q_id, r.n_id) for r in ivf_topk(spark, sf_dir).collect()}
+    trained = {(r.q_id, r.n_id) for r in ivf_topk_trained(spark, sf_dir).collect()}
+    recall_seed = len(seed & truth) / len(truth)
+    recall_trained = len(trained & truth) / len(truth)
+    assert recall_trained >= recall_seed - 0.2, (recall_trained, recall_seed)
+    assert recall_trained > 0
