@@ -344,3 +344,135 @@ SELECT event_type, n AS n_buckets, {r_cols} FROM g
 
 
 AUTOCORR_HOURLY_SQL = _acf_sql()
+
+
+# ------------------------------------------------- CUSUM change points
+
+#: classic CUSUM tuning: slack k = CUSUM_K * sigma absorbs in-control
+#: noise, alarm fires when the accumulated drift tops CUSUM_H * sigma.
+CUSUM_K = 0.5
+CUSUM_H = 4.0
+
+
+def cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM change-point detection over each type's hourly
+    value series -- the classic sequential drift detector (Page 1954),
+    de-recursed for a distributed engine:
+
+      the textbook form c_t = max(0, c_{t-1} + x_t - mu - k) is an
+      inherently sequential fold; but c_t == S_t - min_{j<=t} S_j for
+      the plain cumulative sum S_t of (x_t - mu - k), so ONE sort window
+      carrying a running sum and a running min replaces the recursion
+      (same trick mirrored for the downward side with a running max).
+
+    Determinism: the per-term deviation is rounded to 6dp in double
+    (cross-engine stable) then accumulated as an exact DECIMAL running
+    sum, so S_t is order-exact; mu/sigma come from the same decimal
+    moment sums as rolling_zscore. Scale: hourly rollup is one
+    map-side-combinable shuffle; the CUSUM window rides one event_type
+    partitioning over the |types * hours| frame."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket")
+    ).agg(F.sum(F.col("value").cast(DEC)).cast("double").alias("x"))
+    xd = F.col("x").cast(DEC)
+    stats = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xd).cast("double").alias("s1"),
+        F.sum((xd * xd).cast("decimal(38,10)")).cast("double").alias("sxx"),
+    )
+    mu = F.col("s1") / F.col("n").cast("double")
+    sigma = F.sqrt(
+        F.greatest(F.col("sxx") / F.col("n").cast("double") - mu * mu, F.lit(0.0))
+    )
+    dims = stats.select(
+        "event_type",
+        mu.alias("mu"),
+        (F.lit(CUSUM_K) * sigma).alias("k"),
+        F.round(F.lit(CUSUM_H) * sigma, 6).alias("h"),
+    )
+    j = hourly.join(F.broadcast(dims), "event_type")
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    # 6dp-rounded doubles quantize identically to DECIMAL in both engines
+    term_up = F.round(F.col("x") - F.col("mu") - F.col("k"), 6).cast(DEC)
+    term_dn = F.round(F.col("x") - F.col("mu") + F.col("k"), 6).cast(DEC)
+    s_up = F.sum(term_up).over(w)
+    s_dn = F.sum(term_dn).over(w)
+    # the recursion starts from a virtual S_0 = 0 (c_0 = 0), so the
+    # running extremum must include 0: c_t = S_t - min(0, min_j S_j)
+    zero = F.lit(0).cast(DEC)
+    cusum_up = (s_up - F.least(F.min(s_up).over(w), zero)).cast("double")
+    cusum_dn = (F.greatest(F.max(s_dn).over(w), zero) - s_dn).cast("double")
+    return j.select(
+        "event_type",
+        "bucket",
+        "x",
+        F.round(cusum_up, 6).alias("cusum_up"),
+        F.round(cusum_dn, 6).alias("cusum_dn"),
+        (
+            (F.round(cusum_up, 6) > F.col("h"))
+            | (F.round(cusum_dn, 6) > F.col("h"))
+        ).alias("is_alarm"),
+    )
+
+
+def _cusum_sql() -> str:
+    dsum = "CAST(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)"
+    dxsum = "CAST(CAST(SUM(CAST(x AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)"
+    dxxsum = (
+        "CAST(CAST(SUM(CAST(CAST(x AS DECIMAL(28,10)) * CAST(x AS DECIMAL(28,10))"
+        " AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)"
+    )
+    term_up = round_sql("x - mu - k", 6)
+    term_dn = round_sql("x - mu + k", 6)
+    dec2dbl = lambda e: f"CAST(CAST(({e}) AS VARCHAR) AS DOUBLE)"  # noqa: E731
+    return f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket, {dsum} AS x
+  FROM events GROUP BY 1, 2
+),
+stats AS (
+  SELECT event_type, COUNT(*) AS n, {dxsum} AS s1, {dxxsum} AS sxx
+  FROM hourly GROUP BY 1
+),
+dims AS (
+  SELECT event_type,
+         s1 / n AS mu,
+         {CUSUM_K!r} * sqrt(greatest(sxx / n - (s1 / n) * (s1 / n), 0.0)) AS k,
+         {round_sql(f'{CUSUM_H!r} * sqrt(greatest(sxx / n - (s1 / n) * (s1 / n), 0.0))', 6)} AS h
+  FROM stats
+),
+terms AS (
+  SELECT h.event_type, h.bucket, h.x, d.h,
+         CAST({term_up} AS DECIMAL(28,10)) AS tu,
+         CAST({term_dn} AS DECIMAL(28,10)) AS td
+  FROM hourly h JOIN dims d USING (event_type)
+),
+sums AS (
+  SELECT event_type, bucket, x, h,
+         SUM(tu) OVER w AS s_up, SUM(td) OVER w AS s_dn
+  FROM terms
+  WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+cus AS (
+  SELECT event_type, bucket, x, h,
+         {dec2dbl('s_up - least(MIN(s_up) OVER w, CAST(0 AS DECIMAL(28,10)))')} AS cu,
+         {dec2dbl('greatest(MAX(s_dn) OVER w, CAST(0 AS DECIMAL(28,10))) - s_dn')} AS cd
+  FROM sums
+  WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, bucket, x,
+       {round_sql('cu', 6)} AS cusum_up,
+       {round_sql('cd', 6)} AS cusum_dn,
+       ({round_sql('cu', 6)} > h OR {round_sql('cd', 6)} > h) AS is_alarm
+FROM cus
+"""
+
+
+CUSUM_CHANGEPOINTS_SQL = _cusum_sql()

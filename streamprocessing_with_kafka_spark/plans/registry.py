@@ -1088,6 +1088,14 @@ register(
     "pass), r_k arithmetic in fixed-order double",
 )(timeseries.autocorr_hourly)
 register(
+    "events_cusum",
+    timeseries.CUSUM_CHANGEPOINTS_SQL,
+    doc="two-sided CUSUM change-point detection per type (Page 1954), "
+    "de-recursed: c_t = S_t - min(0, running-min S_j), one sort window "
+    "carrying exact-decimal running sum + extremum instead of the "
+    "sequential fold; 6dp-quantized terms keep both engines bit-equal",
+)(timeseries.cusum_changepoints)
+register(
     "sample_budget_waterfill",
     sampling.BUDGET_WATERFILL_SQL,
     doc="token-budget mixture planning: closed-form water-filling (sorted "
@@ -1207,6 +1215,7 @@ PENDING_WINDOW = [
     "ann_kmeans_train",
     "events_autocorr",
     "ann_ivf_topk_trained",
+    "events_cusum",
 ]
 
 assert len(CORRECTNESS_WINDOW) == 50, len(CORRECTNESS_WINDOW)

@@ -187,3 +187,81 @@ def test_autocorr_matches_python_recompute(spark, sf_dir):
             assert -1.0 <= rk <= 1.0
             expect = sum((xs[i] - mu) * (xs[i - k] - mu) for i in range(k, n)) / den
             assert abs(rk - expect) < 1e-4, (t, k, rk, expect)
+
+
+def test_cusum_matches_textbook_recursion(spark, sf_dir):
+    """The windowed closed form must equal Page's sequential recursion
+    c_t = max(0, c_{t-1} + d_t) recomputed in python, and a planted level
+    shift must alarm."""
+    import duckdb
+
+    from streamprocessing_with_kafka_spark.operators.timeseries import (
+        CUSUM_H,
+        CUSUM_K,
+        cusum_changepoints,
+    )
+
+    got = {}
+    for r in cusum_changepoints(spark, sf_dir).collect():
+        got.setdefault(r.event_type, []).append(r)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'")
+    series = {}
+    for t, b, x in con.sql(
+        "SELECT event_type, date_trunc('hour', ts), sum(value) FROM events GROUP BY 1,2 ORDER BY 1,2"
+    ).fetchall():
+        series.setdefault(t, []).append(x)
+    con.close()
+    for t, xs in series.items():
+        n = len(xs)
+        mu = sum(xs) / n
+        var = sum(x * x for x in xs) / n - mu * mu
+        sigma = max(var, 0.0) ** 0.5
+        k, h = CUSUM_K * sigma, CUSUM_H * sigma
+        rows = sorted(got[t], key=lambda r: r.bucket)
+        cu = cd = 0.0
+        assert len(rows) == n
+        for x, r in zip(xs, rows):
+            cu = max(0.0, cu + (x - mu - k))
+            cd = max(0.0, cd + (mu - x - k))
+            assert abs(r.cusum_up - cu) < 1e-3, (t, r.bucket, r.cusum_up, cu)
+            assert abs(r.cusum_dn - cd) < 1e-3, (t, r.bucket, r.cusum_dn, cd)
+            assert r.is_alarm == (r.cusum_up > round(h, 6) or r.cusum_dn > round(h, 6))
+
+
+def test_cusum_alarms_on_planted_level_shift(spark):
+    """A clean mean shift of ~4 sigma must raise the upward alarm after
+    the shift and never before it."""
+    from streamprocessing_with_kafka_spark.operators import timeseries as ts_mod
+
+    rows = []
+    eid = 0
+    for hour in range(48):
+        level = 10.0 if hour < 36 else 14.0  # shift at hour 36
+        for _ in range(4):
+            rows.append(
+                (eid, f"2024-01-{1 + hour // 24:02d} {hour % 24:02d}:10:00", 1,
+                 "shifted", level + (eid % 3) * 0.2, "{}")
+            )
+            eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).selectExpr("event_id", "CAST(ts AS TIMESTAMP) AS ts", "user_id", "event_type", "value", "props")
+
+    import streamprocessing_with_kafka_spark.sources.tables as tables
+
+    orig = tables.load_table
+    try:
+        tables_load = lambda spark_, sf_, name: ev  # noqa: E731
+        ts_mod.load_table = tables_load
+        out = sorted(
+            ts_mod.cusum_changepoints(spark, "ignored").collect(),
+            key=lambda r: r.bucket,
+        )
+    finally:
+        ts_mod.load_table = orig
+    pre = [r for r in out if r.bucket.day == 1 and r.bucket.hour < 12]
+    post = [r for r in out if (r.bucket.day - 1) * 24 + r.bucket.hour >= 40]
+    assert not any(r.is_alarm for r in pre)
+    assert all(r.is_alarm for r in post)
