@@ -476,3 +476,77 @@ FROM cus
 
 
 CUSUM_CHANGEPOINTS_SQL = _cusum_sql()
+
+
+# ------------------------------------------------- touch attribution
+
+#: lookback for crediting a purchase to the user's latest click
+ATTR_WINDOW_HOURS = 24
+
+
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily last-touch attribution: each purchase is credited to the
+    user's most recent click within ATTR_WINDOW_HOURS; per day, how many
+    purchases were attributed and how much value they carried -- the
+    conversion-analytics complement to `events_funnel` (fixed steps) and
+    `events_top_paths` (discovery).
+
+    The candidate click rides a RUNNING conditional max over the same
+    (user, time) sort window every per-user operator here uses -- no
+    purchase-to-click self-join, which at 100 TB would shuffle events
+    against itself; timestamps compare in exact integer microseconds
+    (the user_interarrival contract). One user-keyed window + one daily
+    aggregate = two shuffles total."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    last_click_us = F.max(
+        F.when(F.col("event_type") == "click", us)
+    ).over(w)
+    horizon_us = F.lit(ATTR_WINDOW_HOURS * 3_600 * 1_000_000)
+    purchases = ev.select(
+        "event_type",
+        "value",
+        F.to_date("ts").alias("day"),
+        (us - last_click_us).alias("since_click_us"),
+    ).filter(F.col("event_type") == "purchase")
+    attributed = F.col("since_click_us").isNotNull() & (
+        F.col("since_click_us") <= horizon_us
+    )
+    n = F.count(F.lit(1))
+    n_attr = F.sum(attributed.cast("long"))
+    return purchases.groupBy("day").agg(
+        n.alias("purchases"),
+        n_attr.alias("attributed"),
+        F.round(n_attr / n.cast("double"), 6).alias("attribution_rate"),
+        F.sum(
+            F.when(attributed, F.col("value").cast(DEC))
+        ).cast("double").alias("attributed_value"),
+    )
+
+
+ATTRIBUTION_LAST_TOUCH_SQL = f"""
+WITH tagged AS (
+  SELECT event_type, value, CAST(ts AS DATE) AS day,
+         epoch_us(ts) - MAX(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS since_click_us
+  FROM events
+),
+p AS (
+  SELECT day, value,
+         (since_click_us IS NOT NULL
+          AND since_click_us <= {ATTR_WINDOW_HOURS * 3_600 * 1_000_000}) AS attributed
+  FROM tagged WHERE event_type = 'purchase'
+)
+SELECT day, COUNT(*) AS purchases,
+       CAST(SUM(CASE WHEN attributed THEN 1 ELSE 0 END) AS BIGINT) AS attributed,
+       {round_sql('SUM(CASE WHEN attributed THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE)', 6)} AS attribution_rate,
+       CAST(CAST(SUM(CASE WHEN attributed THEN CAST(value AS DECIMAL(28,10)) END) AS VARCHAR) AS DOUBLE) AS attributed_value
+FROM p GROUP BY day
+"""

@@ -1096,6 +1096,14 @@ register(
     "sequential fold; 6dp-quantized terms keep both engines bit-equal",
 )(timeseries.cusum_changepoints)
 register(
+    "events_attribution",
+    timeseries.ATTRIBUTION_LAST_TOUCH_SQL,
+    doc="daily last-touch attribution: purchases credited to the user's "
+    "latest click within 24h via a running conditional max on the shared "
+    "user sort window -- no purchase-to-click self-join; exact integer-"
+    "microsecond recency compare",
+)(timeseries.attribution_last_touch)
+register(
     "sample_budget_waterfill",
     sampling.BUDGET_WATERFILL_SQL,
     doc="token-budget mixture planning: closed-form water-filling (sorted "
@@ -1216,6 +1224,7 @@ PENDING_WINDOW = [
     "events_autocorr",
     "ann_ivf_topk_trained",
     "events_cusum",
+    "events_attribution",
 ]
 
 assert len(CORRECTNESS_WINDOW) == 50, len(CORRECTNESS_WINDOW)

@@ -265,3 +265,39 @@ def test_cusum_alarms_on_planted_level_shift(spark):
     post = [r for r in out if (r.bucket.day - 1) * 24 + r.bucket.hour >= 40]
     assert not any(r.is_alarm for r in pre)
     assert all(r.is_alarm for r in post)
+
+
+def test_attribution_credits_only_within_window(spark):
+    """A purchase right after a click attributes; one with no click or a
+    stale click does not; clicks AFTER the purchase never count."""
+    import streamprocessing_with_kafka_spark.operators.timeseries as ts_mod
+
+    rows = [
+        # user 1: click then purchase 1h later -> attributed
+        (1, "2024-03-01 00:00:00", 1, "click", 0.0),
+        (2, "2024-03-01 01:00:00", 1, "purchase", 10.0),
+        # user 2: purchase with NO prior click -> not attributed
+        (3, "2024-03-01 01:00:00", 2, "purchase", 20.0),
+        # user 2: click only AFTER the purchase -> still not attributed
+        (4, "2024-03-01 02:00:00", 2, "click", 0.0),
+        # user 3: click 30h before purchase -> stale, not attributed
+        (5, "2024-03-01 00:00:00", 3, "click", 0.0),
+        (6, "2024-03-02 06:00:00", 3, "purchase", 40.0),
+    ]
+    ev = spark.createDataFrame(
+        [(e, t, u, ty, v, "{}") for (e, t, u, ty, v) in rows],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).selectExpr(
+        "event_id", "CAST(ts AS TIMESTAMP) AS ts", "user_id", "event_type",
+        "value", "props"
+    )
+    orig = ts_mod.load_table
+    try:
+        ts_mod.load_table = lambda s, d, n: ev
+        out = {r.day.isoformat(): r for r in ts_mod.attribution_last_touch(spark, "x").collect()}
+    finally:
+        ts_mod.load_table = orig
+    d1, d2 = out["2024-03-01"], out["2024-03-02"]
+    assert (d1.purchases, d1.attributed, d1.attributed_value) == (2, 1, 10.0)
+    assert (d2.purchases, d2.attributed) == (1, 0)
+    assert d2.attributed_value is None
