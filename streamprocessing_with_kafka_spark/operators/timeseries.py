@@ -550,3 +550,84 @@ SELECT day, COUNT(*) AS purchases,
        CAST(CAST(SUM(CASE WHEN attributed THEN CAST(value AS DECIMAL(28,10)) END) AS VARCHAR) AS DOUBLE) AS attributed_value
 FROM p GROUP BY day
 """
+
+
+# ---------------------------------------------- type co-occurrence
+
+def type_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact audience overlap between event types: for every unordered
+    type pair, how many users did both, the Jaccard of the two user
+    sets, and the lift vs independence -- the behavioral co-occurrence
+    matrix behind "users who error also purchase?" questions.
+
+    NO set self-join: after the (user, type) distinct, each user's
+    sorted type set explodes into its C(k,2) pairs IN PLACE (k <= 5, so
+    <= 10 narrow rows per user) and the pair count aggregates on a
+    vocabulary-sized key -- one corpus-shuffle total, with the per-type
+    audience sizes and the user total joined back as broadcast
+    scalars. The self-join formulation (the oracle's, fine at oracle
+    scale) would shuffle the distinct frame against itself."""
+    ev = load_table(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    arr = F.sort_array(F.collect_set("event_type"))
+    pairs = ut.groupBy("user_id").agg(arr.alias("types")).select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("types"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("types"), i + 2, F.size(F.col("types"))),
+                        lambda y: F.struct(x.alias("a"), y.alias("b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    both = pairs.groupBy(
+        F.col("p.a").alias("type_a"), F.col("p.b").alias("type_b")
+    ).agg(F.count(F.lit(1)).alias("users_both"))
+    sizes = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("users"))
+    total = ut.agg(F.countDistinct("user_id").alias("n_users"))
+    j = (
+        both.join(
+            F.broadcast(sizes.withColumnsRenamed({"event_type": "type_a", "users": "users_a"})),
+            "type_a",
+        )
+        .join(
+            F.broadcast(sizes.withColumnsRenamed({"event_type": "type_b", "users": "users_b"})),
+            "type_b",
+        )
+        .crossJoin(F.broadcast(total))
+    )
+    union = (F.col("users_a") + F.col("users_b") - F.col("users_both")).cast("double")
+    lift = (
+        F.col("users_both") * F.col("n_users")
+    ).cast("double") / (F.col("users_a") * F.col("users_b")).cast("double")
+    return j.select(
+        "type_a",
+        "type_b",
+        "users_a",
+        "users_b",
+        "users_both",
+        F.round(F.col("users_both") / union, 6).alias("jaccard"),
+        F.round(lift, 6).alias("lift"),
+    )
+
+
+TYPE_OVERLAP_SQL = f"""
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+both_c AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS users_both
+  FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+),
+sizes AS (SELECT event_type, COUNT(*) AS users FROM ut GROUP BY 1),
+total AS (SELECT COUNT(DISTINCT user_id) AS n_users FROM ut)
+SELECT type_a, type_b, sa.users AS users_a, sb.users AS users_b, users_both,
+       {round_sql('users_both / CAST(sa.users + sb.users - users_both AS DOUBLE)', 6)} AS jaccard,
+       {round_sql('CAST(users_both * n_users AS DOUBLE) / CAST(sa.users * sb.users AS DOUBLE)', 6)} AS lift
+FROM both_c
+JOIN sizes sa ON type_a = sa.event_type
+JOIN sizes sb ON type_b = sb.event_type
+CROSS JOIN total
+"""

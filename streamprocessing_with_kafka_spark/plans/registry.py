@@ -1104,6 +1104,14 @@ register(
     "microsecond recency compare",
 )(timeseries.attribution_last_touch)
 register(
+    "events_type_overlap",
+    timeseries.TYPE_OVERLAP_SQL,
+    doc="exact audience overlap (Jaccard + lift) between event-type user "
+    "sets: per-user sorted type set explodes its C(k,2) pairs in place "
+    "(no distinct-frame self-join), pair counts aggregate on a "
+    "vocabulary-sized key; sizes/total joined back as broadcasts",
+)(timeseries.type_overlap)
+register(
     "sample_budget_waterfill",
     sampling.BUDGET_WATERFILL_SQL,
     doc="token-budget mixture planning: closed-form water-filling (sorted "
@@ -1225,6 +1233,7 @@ PENDING_WINDOW = [
     "ann_ivf_topk_trained",
     "events_cusum",
     "events_attribution",
+    "events_type_overlap",
 ]
 
 assert len(CORRECTNESS_WINDOW) == 50, len(CORRECTNESS_WINDOW)

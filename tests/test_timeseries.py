@@ -301,3 +301,40 @@ def test_attribution_credits_only_within_window(spark):
     assert (d1.purchases, d1.attributed, d1.attributed_value) == (2, 1, 10.0)
     assert (d2.purchases, d2.attributed) == (1, 0)
     assert d2.attributed_value is None
+
+
+def test_type_overlap_on_planted_partial_audience(spark):
+    """Fixture with KNOWN partial overlaps (the sf tables are degenerate
+    here: every user does every type): 4 users -- two do {a,b}, one does
+    {a}, one does {b,c}. Checks pair counts, jaccard, and lift."""
+    import streamprocessing_with_kafka_spark.operators.timeseries as ts_mod
+
+    rows = []
+    eid = 0
+    for u, types in [(1, "ab"), (2, "ab"), (3, "a"), (4, "bc")]:
+        for t in types:
+            rows.append((eid, "2024-04-01 00:00:00", u, t, 1.0, "{}"))
+            eid += 1
+            # duplicate event of the same type must not inflate the sets
+            rows.append((eid, "2024-04-01 01:00:00", u, t, 1.0, "{}"))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).selectExpr(
+        "event_id", "CAST(ts AS TIMESTAMP) AS ts", "user_id", "event_type",
+        "value", "props"
+    )
+    orig = ts_mod.load_table
+    try:
+        ts_mod.load_table = lambda s, d, n: ev
+        out = {(r.type_a, r.type_b): r for r in ts_mod.type_overlap(spark, "x").collect()}
+    finally:
+        ts_mod.load_table = orig
+    assert set(out) == {("a", "b"), ("b", "c")}  # no (a,c) pair exists
+    ab = out[("a", "b")]
+    assert (ab.users_a, ab.users_b, ab.users_both) == (3, 3, 2)
+    assert ab.jaccard == 0.5  # 2 / (3 + 3 - 2)
+    assert ab.lift == round(2 * 4 / (3 * 3), 6)
+    bc = out[("b", "c")]
+    assert (bc.users_a, bc.users_b, bc.users_both) == (3, 1, 1)
