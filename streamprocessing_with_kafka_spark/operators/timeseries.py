@@ -560,34 +560,54 @@ def type_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     sets, and the lift vs independence -- the behavioral co-occurrence
     matrix behind "users who error also purchase?" questions.
 
-    NO set self-join: after the (user, type) distinct, each user's
-    sorted type set explodes into its C(k,2) pairs IN PLACE (k <= 5, so
-    <= 10 narrow rows per user) and the pair count aggregates on a
-    vocabulary-sized key -- one corpus-shuffle total, with the per-type
-    audience sizes and the user total joined back as broadcast
-    scalars. The self-join formulation (the oracle's, fine at oracle
-    scale) would shuffle the distinct frame against itself."""
+    NO set self-join, ONE corpus scan + ONE corpus shuffle: collect_set
+    per user dedups and gathers in a single user-keyed aggregate
+    (map-side partial); each user's sorted type set then emits, in ONE
+    narrow explode, its C(k,2) pairs PLUS a singleton marker per type
+    PLUS one total marker -- so a single vocabulary-sized count
+    aggregate yields pair co-occurrences, per-type audience sizes, and
+    the user total together (three branches would otherwise recompute
+    the corpus aggregate once each; column pruning defeats exchange
+    reuse). The tiny counts frame is localCheckpointed once and the
+    assembly joins are all broadcast. The self-join formulation (the
+    oracle's, fine at oracle scale) would shuffle the distinct frame
+    against itself."""
     ev = load_table(spark, sf_dir, "events")
-    ut = ev.select("user_id", "event_type").distinct()
-    arr = F.sort_array(F.collect_set("event_type"))
-    pairs = ut.groupBy("user_id").agg(arr.alias("types")).select(
+    per_user = ev.groupBy("user_id").agg(
+        F.sort_array(F.collect_set("event_type")).alias("types")
+    )
+    types = F.col("types")
+    null_s = F.lit(None).cast("string")
+    pair_structs = F.flatten(
+        F.transform(
+            types,
+            lambda x, i: F.transform(
+                F.slice(types, i + 2, F.size(types)),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    singleton_structs = F.transform(
+        types, lambda t: F.struct(t.alias("a"), null_s.alias("b"))
+    )
+    total_struct = F.array(F.struct(null_s.alias("a"), null_s.alias("b")))
+    marks = per_user.select(
         F.explode(
-            F.flatten(
-                F.transform(
-                    F.col("types"),
-                    lambda x, i: F.transform(
-                        F.slice(F.col("types"), i + 2, F.size(F.col("types"))),
-                        lambda y: F.struct(x.alias("a"), y.alias("b")),
-                    ),
-                )
-            )
+            F.concat(pair_structs, singleton_structs, total_struct)
         ).alias("p")
     )
-    both = pairs.groupBy(
-        F.col("p.a").alias("type_a"), F.col("p.b").alias("type_b")
-    ).agg(F.count(F.lit(1)).alias("users_both"))
-    sizes = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("users"))
-    total = ut.agg(F.countDistinct("user_id").alias("n_users"))
+    counts = (
+        marks.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
+    )
+    both = counts.filter(F.col("a").isNotNull() & F.col("b").isNotNull()).select(
+        F.col("a").alias("type_a"), F.col("b").alias("type_b"), F.col("c").alias("users_both")
+    )
+    sizes = counts.filter(F.col("a").isNotNull() & F.col("b").isNull()).select(
+        F.col("a").alias("event_type"), F.col("c").alias("users")
+    )
+    total = counts.filter(F.col("a").isNull()).select(F.col("c").alias("n_users"))
     j = (
         both.join(
             F.broadcast(sizes.withColumnsRenamed({"event_type": "type_a", "users": "users_a"})),

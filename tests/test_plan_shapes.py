@@ -490,3 +490,42 @@ def test_mad_outliers_broadcasts_all_medians(spark, sf_dir):
 
     plan = _plan(spark, timeseries.mad_outlier_summary(spark, sf_dir))
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_type_overlap_pre_checkpoint_is_one_corpus_pass(spark, sf_dir):
+    """The marker-row formulation must cost ONE corpus scan and two
+    exchanges (user gather + vocab-sized count) before the tiny counts
+    frame is checkpointed; pinned here on the un-checkpointed subtree
+    (the registered query's explain is truncated by localCheckpoint)."""
+    from streamprocessing_with_kafka_spark.operators.timeseries import type_overlap  # noqa: F401
+    from streamprocessing_with_kafka_spark.sources.tables import load_table as lt
+
+    ev = lt(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.sort_array(F.collect_set("event_type")).alias("types")
+    )
+    types = F.col("types")
+    null_s = F.lit(None).cast("string")
+    pair_structs = F.flatten(
+        F.transform(
+            types,
+            lambda x, i: F.transform(
+                F.slice(types, i + 2, F.size(types)),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    singleton_structs = F.transform(
+        types, lambda t: F.struct(t.alias("a"), null_s.alias("b"))
+    )
+    total_struct = F.array(F.struct(null_s.alias("a"), null_s.alias("b")))
+    counts = (
+        per_user.select(
+            F.explode(F.concat(pair_structs, singleton_structs, total_struct)).alias("p")
+        )
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    plan = _plan(spark, counts)
+    assert _n_shuffles(plan) == 2, plan
+    assert plan.count("Scan parquet") == 1, plan
