@@ -138,3 +138,105 @@ def test_int8_quantizer_reference_properties(vec):
     assert all(-127 <= c <= 127 for c in codes)
     for x, c in zip(vec, codes):
         assert abs(c * scale / 127 - x) <= scale / 127 + 1e-12
+
+
+# ---------------------------------------------------------------------------
+# Water-filling: the closed-form allocator must agree with the textbook
+# iterative cap-and-redistribute algorithm for ANY corpus shape.
+# ---------------------------------------------------------------------------
+
+
+def _iterative_waterfill(avail: dict, budget: float) -> dict:
+    """Reference implementation: repeatedly allocate the remaining budget
+    proportionally over uncapped sources, cap overshoots, redistribute."""
+    w = {s: 1.0 / len(avail) for s in avail}
+    alloc = {}
+    remaining, active = budget, set(avail)
+    while active:
+        tot_w = sum(w[s] for s in active)
+        share = {s: remaining * w[s] / tot_w for s in active}
+        over = {s for s in active if share[s] >= avail[s] - 1e-9}
+        if not over:
+            alloc.update(share)
+            break
+        for s in over:
+            alloc[s] = float(avail[s])
+            remaining -= avail[s]
+            active.discard(s)
+    return alloc
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    counts=st.lists(st.integers(1, 400), min_size=2, max_size=8),
+)
+def test_waterfill_matches_iterative_reference(spark, counts):
+    import streamprocessing_with_kafka_spark.operators.sampling as smp
+
+    docs = spark.createDataFrame(
+        [
+            (i, " ".join(["w"] * n), f"s{i}")
+            for i, n in enumerate(counts)
+        ],
+        "doc_id long, text string, source string",
+    )
+    orig = smp.load_table
+    try:
+        smp.load_table = lambda s, d, t: docs
+        rows = smp.budget_waterfill(spark, "x").collect()
+    finally:
+        smp.load_table = orig
+
+    avail = {f"s{i}": n for i, n in enumerate(counts)}
+    budget = smp.WATERFILL_BUDGET_FRAC * sum(counts)
+    expect = _iterative_waterfill(avail, budget)
+    assert {r.source for r in rows} == set(avail)
+    for r in rows:
+        assert abs(r.alloc_tokens - expect[r.source]) < 0.02, (
+            r.source, r.alloc_tokens, expect[r.source], counts,
+        )
+    assert abs(sum(r.alloc_tokens for r in rows) - budget) < 0.02 * len(counts)
+
+
+# ---------------------------------------------------------------------------
+# EWMA: the batch window expression and the streaming per-row arithmetic
+# must be BIT-identical for any value sequence (the convergence contract).
+# ---------------------------------------------------------------------------
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(
+        st.floats(
+            min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_ewma_batch_equals_streaming_arithmetic(spark, vals):
+    from streamprocessing_with_kafka_spark.operators.timeseries import (
+        EWMA_LAGS,
+        ewma_frame,
+    )
+    from streamprocessing_with_kafka_spark.streaming.ewma import _ewma_row
+
+    ev = spark.createDataFrame(
+        [
+            (1, i, f"2024-06-01 00:{i // 60:02d}:{i % 60:02d}", v)
+            for i, v in enumerate(vals)
+        ],
+        "user_id long, event_id long, ts string, value double",
+    ).selectExpr("user_id", "event_id", "CAST(ts AS TIMESTAMP) AS ts", "value")
+    got = {r.event_id: r.ewma for r in ewma_frame(ev).collect()}
+    for i in range(len(vals)):
+        window = vals[max(0, i - EWMA_LAGS + 1) : i + 1]
+        assert got[i] == _ewma_row(window), (i, vals)
