@@ -651,3 +651,59 @@ JOIN sizes sa ON type_a = sa.event_type
 JOIN sizes sb ON type_b = sb.event_type
 CROSS JOIN total
 """
+
+
+# ---------------------------------------------- composed health report
+
+def events_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The monitoring-plane flagship: one row per event type gluing the
+    round's detector family -- robust center/spread and outlier pressure
+    (median/MAD), hour-over-hour stickiness (lag-1 autocorrelation), and
+    accumulated-drift alarms (CUSUM) -- the table an on-call pipeline
+    operator reads first.
+
+    Composition contract (the curation/export flagship pattern): each
+    constituent is the ALREADY-audited operator, glued by event_type
+    equi-joins on vocabulary-sized frames; the oracle composes the same
+    constituent SQL as CTEs, so the composed row can only be right if
+    every constituent is."""
+    mad = mad_outlier_summary(spark, sf_dir)
+    acf = autocorr_hourly(spark, sf_dir).select("event_type", "n_buckets", "r1")
+    alarms = (
+        cusum_changepoints(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.col("is_alarm").cast("long")).alias("cusum_alarms"),
+            F.max(F.when(F.col("is_alarm"), F.col("bucket"))).alias("last_alarm"),
+        )
+    )
+    return (
+        mad.join(acf, "event_type")
+        .join(alarms, "event_type")
+        .select(
+            "event_type",
+            "n_events",
+            "med",
+            "mad",
+            "n_outliers",
+            "n_buckets",
+            "r1",
+            "cusum_alarms",
+            "last_alarm",
+        )
+    )
+
+
+EVENTS_HEALTH_REPORT_SQL = f"""
+WITH m AS ({MAD_OUTLIER_SUMMARY_SQL}),
+a AS ({AUTOCORR_HOURLY_SQL}),
+c AS (
+  SELECT event_type,
+         CAST(SUM(CASE WHEN is_alarm THEN 1 ELSE 0 END) AS BIGINT) AS cusum_alarms,
+         MAX(CASE WHEN is_alarm THEN bucket END) AS last_alarm
+  FROM ({CUSUM_CHANGEPOINTS_SQL}) GROUP BY 1
+)
+SELECT m.event_type, m.n_events, m.med, m.mad, m.n_outliers,
+       a.n_buckets, a.r1, c.cusum_alarms, c.last_alarm
+FROM m JOIN a USING (event_type) JOIN c USING (event_type)
+"""

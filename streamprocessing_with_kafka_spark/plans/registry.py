@@ -1112,6 +1112,14 @@ register(
     "vocabulary-sized key; sizes/total joined back as broadcasts",
 )(timeseries.type_overlap)
 register(
+    "pipeline_events_health",
+    timeseries.EVENTS_HEALTH_REPORT_SQL,
+    doc="the monitoring-plane flagship: per-type health row gluing "
+    "median/MAD outlier pressure, lag-1 autocorrelation, and CUSUM "
+    "alarm counts -- already-audited constituents joined on "
+    "vocabulary-sized frames, oracle composes the same constituent SQL",
+)(timeseries.events_health_report)
+register(
     "sample_budget_waterfill",
     sampling.BUDGET_WATERFILL_SQL,
     doc="token-budget mixture planning: closed-form water-filling (sorted "
@@ -1234,6 +1242,7 @@ PENDING_WINDOW = [
     "events_cusum",
     "events_attribution",
     "events_type_overlap",
+    "pipeline_events_health",
 ]
 
 assert len(CORRECTNESS_WINDOW) == 50, len(CORRECTNESS_WINDOW)

@@ -338,3 +338,31 @@ def test_type_overlap_on_planted_partial_audience(spark):
     assert ab.lift == round(2 * 4 / (3 * 3), 6)
     bc = out[("b", "c")]
     assert (bc.users_a, bc.users_b, bc.users_both) == (3, 1, 1)
+
+
+def test_health_report_rows_match_constituents(spark, sf_dir):
+    """The composed health row must equal its constituent operators
+    joined -- drift here means the glue broke, not the constituents."""
+    from streamprocessing_with_kafka_spark.operators.timeseries import (
+        autocorr_hourly,
+        cusum_changepoints,
+        events_health_report,
+        mad_outlier_summary,
+    )
+
+    got = {r.event_type: r for r in events_health_report(spark, sf_dir).collect()}
+    mad = {r.event_type: r for r in mad_outlier_summary(spark, sf_dir).collect()}
+    acf = {r.event_type: r for r in autocorr_hourly(spark, sf_dir).collect()}
+    alarms: dict = {}
+    for r in cusum_changepoints(spark, sf_dir).collect():
+        a = alarms.setdefault(r.event_type, [0, None])
+        if r.is_alarm:
+            a[0] += 1
+            a[1] = r.bucket if a[1] is None else max(a[1], r.bucket)
+    assert got.keys() == mad.keys() == acf.keys() == alarms.keys()
+    for t, g in got.items():
+        assert (g.n_events, g.med, g.mad, g.n_outliers) == (
+            mad[t].n_events, mad[t].med, mad[t].mad, mad[t].n_outliers
+        )
+        assert (g.n_buckets, g.r1) == (acf[t].n_buckets, acf[t].r1)
+        assert (g.cusum_alarms, g.last_alarm) == tuple(alarms[t])
