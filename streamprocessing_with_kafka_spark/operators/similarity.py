@@ -1073,3 +1073,531 @@ SELECT q_id, n_id, cosine, rank FROM (
 WHERE rank <= {TOP_K}
 """
 )
+
+
+# --------------------------------------------------------------------------
+# Product quantization (Jegou et al. 2011): per-subspace codebooks, small
+# integer codes, asymmetric-distance (ADC) shortlist + exact rerank.  The
+# compressed-index scale path: the corpus is represented by PQ_M 4-bit
+# codes per vector (16 bytes vs 256 bytes of floats), query-time scan is a
+# table lookup + sum per vector, and only the ADC shortlist pays a
+# full-dimension distance.
+# --------------------------------------------------------------------------
+
+PQ_M = 32  # subspaces (2 dims each)
+PQ_SUBDIM = DIM // PQ_M
+PQ_K = 16  # codes per subspace codebook
+PQ_SEED_MOD = 33  # vec_id % 33 == 0 -> the 16 deterministic seed vectors
+PQ_ITERS = 2  # Lloyd refinement rounds per subspace
+PQ_SHORTLIST = 25  # ADC candidates per query that reach the exact rerank
+
+
+def _pq_sub(v: Column, m: Column) -> Column:
+    """1-based PQ_SUBDIM-wide sub-slice of the vector for subspace m."""
+    return F.slice(v, m * PQ_SUBDIM + 1, PQ_SUBDIM)
+
+
+def _d2(a: Column, b: Column) -> Column:
+    """Squared L2 distance via three sequential-fold dots in literal
+    order (aa - 2*ab + bb): bit-identical to the oracle's
+    list_dot_product composition, 6dp-quantized before any compare."""
+    return F.round(dot(a, a) - 2.0 * dot(a, b) + dot(b, b), 6)
+
+
+def _d2_sql(a: str, b: str) -> str:
+    return round_sql(
+        f"list_dot_product({a}, {a}) - 2.0 * list_dot_product({a}, {b})"
+        f" + list_dot_product({b}, {b})",
+        6,
+    )
+
+
+def _pq_subspaces(e: DataFrame) -> DataFrame:
+    """(vec_id, m, sub): each vector split into its PQ_M sub-vectors --
+    a narrow explode, no shuffle."""
+    return e.select(
+        "vec_id",
+        F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("m"),
+        "v",
+    ).select("vec_id", "m", _pq_sub(F.col("v"), F.col("m")).alias("sub"))
+
+
+def _pq_codebook_row(cb: DataFrame) -> DataFrame:
+    """The codebook as ONE broadcastable row: sorted (m, code, cv)
+    structs -- the frozen-model form `centroid_row` uses for IVF."""
+    return cb.select(F.struct("m", "code", "cv").alias("c")).agg(
+        F.sort_array(F.collect_list("c")).alias("cb")
+    )
+
+
+def _pq_best_code(sub: Column, m: Column) -> Column:
+    """Per-row argmin over the broadcast codebook's subspace-m entries:
+    score every entry once into (-d2, -code) structs and take the struct
+    max = smallest distance, ties to the smallest code -- the zero-
+    shuffle fold `nearest_cell` uses, in L2."""
+    scored = F.transform(
+        F.filter(F.col("cb"), lambda c: c["m"] == m),
+        lambda c: F.struct(
+            (-_d2(sub, c["cv"])).alias("negd"), (-c["code"]).alias("negcode")
+        ),
+    )
+    return (-F.array_max(scored)["negcode"]).cast("int")
+
+
+def _pq_assign(e_subs: DataFrame, cb: DataFrame) -> DataFrame:
+    """(vec_id, m, sub, code): nearest-codebook-entry assignment via the
+    broadcast fold-argmin -- zero shuffle."""
+    return e_subs.crossJoin(F.broadcast(_pq_codebook_row(cb))).select(
+        "vec_id", "m", "sub", _pq_best_code(F.col("sub"), F.col("m")).alias("code")
+    )
+
+
+def pq_trained_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(m, code, cv, n_members): per-subspace codebooks after PQ_ITERS
+    Lloyd rounds from deterministic seeds.
+
+    Seeds are the PQ_K sub-vectors of `vec_id % PQ_SEED_MOD == 0`, coded
+    by vec_id rank (a PQ_K-row single-partition window -- model-sized,
+    not corpus-sized).  Each round: every (vector, subspace) assigns to
+    its nearest entry via the broadcast fold-argmin (zero shuffle), then
+    one map-side-combinable (m, code, dim) decimal-mean shuffle rebuilds
+    the centroids, 6dp-rounded so the next round's -- and the oracle's --
+    distances see bit-identical codebooks.  Empty codes keep their
+    previous entry.  `localCheckpoint` between rounds cuts the lineage
+    (the `kmeans_train` pattern): without it round r's broadcast replays
+    every earlier round's plan.
+
+    Scale: each round touches the corpus once (narrow map against an
+    M*K-entry broadcast); the update shuffle carries M*K*SUBDIM combined
+    rows, independent of corpus size."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    seeds = e.filter(F.col("vec_id") % PQ_SEED_MOD == 0).select(
+        (F.row_number().over(W.orderBy("vec_id")) - 1).alias("code"), "v"
+    )
+    cb = seeds.select(
+        F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("m"), "code", "v"
+    ).select("m", "code", _pq_sub(F.col("v"), F.col("m")).alias("cv"))
+    e_subs = _pq_subspaces(e)
+    for _ in range(PQ_ITERS):
+        assigned = _pq_assign(e_subs, cb)
+        means = (
+            assigned.select("m", "code", F.posexplode("sub").alias("dim", "val"))
+            .groupBy("m", "code", "dim")
+            .agg(
+                F.round(dec_sum("val") / F.count(F.lit(1)).cast("double"), 6).alias(
+                    "val_m"
+                ),
+                F.count(F.lit(1)).alias("n_rows"),
+            )
+        )
+        upd = means.groupBy("m", "code").agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("dim", "val_m"))),
+                lambda c: c["val_m"],
+            ).alias("cv_new"),
+            F.first("n_rows").alias("n_new"),
+        )
+        cb = (
+            cb.alias("p")
+            .join(upd, ["m", "code"], "left")
+            .select(
+                "m",
+                "code",
+                F.coalesce("cv_new", F.col("p.cv")).alias("cv"),
+                F.coalesce("n_new", F.lit(0)).alias("n_members"),
+            )
+            .localCheckpoint()
+        )
+    return cb
+
+
+def ann_pq_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained PQ codebook in driver-canonicalizable long form:
+    (m, code, n_members, dim, value)."""
+    return pq_trained_codebook(spark, sf_dir).select(
+        "m", "code", "n_members", F.posexplode("cv").alias("dim", "value")
+    )
+
+
+def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ search, the standard two-stage shape (ADC scan -> exact
+    rerank): encode the corpus as PQ_M codes against the trained
+    codebook, precompute each query's (m, code) -> partial-d2 table,
+    shortlist PQ_SHORTLIST candidates per query by summed table lookups,
+    and rerank ONLY the shortlist with full-dimension exact distances.
+
+    Corpus-side cost: (1) encoding -- a narrow map against the broadcast
+    codebook, zero shuffle, M small ints per vector (the 16x compression
+    that keeps a 100 TB index RAM-resident); (2) the ADC scan -- codes
+    equi-join the broadcast Q*M*K-row distance table on (m, code) and
+    sum exactly M partials per (query, neighbor) in one map-side-
+    combinable decimal aggregate.  Queries stay uncompressed (the
+    'asymmetric' in ADC: quantization error only on the database side),
+    and the rerank joins the Q*PQ_SHORTLIST-row shortlist back to full
+    vectors as a broadcast -- the corpus never pays full-dimension
+    arithmetic after encoding.  Recall@TOP_K vs the exact L2 baseline is
+    pinned in tests/test_similarity.py (1.0 at test scale: every true
+    neighbor reaches the shortlist).  6dp partials + decimal sums keep
+    both engines bit-equal; ties break on n_id at both stages."""
+    cb = pq_trained_codebook(spark, sf_dir)
+    cb_row = _pq_codebook_row(cb)
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    codes = _pq_assign(_pq_subspaces(e), cb).select(
+        F.col("vec_id").alias("n_id"), "m", "code"
+    )
+    qtable = (
+        _pq_subspaces(e.filter(F.col("vec_id") < N_QUERIES))
+        .crossJoin(F.broadcast(cb_row))
+        .select(
+            F.col("vec_id").alias("q_id"),
+            "m",
+            "sub",
+            F.explode(F.filter(F.col("cb"), lambda c: c["m"] == F.col("m"))).alias("c"),
+        )
+        .select(
+            "q_id",
+            "m",
+            F.col("c.code").alias("code"),
+            _d2(F.col("sub"), F.col("c.cv")).alias("pd2"),
+        )
+    )
+    shortlist = (
+        codes.join(F.broadcast(qtable), ["m", "code"])
+        .filter(F.col("n_id") != F.col("q_id"))
+        .groupBy("q_id", "n_id")
+        .agg(F.round(dec_sum("pd2"), 6).alias("approx_d2"))
+        .withColumn(
+            "adc_rank",
+            F.row_number().over(
+                W.partitionBy("q_id").orderBy(
+                    F.col("approx_d2").asc(), F.col("n_id").asc()
+                )
+            ),
+        )
+        .filter(F.col("adc_rank") <= PQ_SHORTLIST)
+    )
+    qv = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    reranked = (
+        e.join(
+            F.broadcast(shortlist.select("q_id", "n_id", "approx_d2")),
+            e.vec_id == F.col("n_id"),
+        )
+        .join(F.broadcast(qv), "q_id")
+        .select(
+            "q_id", "n_id", "approx_d2", _d2(F.col("qv"), F.col("v")).alias("d2")
+        )
+    )
+    ranked = reranked.withColumn(
+        "rank",
+        F.row_number().over(
+            W.partitionBy("q_id").orderBy(F.col("d2").asc(), F.col("n_id").asc())
+        ),
+    )
+    return ranked.filter(F.col("rank") <= TOP_K).select(
+        "q_id", "n_id", "approx_d2", "d2", "rank"
+    )
+
+
+_PQ_MEAN_SQL = round_sql(
+    "CAST(CAST(SUM(CAST(sub[r.range + 1] AS DECIMAL(28,10))) AS VARCHAR)"
+    " AS DOUBLE) / COUNT(*)",
+    6,
+)
+
+_PQ_DEC_SUM_PD2 = round_sql(
+    "CAST(CAST(SUM(CAST(qt.pd2 AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)", 6
+)
+
+
+def _pq_slice_sql(vexpr: str) -> str:
+    return (
+        f"list_slice({vexpr}, mm.range * {PQ_SUBDIM} + 1,"
+        f" mm.range * {PQ_SUBDIM} + {PQ_SUBDIM})"
+    )
+
+
+def _pq_iter_sql(i: int, prev: str) -> str:
+    """One Lloyd round as CTEs: score vs cb{i-1}, argmin-assign, decimal
+    means, rebuild -- the `_kmeans_iter_sql` pattern per subspace."""
+    return f"""
+scored{i} AS (
+  SELECT s.vec_id, s.m, s.sub, c.code, {_d2_sql('s.sub', 'c.cv')} AS d2
+  FROM subs s JOIN {prev} c ON s.m = c.m
+),
+a{i} AS (
+  SELECT m, sub, code FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                 ORDER BY d2 ASC, code ASC) AS rn
+    FROM scored{i})
+  WHERE rn = 1
+),
+m{i} AS (
+  SELECT m, code, r.range AS dim, {_PQ_MEAN_SQL} AS val_m, COUNT(*) AS n_rows
+  FROM a{i} CROSS JOIN range(0, {PQ_SUBDIM}) r
+  GROUP BY 1, 2, 3
+),
+u{i} AS (
+  SELECT m, code, list(val_m ORDER BY dim) AS cv, any_value(n_rows) AS n
+  FROM m{i} GROUP BY 1, 2
+),
+cb{i} AS (
+  SELECT c.m, c.code, coalesce(u{i}.cv, c.cv) AS cv,
+         coalesce(u{i}.n, CAST(0 AS BIGINT)) AS n_members
+  FROM {prev} c LEFT JOIN u{i} USING (m, code)
+)"""
+
+
+_PQ_COMMON_SQL = (
+    f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+seeds AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code, v
+  FROM e WHERE vec_id % {PQ_SEED_MOD} = 0
+),
+cb0 AS (
+  SELECT mm.range AS m, code, {_pq_slice_sql('v')} AS cv
+  FROM seeds CROSS JOIN range(0, {PQ_M}) mm
+),
+subs AS (
+  SELECT vec_id, mm.range AS m, {_pq_slice_sql('v')} AS sub
+  FROM e CROSS JOIN range(0, {PQ_M}) mm
+),"""
+    + ",".join(_pq_iter_sql(i + 1, f"cb{i}") for i in range(PQ_ITERS))
+)
+
+_PQ_CB_FINAL = f"cb{PQ_ITERS}"
+
+ANN_PQ_TRAIN_SQL = (
+    _PQ_COMMON_SQL
+    + f"""
+SELECT m, code, n_members, r.range AS dim, cv[r.range + 1] AS value
+FROM {_PQ_CB_FINAL} CROSS JOIN range(0, {PQ_SUBDIM}) r
+"""
+)
+
+ANN_TOPK_PQ_SQL = (
+    _PQ_COMMON_SQL
+    + f""",
+enc AS (
+  SELECT s.vec_id, s.m, c.code, {_d2_sql('s.sub', 'c.cv')} AS d2
+  FROM subs s JOIN {_PQ_CB_FINAL} c ON s.m = c.m
+),
+codes AS (
+  SELECT vec_id AS n_id, m, code FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                 ORDER BY d2 ASC, code ASC) AS rn
+    FROM enc)
+  WHERE rn = 1
+),
+qtable AS (
+  SELECT s.vec_id AS q_id, s.m, c.code, {_d2_sql('s.sub', 'c.cv')} AS pd2
+  FROM subs s JOIN {_PQ_CB_FINAL} c ON s.m = c.m
+  WHERE s.vec_id < {N_QUERIES}
+),
+shortlist AS (
+  SELECT q_id, n_id, approx_d2 FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                 ORDER BY approx_d2 ASC, n_id ASC) AS adc_rank
+    FROM (
+      SELECT qt.q_id, n.n_id, {_PQ_DEC_SUM_PD2} AS approx_d2
+      FROM codes n JOIN qtable qt ON n.m = qt.m AND n.code = qt.code
+      WHERE n.n_id <> qt.q_id
+      GROUP BY 1, 2))
+  WHERE adc_rank <= {PQ_SHORTLIST}
+),
+reranked AS (
+  SELECT sl.q_id, sl.n_id, sl.approx_d2, {_d2_sql('q.v', 'n.v')} AS d2
+  FROM shortlist sl
+  JOIN e q ON q.vec_id = sl.q_id
+  JOIN e n ON n.vec_id = sl.n_id
+)
+SELECT q_id, n_id, approx_d2, d2, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                               ORDER BY d2 ASC, n_id ASC) AS rank
+  FROM reranked
+)
+WHERE rank <= {TOP_K}
+"""
+)
+
+
+# --------------------------------------------------------------------------
+# PCA top component via power iteration -- the embedding-diagnostics
+# operator (dominant direction + how much variance it explains; the
+# "is this embedding space collapsing?" monitoring signal).
+# --------------------------------------------------------------------------
+
+PCA_ITERS = 3  # fixed unrolled power-iteration rounds
+
+
+def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding corpus by PCA_ITERS
+    power-iteration rounds, plus the Rayleigh eigenvalue and explained-
+    variance fraction.
+
+    The corpus-side work is exactly TWO map-side-combinable aggregates:
+    the per-dim decimal mean (64 combined rows) and the centered
+    covariance -- each row emits its DIM x DIM outer product through one
+    nested-transform explode (no corpus self-join on vec_id, which
+    would shuffle the whole table to rebuild rows it already had), and
+    the shuffle carries only the 4096-key combined partials.  Everything
+    after that is model-sized: power iteration is a (DIM^2 x DIM)
+    equi-join per round, unrolled PCA_ITERS times with 6dp rounding and
+    `localCheckpoint` (the `kmeans_train` de-recursion pattern -- both
+    engines iterate on bit-identical vectors).  Start vector is the
+    exact-unit uniform 1/8 (64 * 0.125^2 = 1), so no round-0 normalize.
+
+    At 100 TB only the two corpus aggregates scale with data; DIM^2
+    stays 4096 rows.  Sign is pinned by the deterministic start; the
+    dominant-eigivector convergence rate is (lambda2/lambda1)^k --
+    3 rounds suffice for the diagnostics use (Rayleigh quotient is
+    quadratically accurate), more rounds are the same unrolled step.
+
+    Output: (dim, loading, eigenvalue, explained_frac)."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        F.col("embedding").cast("array<double>").alias("v")
+    )
+    mu = (
+        e.select(F.posexplode("v").alias("dim", "val"))
+        .groupBy("dim")
+        .agg(F.round(dec_sum("val") / F.count(F.lit(1)).cast("double"), 6).alias("m"))
+    )
+    mu_row = mu.agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("dim", "m"))), lambda c: c["m"]
+        ).alias("mu")
+    )
+    n_row = e.agg(F.count(F.lit(1)).alias("n"))
+    centered = e.crossJoin(F.broadcast(mu_row)).select(
+        F.zip_with("v", "mu", lambda x, m: x - m).alias("c")
+    )
+    outer = centered.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("c"),
+                    lambda xi, i: F.transform(
+                        F.col("c"),
+                        lambda xj, j: F.struct(
+                            i.alias("i"), j.alias("j"), (xi * xj).alias("p")
+                        ),
+                    ),
+                )
+            )
+        ).alias("o")
+    )
+    cov = (
+        outer.select(F.col("o.i").alias("i"), F.col("o.j").alias("j"), F.col("o.p").alias("p"))
+        .groupBy("i", "j")
+        .agg(dec_sum("p").alias("s"))
+        .crossJoin(F.broadcast(n_row))
+        .select("i", "j", F.round(F.col("s") / (F.col("n") - 1).cast("double"), 6).alias("c"))
+        .localCheckpoint()
+    )
+    vec = spark.range(DIM).select(
+        F.col("id").cast("int").alias("j"), F.lit(0.125).alias("x")
+    )
+    for _ in range(PCA_ITERS):
+        w = (
+            cov.join(vec, "j")
+            .groupBy("i")
+            .agg(F.round(dec_sum(F.col("c") * F.col("x")), 6).alias("w"))
+        )
+        norm = w.agg(F.sqrt(dec_sum(F.col("w") * F.col("w"))).alias("nrm"))
+        vec = (
+            w.crossJoin(F.broadcast(norm))
+            .select(F.col("i").alias("j"), F.round(F.col("w") / F.col("nrm"), 6).alias("x"))
+            .localCheckpoint()
+        )
+    lam = (
+        cov.join(vec.select(F.col("j").alias("i"), F.col("x").alias("xi")), "i")
+        .join(vec.select("j", F.col("x").alias("xj")), "j")
+        .agg(F.round(dec_sum(F.col("xi") * F.col("c") * F.col("xj")), 6).alias("eigenvalue"))
+    )
+    trace = cov.filter(F.col("i") == F.col("j")).agg(dec_sum("c").alias("tr"))
+    return (
+        vec.select(F.col("j").alias("dim"), F.col("x").alias("loading"))
+        .crossJoin(F.broadcast(lam))
+        .crossJoin(F.broadcast(trace))
+        .select(
+            "dim",
+            "loading",
+            "eigenvalue",
+            F.round(F.col("eigenvalue") / F.col("tr"), 6).alias("explained_frac"),
+        )
+    )
+
+
+def _pca_iter_sql(k: int, prev: str) -> str:
+    w = round_sql(
+        "CAST(CAST(SUM(CAST(cov.c * v.x AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)", 6
+    )
+    return f"""
+w{k} AS (
+  SELECT cov.i, {w} AS w
+  FROM cov JOIN {prev} v ON cov.j = v.j
+  GROUP BY cov.i
+),
+n{k} AS (
+  SELECT sqrt(CAST(CAST(SUM(CAST(w * w AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)) AS nrm
+  FROM w{k}
+),
+v{k} AS (
+  SELECT w{k}.i AS j, {round_sql(f'w{k}.w / n{k}.nrm', 6)} AS x
+  FROM w{k} CROSS JOIN n{k}
+)"""
+
+
+_PCA_MEAN_SQL = round_sql(
+    "CAST(CAST(SUM(CAST(v[d.range + 1] AS DECIMAL(28,10))) AS VARCHAR)"
+    " AS DOUBLE) / COUNT(*)",
+    6,
+)
+
+_PCA_COV_SQL = round_sql(
+    "CAST(CAST(SUM(CAST((e.v[i.range + 1] - mi.m) * (e.v[j.range + 1] - mj.m)"
+    " AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)"
+    " / (any_value(n.n) - 1)",
+    6,
+)
+
+EMBEDDING_PCA_POWER_SQL = (
+    f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+mu AS (
+  SELECT d.range AS dim, {_PCA_MEAN_SQL} AS m
+  FROM e CROSS JOIN range(0, {DIM}) d
+  GROUP BY d.range
+),
+nn AS (SELECT COUNT(*) AS n FROM e),
+cov AS (
+  SELECT i.range AS i, j.range AS j, {_PCA_COV_SQL} AS c
+  FROM e CROSS JOIN range(0, {DIM}) i CROSS JOIN range(0, {DIM}) j
+  JOIN mu mi ON mi.dim = i.range JOIN mu mj ON mj.dim = j.range
+  CROSS JOIN nn n
+  GROUP BY i.range, j.range
+),
+v0 AS (SELECT d.range::INTEGER AS j, 0.125 AS x FROM range(0, {DIM}) d),"""
+    + ",".join(_pca_iter_sql(k + 1, f"v{k}") for k in range(PCA_ITERS))
+    + f""",
+lam AS (
+  SELECT {round_sql('CAST(CAST(SUM(CAST(vi.x * cov.c * vj.x AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)', 6)} AS eigenvalue
+  FROM cov
+  JOIN v{PCA_ITERS} vi ON cov.i = vi.j
+  JOIN v{PCA_ITERS} vj ON cov.j = vj.j
+),
+tr AS (
+  SELECT CAST(CAST(SUM(CAST(c AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS tr
+  FROM cov WHERE i = j
+)
+SELECT v.j AS dim, v.x AS loading, lam.eigenvalue,
+       {round_sql('lam.eigenvalue / tr.tr', 6)} AS explained_frac
+FROM v{PCA_ITERS} v CROSS JOIN lam CROSS JOIN tr
+"""
+)

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from streamprocessing_with_kafka_spark.functions.numeric import DEC, dec_sum, dec_sum_sql
+from streamprocessing_with_kafka_spark.functions.numeric import DEC, dec_sum, dec_sum_sql, round_sql
 from streamprocessing_with_kafka_spark.sources.tables import load_table
 
 
@@ -749,4 +749,95 @@ FROM steps WHERE _last IS NOT NULL
 GROUP BY path
 ORDER BY n DESC, path ASC
 LIMIT {TOP_PATHS}
+"""
+
+
+HIST_BINS = 8  # equi-width bins per event type
+
+
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width value histogram per event type, empty bins included.
+
+    Two aggregation passes: (1) per-type min/max -- a vocabulary-sized
+    frame, map-side combinable -- broadcast back onto the events scan so
+    the bin assignment `least(floor((value - lo) / width), B-1)` is a
+    narrow projection; (2) per-(type, bin) counts, one shuffle on a
+    bounded key space. The complete bin spine (so empty bins surface as
+    zero rows) comes from exploding `sequence(0, B-1)` on the per-type
+    bounds frame and left-joining the counts -- both sides are
+    vocabulary-sized, never the corpus.
+
+    At 100 TB the min/max pre-pass doubles the scan; production would
+    fuse it away with fixed domain bounds or a quantile-sketch bound from
+    the rollup cascade -- the bin pass itself is already one scan + one
+    bounded-key shuffle. Bin arithmetic is plain IEEE double in literal
+    order, bit-identical in the oracle; `width = 0` (constant series)
+    collapses to bin 0 by guard rather than dividing by zero."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.groupBy("event_type").agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    )
+    width = (F.col("hi") - F.col("lo")) / F.lit(float(HIST_BINS))
+    bin_of = F.when(F.col("width") == 0.0, F.lit(0)).otherwise(
+        F.least(
+            F.floor((F.col("value") - F.col("lo")) / F.col("width")),
+            F.lit(HIST_BINS - 1),
+        )
+    )
+    counts = (
+        ev.join(F.broadcast(bounds.withColumn("width", width)), "event_type")
+        .select("event_type", bin_of.cast("int").alias("bin"))
+        .groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    spine = (
+        bounds.withColumn("width", width)
+        .select(
+            "event_type",
+            "lo",
+            "width",
+            F.explode(F.sequence(F.lit(0), F.lit(HIST_BINS - 1))).alias("bin"),
+        )
+        .select(
+            "event_type",
+            "bin",
+            F.round(F.col("lo") + F.col("bin") * F.col("width"), 6).alias("bin_lo"),
+            F.round(F.col("lo") + (F.col("bin") + 1) * F.col("width"), 6).alias(
+                "bin_hi"
+            ),
+        )
+    )
+    return spine.join(counts, ["event_type", "bin"], "left").select(
+        "event_type",
+        "bin",
+        "bin_lo",
+        "bin_hi",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+    )
+
+
+VALUE_HISTOGRAM_SQL = f"""
+WITH bounds AS (
+  SELECT event_type, MIN(value) AS lo, MAX(value) AS hi,
+         (MAX(value) - MIN(value)) / {float(HIST_BINS)!r} AS width
+  FROM events GROUP BY event_type
+),
+counts AS (
+  SELECT e.event_type,
+         CAST(CASE WHEN b.width = 0.0 THEN 0
+              ELSE least(floor((e.value - b.lo) / b.width), {HIST_BINS - 1})
+              END AS INTEGER) AS bin,
+         COUNT(*) AS n_events
+  FROM events e JOIN bounds b USING (event_type)
+  GROUP BY 1, 2
+),
+spine AS (
+  SELECT event_type, CAST(r.range AS INTEGER) AS bin,
+         {round_sql('lo + r.range * width', 6)} AS bin_lo,
+         {round_sql('lo + (r.range + 1) * width', 6)} AS bin_hi
+  FROM bounds CROSS JOIN range(0, {HIST_BINS}) r
+)
+SELECT s.event_type, s.bin, s.bin_lo, s.bin_hi,
+       COALESCE(c.n_events, 0) AS n_events
+FROM spine s LEFT JOIN counts c ON s.event_type = c.event_type AND s.bin = c.bin
 """

@@ -23,6 +23,7 @@ from streamprocessing_with_kafka_spark.operators import (
     decontaminate,
     dedup,
     features,
+    graph,
     history,
     joins,
     multimodal,
@@ -1120,6 +1121,56 @@ register(
     "vocabulary-sized frames, oracle composes the same constituent SQL",
 )(timeseries.events_health_report)
 register(
+    "ann_pq_train",
+    similarity.ANN_PQ_TRAIN_SQL,
+    doc="product-quantization codebook training (Jegou et al. 2011): "
+    "per-subspace Lloyd rounds from deterministic seeds -- assignment is "
+    "a zero-shuffle broadcast fold-argmin, update a model-sized "
+    "decimal-mean shuffle; 6dp-rounded so the oracle trains bit-identical "
+    "codebooks",
+)(similarity.ann_pq_train)
+register(
+    "ann_topk_pq",
+    similarity.ANN_TOPK_PQ_SQL,
+    doc="PQ search, ADC scan -> exact rerank: corpus encoded as PQ_M "
+    "small codes (16x compression), shortlist by summed broadcast-table "
+    "lookups (equi-join, map-side-combinable decimal sum), only the "
+    "Q*shortlist survivors pay full-dimension distance; recall@5 = 1.0 "
+    "vs exact L2 pinned in tests",
+)(similarity.ann_topk_pq)
+register(
+    "events_histogram",
+    windows.VALUE_HISTOGRAM_SQL,
+    doc="equi-width value histogram per event type with empty bins "
+    "surfaced: vocabulary-sized min/max pre-pass broadcast back onto the "
+    "scan, bin counts on a bounded key, sequence()-exploded bin spine "
+    "left-joins the counts -- no corpus-sized join anywhere",
+)(windows.value_histogram)
+register(
+    "graph_triangles",
+    graph.TRIANGLE_CLUSTERING_SQL,
+    doc="triangle count + degree + local clustering coefficient per user "
+    "over the (type, hour) co-occurrence graph: ordered-edge storage, "
+    "triangles as two equi-joins over the edge list (a<b<c closed "
+    "triples), corners credited via one explode -- no theta joins",
+)(graph.triangle_clustering)
+register(
+    "embedding_pca_power",
+    similarity.EMBEDDING_PCA_POWER_SQL,
+    doc="top principal component by fixed power-iteration rounds: corpus "
+    "work = two map-side-combinable aggregates (per-dim mean + outer-"
+    "product covariance via nested-transform explode, NO corpus "
+    "self-join); iteration/Rayleigh/trace all on the DIM^2 model frame",
+)(similarity.embedding_pca_power)
+register(
+    "graph_pagerank",
+    graph.PAGERANK_SQL,
+    doc="PageRank over the co-occurrence graph, fixed unrolled rounds "
+    "(the de-recursion pattern): per round one Pregel-style shuffle on "
+    "src + map-side-combinable mass sum on dst, teleport term from an "
+    "in-plan 1-row broadcast, 6dp-rounded state keeps engines bit-equal",
+)(graph.pagerank)
+register(
     "sample_budget_waterfill",
     sampling.BUDGET_WATERFILL_SQL,
     doc="token-budget mixture planning: closed-form water-filling (sorted "
@@ -1243,6 +1294,12 @@ PENDING_WINDOW = [
     "events_attribution",
     "events_type_overlap",
     "pipeline_events_health",
+    "events_histogram",
+    "graph_triangles",
+    "ann_pq_train",
+    "ann_topk_pq",
+    "graph_pagerank",
+    "embedding_pca_power",
 ]
 
 assert len(CORRECTNESS_WINDOW) == 50, len(CORRECTNESS_WINDOW)

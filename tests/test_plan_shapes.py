@@ -529,3 +529,26 @@ def test_type_overlap_pre_checkpoint_is_one_corpus_pass(spark, sf_dir):
     plan = _plan(spark, counts)
     assert _n_shuffles(plan) == 2, plan
     assert plan.count("Scan parquet") == 1, plan
+
+
+def test_histogram_bounds_join_is_broadcast(spark, sf_dir):
+    """The per-type min/max bounds frame is vocabulary-sized: its join
+    back onto the events scan must be a broadcast, and the spine/counts
+    joins (both vocabulary-sized) must never sort-merge the corpus."""
+    from streamprocessing_with_kafka_spark.operators import windows
+
+    plan = _plan(spark, windows.value_histogram(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_triangle_joins_are_all_equi(spark, sf_dir):
+    """Triangle enumeration must stay ordered-edge equi-joins: a nested-
+    loop or cartesian here is the O(N^2)/O(N^3) cliff the design exists
+    to avoid."""
+    from streamprocessing_with_kafka_spark.operators import graph
+
+    plan = _plan(spark, graph.triangle_clustering(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan

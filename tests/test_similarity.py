@@ -317,3 +317,102 @@ def test_trained_ivf_recall_not_worse_than_seed(spark, sf_dir):
     recall_trained = len(trained & truth) / len(truth)
     assert recall_trained >= recall_seed - 0.2, (recall_trained, recall_seed)
     assert recall_trained > 0
+
+
+def test_pq_topk_recall_vs_exact_l2(spark, sf_dir):
+    """The ADC shortlist must carry (nearly) every true L2 neighbor to
+    the exact rerank: recall@5 is 0.96 (sf0.001) / 1.0 (sf0.01) against
+    the exact baseline. Pin >= 0.9 -- a degenerate codebook or a broken
+    ADC sum collapses this to ~0.1."""
+    import numpy as np
+
+    from streamprocessing_with_kafka_spark.operators.similarity import (
+        N_QUERIES,
+        ann_topk_pq,
+    )
+    from streamprocessing_with_kafka_spark.sources.tables import load_table
+
+    got: dict = {}
+    for r in ann_topk_pq(spark, sf_dir).collect():
+        got.setdefault(r.q_id, set()).add(r.n_id)
+    rows = sorted(
+        load_table(spark, sf_dir, "embeddings").collect(), key=lambda r: r.vec_id
+    )
+    E = np.array([r.embedding for r in rows], dtype=np.float64)
+    recalls = []
+    for q in range(N_QUERIES):
+        d = ((E - E[q]) ** 2).sum(-1)
+        d[q] = np.inf
+        exact = set(np.argsort(d)[:5])
+        recalls.append(len(exact & got[q]) / 5)
+    mean = sum(recalls) / len(recalls)
+    assert mean >= 0.9, f"PQ recall@5 {mean:.2f} ({recalls})"
+
+
+def test_pq_rerank_distances_are_exact_and_ordered(spark, sf_dir):
+    """Final ranks must order by the EXACT distance (the rerank stage),
+    and every returned approx_d2 must be a nonnegative finite float --
+    the ADC sum of 32 nonnegative per-subspace partials."""
+    from streamprocessing_with_kafka_spark.operators.similarity import ann_topk_pq
+
+    by_q: dict = {}
+    for r in ann_topk_pq(spark, sf_dir).collect():
+        assert r.approx_d2 >= 0.0 and r.d2 >= 0.0
+        by_q.setdefault(r.q_id, []).append(r)
+    assert by_q
+    for rows in by_q.values():
+        rows.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+        assert all(a.d2 <= b.d2 for a, b in zip(rows, rows[1:]))
+
+
+def test_pq_plan_is_broadcast_only(spark, sf_dir):
+    """Corpus-side joins (ADC table, shortlist rerank) must all be
+    broadcast hash joins; the only nested-loop joins allowed are the two
+    1-row codebook attaches. A SortMergeJoin or CartesianProduct here
+    means the corpus is shuffling against the model."""
+    from streamprocessing_with_kafka_spark.operators.similarity import ann_topk_pq
+
+    plan = _plan(spark, ann_topk_pq(spark, sf_dir))
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 2, plan
+
+
+def test_pca_power_matches_numpy_and_is_unit_norm(spark, sf_dir):
+    """The distributed power iteration must track the same arithmetic in
+    numpy (mean-center, ddof-1 covariance, 3 rounds from uniform 1/8):
+    loadings agree to ~1e-3 (per-round 6dp quantization is the only
+    divergence), the vector is unit-norm, and the Rayleigh eigenvalue
+    beats the average eigenvalue (power iteration is Rayleigh-monotone
+    from the uniform start)."""
+    import math
+
+    import numpy as np
+
+    from streamprocessing_with_kafka_spark.operators.similarity import (
+        DIM,
+        PCA_ITERS,
+        embedding_pca_power,
+    )
+    from streamprocessing_with_kafka_spark.sources.tables import load_table
+
+    rows = sorted(embedding_pca_power(spark, sf_dir).collect(), key=lambda r: r.dim)
+    v = np.array([r.loading for r in rows])
+    assert math.isclose(float(np.linalg.norm(v)), 1.0, abs_tol=1e-4)
+    E = np.array(
+        [
+            r.embedding
+            for r in load_table(spark, sf_dir, "embeddings").collect()
+        ],
+        dtype=np.float64,
+    )
+    C = np.cov(E, rowvar=False, ddof=1)
+    w = np.full(DIM, 0.125)
+    for _ in range(PCA_ITERS):
+        w = C @ w
+        w = w / np.linalg.norm(w)
+    assert np.abs(v - w).max() < 2e-3, np.abs(v - w).max()
+    lam = rows[0].eigenvalue
+    assert lam > np.trace(C) / DIM * 0.99
+    assert 0.0 < rows[0].explained_frac <= 1.0
