@@ -144,13 +144,16 @@ def session_events(spark: SparkSession, sf_dir: str, gap: str = "30 minutes") ->
 
 
 # lag + running-sum session ids; a new session starts when the gap since the
-# previous event is >= 30 min (session_window treats [start, start+gap) as
-# half-open, so an exact-gap event opens a new session).
+# previous event EXCEEDS 30 min. Boundary semantics verified empirically
+# against Spark (test_streaming_sessions.py): an event at EXACTLY
+# prev + gap still merges (session_window extends through its closing
+# boundary), so the split condition is strict `>` -- an earlier `>=` here
+# was a latent boundary bug the continuous sf timestamps never exposed.
 SESSION_EVENTS_SQL = f"""
 WITH flagged AS (
   SELECT user_id, ts, value,
     CASE WHEN lag(ts) OVER w IS NULL
-           OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+           OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
          THEN 1 ELSE 0 END AS new_sess
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts)
