@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
-from streamprocessing_with_kafka_spark.functions.numeric import DEC, round_sql
+from streamprocessing_with_kafka_spark.functions.numeric import DEC, dec_sum_sql, round_sql
 from streamprocessing_with_kafka_spark.sources.tables import load_table
 
 # ------------------------------------------------------------- EWMA
@@ -706,4 +706,104 @@ c AS (
 SELECT m.event_type, m.n_events, m.med, m.mad, m.n_outliers,
        a.n_buckets, a.r1, c.cusum_alarms, c.last_alarm
 FROM m JOIN a USING (event_type) JOIN c USING (event_type)
+"""
+
+
+# ------------------------------------------ Holt linear-trend forecast
+
+#: Holt's linear method (level + trend double exponential smoothing),
+#: de-recursed the EWMA way -- but the state here is the 2-vector
+#: s_t = (level_t, trend_t) obeying s_t = M s_{t-1} + c*y_t, so the lag
+#: weights are the matrix powers M^j c instead of a scalar ladder.
+#: Truncating at K lags drops the M^t s_0 init term, which decays at
+#: |lambda|^K with |lambda| = sqrt(det M) = sqrt(1 - HOLT_BETA +
+#: HOLT_ALPHA*HOLT_BETA... (complex pair; ~0.7^12 ~ 1.4% here) -- rows
+#: with fewer than K prior buckets emit NULL rather than a damped guess.
+HOLT_ALPHA = 0.5
+HOLT_BETA = 0.3
+HOLT_LAGS = 12
+HOLT_HORIZON = 3  # forecast y_{t+h} = level + h * trend
+
+
+def _holt_weights() -> list[tuple[float, float]]:
+    """(level_weight_j, trend_weight_j) = M^j c for lag j, computed once
+    in Python floats; repr() round-trips exactly through both engines'
+    literal parsers, so the coefficients are bit-identical everywhere."""
+    a, b = HOLT_ALPHA, HOLT_BETA
+    m00, m01 = 1.0 - a, 1.0 - a
+    m10, m11 = -a * b, 1.0 - a * b
+    s = (a, a * b)  # c
+    out = []
+    for _ in range(HOLT_LAGS):
+        out.append(s)
+        s = (m00 * s[0] + m01 * s[1], m10 * s[0] + m11 * s[1])
+    return out
+
+
+_HOLT_WEIGHTS = _holt_weights()
+
+
+def holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type hourly Holt linear-trend state + h-step forecast.
+
+    The inherently-sequential coupled recursion (level_t feeds trend_t
+    feeds level_{t+1}) becomes K lag() columns on ONE sort window per
+    type: level and trend are fixed-order weighted sums of the last K
+    hourly buckets with the precomputed M^j c coefficients -- the same
+    embarrassingly-parallel shape as `events_ewma`, generalized from a
+    scalar decay ladder to a 2-state linear system. A NULL lag nulls the
+    whole sum (no coalesce), so only rows with full K-history forecast.
+
+    Scale: one map-side-combinable hourly rollup, then everything rides
+    a |types * hours| frame -- corpus-size-independent. Buckets are the
+    observed hourly grid (gaps close ranks; compose with
+    `events_gapfill` for a strict wall-clock grid)."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket")
+    ).agg(F.round(F.sum(F.col("value").cast(DEC)).cast("double"), 6).alias("x"))
+    w = W.partitionBy("event_type").orderBy("bucket")
+    lags = [
+        F.col("x") if j == 0 else F.lag("x", j).over(w) for j in range(HOLT_LAGS)
+    ]
+    level = F.lit(0.0)
+    trend = F.lit(0.0)
+    for j in range(HOLT_LAGS):  # fixed accumulation order: j ascending
+        level = level + lags[j] * F.lit(_HOLT_WEIGHTS[j][0])
+        trend = trend + lags[j] * F.lit(_HOLT_WEIGHTS[j][1])
+    return hourly.select(
+        "event_type",
+        "bucket",
+        "x",
+        F.round(level, 6).alias("level"),
+        F.round(trend, 6).alias("trend"),
+        F.round(level + float(HOLT_HORIZON) * trend, 6).alias("forecast"),
+    )
+
+
+def _holt_sums_sql() -> tuple[str, str]:
+    lag = lambda j: "x" if j == 0 else f"lag(x, {j}) OVER w"  # noqa: E731
+    level = " + ".join(
+        f"{lag(j)} * {wl!r}" for j, (wl, _) in enumerate(_HOLT_WEIGHTS)
+    )
+    trend = " + ".join(
+        f"{lag(j)} * {wb!r}" for j, (_, wb) in enumerate(_HOLT_WEIGHTS)
+    )
+    return level, trend
+
+
+_HOLT_LEVEL_SQL, _HOLT_TREND_SQL = _holt_sums_sql()
+
+HOLT_FORECAST_SQL = f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket,
+         {round_sql(dec_sum_sql('value'), 6)} AS x
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, CAST(bucket AS TIMESTAMP) AS bucket, x,
+       {round_sql(f'({_HOLT_LEVEL_SQL})', 6)} AS level,
+       {round_sql(f'({_HOLT_TREND_SQL})', 6)} AS trend,
+       {round_sql(f'({_HOLT_LEVEL_SQL}) + {float(HOLT_HORIZON)!r} * ({_HOLT_TREND_SQL})', 6)} AS forecast
+FROM hourly
+WINDOW w AS (PARTITION BY event_type ORDER BY bucket)
 """

@@ -1155,6 +1155,14 @@ register(
     "triples), corners credited via one explode -- no theta joins",
 )(graph.triangle_clustering)
 register(
+    "events_holt_forecast",
+    timeseries.HOLT_FORECAST_SQL,
+    doc="Holt linear-trend (double exponential smoothing) per type over "
+    "the hourly rollup, de-recursed: the coupled level/trend recursion "
+    "becomes K lag() columns with precomputed M^j c matrix-power "
+    "weights on one sort window; rows without full K-history emit NULL",
+)(timeseries.holt_forecast)
+register(
     "embedding_pca_power",
     similarity.EMBEDDING_PCA_POWER_SQL,
     doc="top principal component by fixed power-iteration rounds: corpus "
@@ -1300,6 +1308,7 @@ PENDING_WINDOW = [
     "ann_topk_pq",
     "graph_pagerank",
     "embedding_pca_power",
+    "events_holt_forecast",
 ]
 
 assert len(CORRECTNESS_WINDOW) == 50, len(CORRECTNESS_WINDOW)

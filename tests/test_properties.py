@@ -240,3 +240,179 @@ def test_ewma_batch_equals_streaming_arithmetic(spark, vals):
     for i in range(len(vals)):
         window = vals[max(0, i - EWMA_LAGS + 1) : i + 1]
         assert got[i] == _ewma_row(window), (i, vals)
+
+
+# ---------------------------------------------------------------------------
+# Histogram: for ANY value distribution (including all-equal -> width 0)
+# the bins must partition the corpus exactly and keep a complete spine.
+# ---------------------------------------------------------------------------
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(
+        st.floats(
+            min_value=-1e9, max_value=1e9, allow_nan=False, allow_infinity=False
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    constant=st.booleans(),
+)
+def test_histogram_partitions_any_distribution(spark, vals, constant):
+    import streamprocessing_with_kafka_spark.operators.windows as wmod
+
+    if constant:
+        vals = [vals[0]] * len(vals)  # exercise the width == 0 guard
+    ev = spark.createDataFrame(
+        [
+            (i, "2024-01-01 00:00:00", 1, "t", v, "{}")
+            for i, v in enumerate(vals)
+        ],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).selectExpr(
+        "event_id", "CAST(ts AS TIMESTAMP) AS ts", "user_id", "event_type",
+        "value", "props",
+    )
+    orig = wmod.load_table
+    try:
+        wmod.load_table = lambda s, d, t: ev
+        rows = wmod.value_histogram(spark, "x").collect()
+    finally:
+        wmod.load_table = orig
+    assert len(rows) == wmod.HIST_BINS
+    assert sorted(r.bin for r in rows) == list(range(wmod.HIST_BINS))
+    assert sum(r.n_events for r in rows) == len(vals)
+    if constant:
+        by_bin = {r.bin: r.n_events for r in rows}
+        assert by_bin[0] == len(vals)  # width-0 guard routes all to bin 0
+
+
+# ---------------------------------------------------------------------------
+# Triangles: ANY random co-occurrence layout must match the brute-force
+# Python count (edges from shared cells, triangles by set algebra).
+# ---------------------------------------------------------------------------
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    cells=st.lists(
+        st.tuples(
+            st.integers(0, 3),  # cell id -> (type, hour)
+            st.lists(st.integers(1, 8), min_size=1, max_size=5, unique=True),
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_triangles_match_bruteforce(spark, cells):
+    import itertools
+
+    import streamprocessing_with_kafka_spark.operators.graph as gmod
+
+    rows, eid = [], 0
+    for cell_id, users in cells:
+        for u in users:
+            rows.append(
+                (eid, f"2024-01-01 {cell_id:02d}:30:00", u, "click", 1.0, "{}")
+            )
+            eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).selectExpr(
+        "event_id", "CAST(ts AS TIMESTAMP) AS ts", "user_id", "event_type",
+        "value", "props",
+    )
+    orig = gmod.load_table
+    try:
+        gmod.load_table = lambda s, d, t: ev
+        got = {r.user_id: r for r in gmod.triangle_clustering(spark, "x").collect()}
+    finally:
+        gmod.load_table = orig
+    # users generated for the same cell id land in the SAME (type, hour)
+    # cell -- union them before pairing, as the operator's distinct does
+    merged: dict = {}
+    for cell_id, users in cells:
+        merged.setdefault(cell_id, set()).update(users)
+    edges = set()
+    for users in merged.values():
+        for a, b in itertools.combinations(sorted(users), 2):
+            edges.add((a, b))
+    nodes = {u for e in edges for u in e}
+    adj = {n: set() for n in nodes}
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    tri = {n: 0 for n in nodes}
+    for a, b, c in itertools.combinations(sorted(nodes), 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            tri[a] += 1
+            tri[b] += 1
+            tri[c] += 1
+    assert set(got) == nodes
+    for n in nodes:
+        assert got[n].degree == len(adj[n]), n
+        assert got[n].n_triangles == tri[n], n
+
+
+# ---------------------------------------------------------------------------
+# Holt: the truncated matrix-power weighted sums must match the Python
+# recomputation (same literal accumulation order) for ANY value sequence.
+# ---------------------------------------------------------------------------
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(
+        st.floats(
+            min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+        ),
+        min_size=12,
+        max_size=24,
+    )
+)
+def test_holt_matches_python_recompute(spark, vals):
+    import streamprocessing_with_kafka_spark.operators.timeseries as tmod
+
+    ev = spark.createDataFrame(
+        [(t, t, 1, "t", v, "{}") for t, v in enumerate(vals)],
+        "event_id long, hours long, user_id long, event_type string, value double, props string",
+    ).selectExpr(
+        "event_id",
+        "CAST('2024-01-01 00:00:00' AS TIMESTAMP) + make_interval(0,0,0,0,CAST(hours AS INT),0,0) AS ts",
+        "user_id", "event_type", "value", "props",
+    )
+    orig = tmod.load_table
+    try:
+        tmod.load_table = lambda s, d, t: ev
+        rows = sorted(
+            tmod.holt_forecast(spark, "x").collect(), key=lambda r: r.bucket
+        )
+    finally:
+        tmod.load_table = orig
+    ys = [round(v, 6) for v in vals]
+    K = tmod.HOLT_LAGS
+    for t, r in enumerate(rows):
+        if t < K - 1:
+            assert r.level is None and r.trend is None
+            continue
+        level = 0.0
+        trend = 0.0
+        for j, (wl, wb) in enumerate(tmod._HOLT_WEIGHTS):
+            level = level + ys[t - j] * wl
+            trend = trend + ys[t - j] * wb
+        assert math.isclose(r.level, level, rel_tol=1e-9, abs_tol=2e-6), t
+        assert math.isclose(r.trend, trend, rel_tol=1e-9, abs_tol=2e-6), t

@@ -366,3 +366,65 @@ def test_health_report_rows_match_constituents(spark, sf_dir):
         )
         assert (g.n_buckets, g.r1) == (acf[t].n_buckets, acf[t].r1)
         assert (g.cusum_alarms, g.last_alarm) == tuple(alarms[t])
+
+
+def test_holt_tracks_planted_linear_trend(spark):
+    """On y_t = 10 + 2t (exact integers, hourly buckets) the truncated
+    Holt state must (a) equal the Python recomputation of the SAME
+    truncated weighted sums exactly (one 6dp rounding apart), (b) sit
+    near the true slope 2 and level y_t, and (c) agree with the full
+    textbook recursion to within the documented |lambda|^K init decay."""
+    from streamprocessing_with_kafka_spark.operators.timeseries import (
+        HOLT_ALPHA,
+        HOLT_BETA,
+        HOLT_HORIZON,
+        HOLT_LAGS,
+        _HOLT_WEIGHTS,
+        holt_forecast,
+    )
+
+    n = 40
+    ys = [10.0 + 2.0 * t for t in range(n)]
+    ev = spark.createDataFrame(
+        [
+            (t, f"2024-01-01 00:00:00", 1, "t", ys[t], "{}")
+            for t in range(n)
+        ],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn(
+        "ts",
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")) + F.make_interval(hours=F.col("event_id")),
+    )
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    ev.write.mode("overwrite").parquet(d + "/events.parquet")
+    rows = sorted(holt_forecast(spark, d).collect(), key=lambda r: r.bucket)
+    assert len(rows) == n
+    # rows before full history are NULL
+    for r in rows[: HOLT_LAGS - 1]:
+        assert r.level is None and r.trend is None and r.forecast is None
+    for t in range(HOLT_LAGS - 1, n):
+        level = sum(ys[t - j] * wl for j, (wl, _) in enumerate(_HOLT_WEIGHTS))
+        trend = sum(ys[t - j] * wb for j, (_, wb) in enumerate(_HOLT_WEIGHTS))
+        r = rows[t]
+        assert math.isclose(r.level, round(level, 6), abs_tol=2e-6)
+        assert math.isclose(r.trend, round(trend, 6), abs_tol=2e-6)
+        assert math.isclose(
+            r.forecast, round(level + HOLT_HORIZON * trend, 6), abs_tol=5e-6
+        )
+        # near the generating process (truncation + warm-up tolerance)
+        assert abs(r.trend - 2.0) < 0.35, (t, r.trend)
+        assert abs(r.level - ys[t]) < 2.5, (t, r.level)
+    # full textbook recursion (l0=y0, b0=y1-y0) agrees within init decay
+    a, b = HOLT_ALPHA, HOLT_BETA
+    l, tr = ys[0], ys[1] - ys[0]
+    rec = {}
+    for t in range(1, n):
+        l_new = a * ys[t] + (1 - a) * (l + tr)
+        tr = b * (l_new - l) + (1 - b) * tr
+        l = l_new
+        rec[t] = (l, tr)
+    for t in range(HOLT_LAGS - 1, n):
+        assert abs(rows[t].level - rec[t][0]) < 0.6
+        assert abs(rows[t].trend - rec[t][1]) < 0.6
