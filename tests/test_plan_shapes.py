@@ -552,3 +552,44 @@ def test_triangle_joins_are_all_equi(spark, sf_dir):
     plan = _plan(spark, graph.triangle_clustering(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join_fact_side(spark, sf_dir):
+    """The semi-join-reduction knob for selective shuffle joins at scale:
+    with runtime bloom filters on, a selective dim-side predicate must
+    inject a `might_contain(bloom_filter_agg(dim keys))` filter onto the
+    FACT scan -- pruning rows before they pay the shuffle. Pinned here so
+    the documented 100 TB recipe (COVERAGE.md skew/join row) stays real
+    against Spark upgrades; the engine leaves the conf off by default
+    because at sf scale every dim fits a broadcast instead."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        # sf tables are far below the 10GB production threshold
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        # force the shuffle join the filter exists to protect
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, sf_dir, "lineitem")
+        o = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = _plan(spark, j)
+        assert "might_contain" in plan, plan
+        assert "bloom_filter_agg" in plan, plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
