@@ -807,3 +807,54 @@ WHERE EXISTS (SELECT 1 FROM lineitem
                 AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
 GROUP BY o_orderpriority
 """
+
+
+def customer_revenue_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-rank window functions over per-customer revenue:
+    ntile(4) quartile, percent_rank, cume_dist -- the marketing-segment
+    cut ("which revenue quartile is this account in?").
+
+    Revenue aggregates once on o_custkey (map-side combinable), then the
+    customer dim LEFT-joins so order-less customers rank at 0 revenue
+    (the tie block the deterministic (revenue DESC, custkey) total order
+    exists for -- ntile on a partial order is nondeterministic). The
+    rank window is a single global sort over the |customers| frame --
+    fine for a dim; at 100 TB fact granularity use the two-phase
+    quantile-sketch cut instead (`sketch_value_quantiles`)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        F.round(dec_sum("o_totalprice"), 2).alias("revenue")
+    )
+    ranked = c.join(rev, c.c_custkey == rev.o_custkey, "left").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
+    )
+    w = W.orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+    return ranked.select(
+        "c_custkey",
+        "c_mktsegment",
+        "revenue",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+CUSTOMER_REVENUE_QUARTILES_SQL = f"""
+WITH rev AS (
+  SELECT o_custkey, {round_sql(dec_sum_sql('o_totalprice'), 2)} AS revenue
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT c_custkey, c_mktsegment, COALESCE(rev.revenue, 0.0) AS revenue
+  FROM customer LEFT JOIN rev ON c_custkey = o_custkey
+)
+SELECT c_custkey, c_mktsegment, revenue,
+       ntile(4) OVER w AS quartile,
+       {round_sql('percent_rank() OVER w', 6)} AS pct_rank,
+       {round_sql('cume_dist() OVER w', 6)} AS cume
+FROM ranked
+WINDOW w AS (ORDER BY revenue DESC, c_custkey ASC)
+"""

@@ -35,6 +35,7 @@ import threading
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from streamprocessing_with_kafka_spark.functions.numeric import round_sql
 from streamprocessing_with_kafka_spark.functions.hashing import (
     family_hashes_from_h,
     family_hashes_sql,
@@ -1219,4 +1220,64 @@ FROM documents d
 LEFT JOIN exact e ON d.doc_id = e.doc_id
 LEFT JOIN near n ON d.doc_id = n.doc_id
 WHERE d.doc_id % {INCREMENTAL_BATCH_MOD} = 0
+"""
+
+
+def dedup_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup DASHBOARD: per-source duplication pressure from the
+    MinHash near-dup clusters -- corpus curation's "which source is
+    feeding us copies?" monitoring row.
+
+    Composes `dedup_cluster_keepers` (docs in near-dup clusters with
+    their CC keeper) against the documents dim: per source it reports
+    total docs, docs entangled in a dup cluster, docs a keeper-only
+    export would DROP, the drop fraction, and how many distinct
+    clusters touch the source (clusters may straddle sources -- the
+    count is per-source reach, not a partition).
+
+    Scale: the cluster labels frame is |dup docs| rows (tiny vs the
+    corpus); the join back to documents is on doc_id and the final
+    aggregate is |sources|-keyed, map-side combinable. One COUNT
+    DISTINCT rides the same aggregate (two-phase under AQE)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    labels = dedup_cluster_keepers(spark, sf_dir)
+    joined = d.join(labels, "doc_id", "left")
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count("keeper_doc_id").alias("n_in_clusters"),
+        F.sum(
+            F.when(
+                F.col("keeper_doc_id").isNotNull()
+                & (F.col("doc_id") != F.col("keeper_doc_id")),
+                1,
+            ).otherwise(0)
+        ).alias("n_dropped"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("keeper_doc_id").isNotNull()
+                    & (F.col("doc_id") != F.col("keeper_doc_id")),
+                    1,
+                ).otherwise(0)
+            )
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("drop_frac"),
+        F.countDistinct("keeper_doc_id").alias("n_clusters"),
+    )
+
+
+DEDUP_STATS_BY_SOURCE_SQL = f"""
+WITH labels AS ({DEDUP_CLUSTER_KEEPERS_SQL})
+SELECT source,
+       COUNT(*) AS n_docs,
+       COUNT(keeper_doc_id) AS n_in_clusters,
+       CAST(COALESCE(SUM(CASE WHEN keeper_doc_id IS NOT NULL
+                          AND doc_id <> keeper_doc_id THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n_dropped,
+       {round_sql('SUM(CASE WHEN keeper_doc_id IS NOT NULL AND doc_id <> keeper_doc_id THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE)', 6)}
+         AS drop_frac,
+       COUNT(DISTINCT keeper_doc_id) AS n_clusters
+FROM documents LEFT JOIN labels USING (doc_id)
+GROUP BY source
 """

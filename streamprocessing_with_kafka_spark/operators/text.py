@@ -1025,3 +1025,62 @@ FROM packed
 GROUP BY shard
 ORDER BY shard
 """
+
+
+def source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unigram ENTROPY and KL divergence from the corpus
+    distribution -- the mixture-monitoring row for curation ("is src7
+    drifting into boilerplate? is its vocabulary collapsing?").
+
+    ONE corpus scan: tokens aggregate to the (source, term) frame (a
+    map-side-combinable shuffle, vocab x sources rows); term and corpus
+    totals RE-aggregate from that small frame -- never rescanning raw --
+    and broadcast back. Per-term contributions -p*ln(p) and p*ln(p/q)
+    are quantized to DECIMAL(28,10) before the per-source sum (the
+    `unigram_logprob` pattern), so the sums are order-independent and
+    engine-exact. KL needs no smoothing: every source term is in the
+    corpus by construction (support(P) subset of support(Q)).
+    Entropy in nats; 6dp."""
+    d = load_table(spark, sf_dir, "documents")
+    st = (
+        d.select("source", F.explode(_tokens()).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("c_st"))
+    )
+    term_tot = st.groupBy("term").agg(F.sum("c_st").alias("c_t"))
+    src_tot = st.groupBy("source").agg(F.sum("c_st").alias("t_s"))
+    corpus_tot = term_tot.agg(F.sum("c_t").alias("t"))
+    p = F.col("c_st") / F.col("t_s").cast("double")
+    q = F.col("c_t") / F.col("t").cast("double")
+    ent_term = (-(p * F.log(p))).cast("decimal(28,10)")
+    kl_term = (p * F.log(p / q)).cast("decimal(28,10)")
+    return (
+        st.join(F.broadcast(term_tot), "term")
+        .join(F.broadcast(src_tot), "source")
+        .crossJoin(F.broadcast(corpus_tot))
+        .groupBy("source")
+        .agg(
+            F.first("t_s").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_terms"),
+            F.round(F.sum(ent_term).cast("double"), 6).alias("entropy"),
+            F.round(F.sum(kl_term).cast("double"), 6).alias("kl_from_corpus"),
+        )
+    )
+
+
+SOURCE_DIVERGENCE_SQL = f"""
+WITH st AS (
+  SELECT source, unnest(string_split(text, ' ')) AS term FROM documents
+),
+cst AS (SELECT source, term, COUNT(*) AS c_st FROM st GROUP BY 1, 2),
+term_tot AS (SELECT term, SUM(c_st) AS c_t FROM cst GROUP BY term),
+src_tot AS (SELECT source, SUM(c_st) AS t_s FROM cst GROUP BY source),
+corpus_tot AS (SELECT SUM(c_t) AS t FROM term_tot)
+SELECT source,
+  CAST(any_value(t_s) AS BIGINT) AS n_tokens,
+  COUNT(*) AS n_terms,
+  {_round_sql("CAST(CAST(SUM(CAST(-(c_st / CAST(t_s AS DOUBLE)) * ln(c_st / CAST(t_s AS DOUBLE)) AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)", 6)} AS entropy,
+  {_round_sql("CAST(CAST(SUM(CAST((c_st / CAST(t_s AS DOUBLE)) * ln((c_st / CAST(t_s AS DOUBLE)) / (c_t / CAST(t AS DOUBLE))) AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)", 6)} AS kl_from_corpus
+FROM cst JOIN term_tot USING (term) JOIN src_tot USING (source), corpus_tot
+GROUP BY source
+"""

@@ -1155,6 +1155,30 @@ register(
     "triples), corners credited via one explode -- no theta joins",
 )(graph.triangle_clustering)
 register(
+    "window_customer_quartiles",
+    analytics.CUSTOMER_REVENUE_QUARTILES_SQL,
+    doc="distribution-rank windows over per-customer revenue: ntile(4) "
+    "quartile + percent_rank + cume_dist on a deterministic "
+    "(revenue DESC, custkey) total order; order-less customers rank at "
+    "0 revenue via the left join",
+)(analytics.customer_revenue_quartiles)
+register(
+    "dedup_stats_by_source",
+    dedup.DEDUP_STATS_BY_SOURCE_SQL,
+    doc="the dedup dashboard: per-source duplication pressure from the "
+    "MinHash near-dup clusters -- docs entangled, keeper-export drops, "
+    "drop fraction, clusters touching the source; labels frame is "
+    "|dup docs| rows, final aggregate |sources|-keyed",
+)(dedup.dedup_stats_by_source)
+register(
+    "text_source_divergence",
+    text.SOURCE_DIVERGENCE_SQL,
+    doc="mixture monitoring: per-source unigram entropy + KL divergence "
+    "from the corpus distribution; one corpus scan to the (source, term) "
+    "frame, totals re-aggregate from it and broadcast back, per-term "
+    "contributions decimal-quantized so sums are order-independent",
+)(text.source_divergence)
+register(
     "events_holt_forecast",
     timeseries.HOLT_FORECAST_SQL,
     doc="Holt linear-trend (double exponential smoothing) per type over "
@@ -1309,6 +1333,9 @@ PENDING_WINDOW = [
     "graph_pagerank",
     "embedding_pca_power",
     "events_holt_forecast",
+    "window_customer_quartiles",
+    "dedup_stats_by_source",
+    "text_source_divergence",
 ]
 
 assert len(CORRECTNESS_WINDOW) == 50, len(CORRECTNESS_WINDOW)
