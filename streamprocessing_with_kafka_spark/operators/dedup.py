@@ -35,6 +35,7 @@ import threading
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from streamprocessing_with_kafka_spark.functions.lineage import free_local_checkpoint
 from streamprocessing_with_kafka_spark.functions.numeric import round_sql
 from streamprocessing_with_kafka_spark.functions.hashing import (
     family_hashes_from_h,
@@ -706,13 +707,7 @@ def dedup_cluster_keepers(
     let up to 30 rounds of dead label RDDs pile up in executor
     storage.
     """
-    def _free_checkpoint(df: DataFrame) -> None:
-        """Eagerly drop a localCheckpoint's storage blocks (the LogicalRDD
-        holds the cached RDD; unpersist is a no-op for anything else)."""
-        try:
-            df._jdf.logicalPlan().rdd().unpersist(False)
-        except Exception:
-            pass  # best effort -- ContextCleaner reclaims on GC anyway
+    _free_checkpoint = free_local_checkpoint
 
     pairs = minhash_lsh_pairs(spark, sf_dir, threshold).select("doc_a", "doc_b")
     # undirected edge list, both directions
@@ -1242,27 +1237,18 @@ def dedup_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     labels = dedup_cluster_keepers(spark, sf_dir)
     joined = d.join(labels, "doc_id", "left")
+    dropped = F.sum(
+        F.when(
+            F.col("keeper_doc_id").isNotNull()
+            & (F.col("doc_id") != F.col("keeper_doc_id")),
+            1,
+        ).otherwise(0)
+    )
     return joined.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.count("keeper_doc_id").alias("n_in_clusters"),
-        F.sum(
-            F.when(
-                F.col("keeper_doc_id").isNotNull()
-                & (F.col("doc_id") != F.col("keeper_doc_id")),
-                1,
-            ).otherwise(0)
-        ).alias("n_dropped"),
-        F.round(
-            F.sum(
-                F.when(
-                    F.col("keeper_doc_id").isNotNull()
-                    & (F.col("doc_id") != F.col("keeper_doc_id")),
-                    1,
-                ).otherwise(0)
-            )
-            / F.count(F.lit(1)).cast("double"),
-            6,
-        ).alias("drop_frac"),
+        dropped.alias("n_dropped"),
+        F.round(dropped / F.count(F.lit(1)).cast("double"), 6).alias("drop_frac"),
         F.countDistinct("keeper_doc_id").alias("n_clusters"),
     )
 

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from streamprocessing_with_kafka_spark.functions.lineage import free_local_checkpoint
 from streamprocessing_with_kafka_spark.functions.numeric import dec_sum, round_sql
 from streamprocessing_with_kafka_spark.sources.tables import load_table
 
@@ -172,6 +173,7 @@ def pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks = deg.join(F.broadcast(n_row)).select(
         "src", "degree", F.round(1.0 / F.col("n"), 6).alias("pr")
     )
+    prev = None
     for _ in range(PAGERANK_ITERS):
         contrib = (
             directed.join(ranks, "src")
@@ -189,6 +191,12 @@ def pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint()
         )
+        if prev is not None:
+            free_local_checkpoint(prev)  # superseded round's blocks
+        prev = ranks
+    # the final ranks checkpoint is materialized; the edge list's blocks
+    # are no longer reachable from the returned plan
+    free_local_checkpoint(directed)
     return ranks.select(F.col("src").alias("user_id"), F.col("pr").alias("pagerank"), "degree")
 
 

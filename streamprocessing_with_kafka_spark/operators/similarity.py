@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W, functions as F
 
 from streamprocessing_with_kafka_spark.functions.hashing import md5_long
+from streamprocessing_with_kafka_spark.functions.lineage import free_local_checkpoint
 from streamprocessing_with_kafka_spark.functions.numeric import dec_sum, round_sql
 from streamprocessing_with_kafka_spark.sources.tables import load_table
 
@@ -1173,13 +1174,18 @@ def pq_trained_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    seeds = e.filter(F.col("vec_id") % PQ_SEED_MOD == 0).select(
-        (F.row_number().over(W.orderBy("vec_id")) - 1).alias("code"), "v"
+    seeds = (
+        e.filter(F.col("vec_id") % PQ_SEED_MOD == 0)
+        .select((F.row_number().over(W.orderBy("vec_id")) - 1).alias("code"), "v")
+        # cap at PQ_K: the 4-bit-code contract must hold even if the
+        # corpus (and thus the % PQ_SEED_MOD seed yield) grows
+        .filter(F.col("code") < PQ_K)
     )
     cb = seeds.select(
         F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("m"), "code", "v"
     ).select("m", "code", _pq_sub(F.col("v"), F.col("m")).alias("cv"))
     e_subs = _pq_subspaces(e)
+    prev = None
     for _ in range(PQ_ITERS):
         assigned = _pq_assign(e_subs, cb)
         means = (
@@ -1210,6 +1216,9 @@ def pq_trained_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint()
         )
+        if prev is not None:
+            free_local_checkpoint(prev)  # superseded round's blocks
+        prev = cb
     return cb
 
 
@@ -1357,8 +1366,10 @@ _PQ_COMMON_SQL = (
     f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 seeds AS (
-  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code, v
-  FROM e WHERE vec_id % {PQ_SEED_MOD} = 0
+  SELECT * FROM (
+    SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code, v
+    FROM e WHERE vec_id % {PQ_SEED_MOD} = 0)
+  WHERE code < {PQ_K}
 ),
 cb0 AS (
   SELECT mm.range AS m, code, {_pq_slice_sql('v')} AS cv
@@ -1503,6 +1514,7 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     vec = spark.range(DIM).select(
         F.col("id").cast("int").alias("j"), F.lit(0.125).alias("x")
     )
+    prev = None
     for _ in range(PCA_ITERS):
         w = (
             cov.join(vec, "j")
@@ -1515,6 +1527,9 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("i").alias("j"), F.round(F.col("w") / F.col("nrm"), 6).alias("x"))
             .localCheckpoint()
         )
+        if prev is not None:
+            free_local_checkpoint(prev)  # superseded round; cov stays live
+        prev = vec
     lam = (
         cov.join(vec.select(F.col("j").alias("i"), F.col("x").alias("xi")), "i")
         .join(vec.select("j", F.col("x").alias("xj")), "j")

@@ -779,8 +779,9 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     bounds = ev.groupBy("event_type").agg(
         F.min("value").alias("lo"), F.max("value").alias("hi")
+    ).withColumn(
+        "width", (F.col("hi") - F.col("lo")) / F.lit(float(HIST_BINS))
     )
-    width = (F.col("hi") - F.col("lo")) / F.lit(float(HIST_BINS))
     bin_of = F.when(F.col("width") == 0.0, F.lit(0)).otherwise(
         F.least(
             F.floor((F.col("value") - F.col("lo")) / F.col("width")),
@@ -788,13 +789,13 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     counts = (
-        ev.join(F.broadcast(bounds.withColumn("width", width)), "event_type")
+        ev.join(F.broadcast(bounds), "event_type")
         .select("event_type", bin_of.cast("int").alias("bin"))
         .groupBy("event_type", "bin")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
     spine = (
-        bounds.withColumn("width", width)
+        bounds
         .select(
             "event_type",
             "lo",

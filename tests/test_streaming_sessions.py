@@ -85,7 +85,7 @@ def _run_stream(spark, tmp_path, name, batches):
         .outputMode("append")
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not drain"
     return spark.sql(f"SELECT * FROM {name}").collect()
 
 

@@ -368,7 +368,7 @@ def test_health_report_rows_match_constituents(spark, sf_dir):
         assert (g.cusum_alarms, g.last_alarm) == tuple(alarms[t])
 
 
-def test_holt_tracks_planted_linear_trend(spark):
+def test_holt_tracks_planted_linear_trend(spark, tmp_path):
     """On y_t = 10 + 2t (exact integers, hourly buckets) the truncated
     Holt state must (a) equal the Python recomputation of the SAME
     truncated weighted sums exactly (one 6dp rounding apart), (b) sit
@@ -395,10 +395,8 @@ def test_holt_tracks_planted_linear_trend(spark):
         "ts",
         F.to_timestamp(F.lit("2024-01-01 00:00:00")) + F.make_interval(hours=F.col("event_id")),
     )
-    import tempfile
-
-    d = tempfile.mkdtemp()
-    ev.write.mode("overwrite").parquet(d + "/events.parquet")
+    d = str(tmp_path / "sf")
+    ev.write.parquet(d + "/events.parquet")
     rows = sorted(holt_forecast(spark, d).collect(), key=lambda r: r.bucket)
     assert len(rows) == n
     # rows before full history are NULL
