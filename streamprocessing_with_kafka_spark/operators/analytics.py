@@ -858,3 +858,112 @@ SELECT c_custkey, c_mktsegment, revenue,
 FROM ranked
 WINDOW w AS (ORDER BY revenue DESC, c_custkey ASC)
 """
+
+
+BASKET_MIN_SUPPORT = 2  # pairs must co-occur in >= this many orders
+BASKET_TOP_K = 50
+
+
+def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket analysis: which parts are bought TOGETHER --
+    pairwise co-occurrence with support, confidence, and lift, top-K by
+    lift.  The classic retail frequent-itemset primitive (the 2-itemset
+    level of Apriori; deeper levels iterate the same shape).
+
+    NO lineitem self-join: each order's sorted distinct part set emits
+    its own C(k,2) ordered pairs in place through a nested-transform
+    explode (the `events_type_overlap` marker pattern) -- per-order pair
+    count is bounded by basket size (<= C(13,2) here), so the explode is
+    a narrow map and the only corpus shuffles are the per-order
+    collect_set and the map-side-combinable pair count.  Part counts and
+    the 1-row order total broadcast back onto the |frequent pairs|
+    frame.  The DuckDB oracle uses the textbook self-join formulation --
+    two algorithms, one fixpoint.
+
+    lift = N * c_ab / (c_a * c_b) > 1 means the pair co-occurs more
+    than independence predicts; ties in the top-K break on (pa, pb)."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .dropDuplicates(["l_orderkey", "l_partkey"])
+    )
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("parts")
+    )
+    parts = F.col("parts")
+    pair_structs = F.flatten(
+        F.transform(
+            parts,
+            lambda x, i: F.transform(
+                F.slice(parts, i + 2, F.size(parts)),
+                lambda y: F.struct(x.alias("pa"), y.alias("pb")),
+            ),
+        )
+    )
+    pair_counts = (
+        per_order.select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.pa").alias("pa"), F.col("p.pb").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= BASKET_MIN_SUPPORT)
+    )
+    # part counts and the order total RE-aggregate from the per-order
+    # frame: all three consumers share its orderkey exchange (AQE plans
+    # ReusedExchange, pinned in test_plan_shapes.py), so the corpus
+    # scan+shuffle runs once
+    part_counts = (
+        per_order.select(F.explode("parts").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n_row = per_order.agg(F.count(F.lit(1)).alias("n_orders"))
+    scored = (
+        pair_counts.join(
+            F.broadcast(part_counts.select(F.col("l_partkey").alias("pa"), F.col("c").alias("c_a"))),
+            "pa",
+        )
+        .join(
+            F.broadcast(part_counts.select(F.col("l_partkey").alias("pb"), F.col("c").alias("c_b"))),
+            "pb",
+        )
+        .crossJoin(F.broadcast(n_row))
+        .select(
+            "pa",
+            "pb",
+            "c_ab",
+            F.round(F.col("c_ab") / F.col("n_orders").cast("double"), 6).alias("support"),
+            F.round(F.col("c_ab") / F.col("c_a").cast("double"), 6).alias("confidence_a_to_b"),
+            F.round(
+                (F.col("c_ab") * F.col("n_orders")).cast("double")
+                / (F.col("c_a") * F.col("c_b")).cast("double"),
+                6,
+            ).alias("lift"),
+        )
+    )
+    return (
+        scored.orderBy(F.col("lift").desc(), F.col("pa").asc(), F.col("pb").asc())
+        .limit(BASKET_TOP_K)
+    )
+
+
+BASKET_PART_PAIRS_SQL = f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pair_counts AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS c_ab
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {BASKET_MIN_SUPPORT}
+),
+part_counts AS (SELECT l_partkey, COUNT(*) AS c FROM li GROUP BY 1),
+n_row AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM li)
+SELECT pa, pb, c_ab,
+       {round_sql('c_ab / CAST(n_orders AS DOUBLE)', 6)} AS support,
+       {round_sql('c_ab / CAST(ca.c AS DOUBLE)', 6)} AS confidence_a_to_b,
+       {round_sql('CAST(c_ab * n_orders AS DOUBLE) / CAST(ca.c * cb.c AS DOUBLE)', 6)} AS lift
+FROM pair_counts
+JOIN part_counts ca ON ca.l_partkey = pa
+JOIN part_counts cb ON cb.l_partkey = pb
+CROSS JOIN n_row
+ORDER BY lift DESC, pa ASC, pb ASC
+LIMIT {BASKET_TOP_K}
+"""

@@ -918,6 +918,7 @@ def kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("cell"), F.col("v").alias("cv")
     )
     n_members = F.lit(None).cast("long")
+    prev = None
     for _ in range(KMEANS_ITERS):
         cents1 = cent.select(F.struct("cell", "cv").alias("c")).agg(
             F.sort_array(F.collect_list("c")).alias("cents")
@@ -952,6 +953,9 @@ def kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint()
         )
+        if prev is not None:
+            free_local_checkpoint(prev)  # superseded round's blocks
+        prev = cent
     return cent.select(
         "cell", "n_members", F.posexplode("cv").alias("dim", "value")
     )

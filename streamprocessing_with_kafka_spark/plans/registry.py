@@ -1171,6 +1171,14 @@ register(
     "|dup docs| rows, final aggregate |sources|-keyed",
 )(dedup.dedup_stats_by_source)
 register(
+    "basket_part_pairs",
+    analytics.BASKET_PART_PAIRS_SQL,
+    doc="market-basket 2-itemsets: per-order sorted part set explodes "
+    "its own C(k,2) pairs (no lineitem self-join), support/confidence/"
+    "lift on the frequent-pair frame, top-K by lift; oracle is the "
+    "textbook self-join -- two algorithms, one fixpoint",
+)(analytics.basket_part_pairs)
+register(
     "text_source_divergence",
     text.SOURCE_DIVERGENCE_SQL,
     doc="mixture monitoring: per-source unigram entropy + KL divergence "
@@ -1336,6 +1344,7 @@ PENDING_WINDOW = [
     "window_customer_quartiles",
     "dedup_stats_by_source",
     "text_source_divergence",
+    "basket_part_pairs",
 ]
 
 assert len(CORRECTNESS_WINDOW) == 50, len(CORRECTNESS_WINDOW)

@@ -79,3 +79,62 @@ def test_source_divergence_bounds_and_skew_ordering(spark, tmp_path):
         assert r.entropy <= math.log(r.n_terms) + 1e-9
     assert rows["skewed"].kl_from_corpus > rows["balanced"].kl_from_corpus
     assert rows["skewed"].entropy < rows["balanced"].entropy
+
+
+def test_basket_pairs_on_planted_orders(spark, tmp_path):
+    """Planted baskets with known co-occurrence: lift/support/confidence
+    arithmetic and the min-support gate, recomputed by hand."""
+    from streamprocessing_with_kafka_spark.operators.analytics import (
+        basket_part_pairs,
+    )
+
+    orders = [  # (orderkey, [parts])
+        (1, [10, 20]),
+        (2, [10, 20]),
+        (3, [10, 20, 30]),
+        (4, [10, 30]),
+        (5, [40]),
+    ]
+    rows = []
+    for ok, parts in orders:
+        for i, p in enumerate(parts):
+            rows.append((ok, p, 1, i, 1.0, 1.0, 0.0, 0.0, "N", "O",
+                         "2024-01-01 00:00:00"))
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, l_shipdate string",
+    ).selectExpr(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+        "l_linestatus", "CAST(l_shipdate AS TIMESTAMP) AS l_shipdate",
+    ).write.parquet(d + "/lineitem.parquet")
+    got = {(r.pa, r.pb): r for r in basket_part_pairs(spark, d).collect()}
+    # (10,20): 3 orders; (10,30): 2; (20,30): 1 -> below min support
+    assert set(got) == {(10, 20), (10, 30)}
+    n = 5
+    c10, c20, c30 = 4, 3, 2
+    r = got[(10, 20)]
+    assert r.c_ab == 3
+    assert r.support == round(3 / n, 6)
+    assert r.confidence_a_to_b == round(3 / c10, 6)
+    assert r.lift == round(3 * n / (c10 * c20), 6)
+    r = got[(10, 30)]
+    assert r.c_ab == 2 and r.lift == round(2 * n / (c10 * c30), 6)
+
+
+def test_basket_reuses_one_order_exchange(spark, sf_dir):
+    """The per-order aggregate feeds three consumers; the executed plan
+    must reuse its exchange (one corpus scan+shuffle), not re-derive it."""
+    from streamprocessing_with_kafka_spark.operators.analytics import (
+        basket_part_pairs,
+    )
+
+    df = basket_part_pairs(spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "ReusedExchange" in plan, plan
