@@ -244,3 +244,97 @@ FROM off
 
 
 EXPORT_PACKED_SQL = _export_packed_sql()
+
+
+def corpus_report_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CURATION-plane flagship: one row per source gluing the
+    corpus-monitoring family -- duplication pressure (MinHash cluster
+    dashboard), distributional drift (unigram entropy + KL from the
+    corpus), and heuristic quality (mean score + keep rate) -- the table
+    a data-curation operator reads before deciding what to ingest,
+    resample, or drop next run.
+
+    Composition contract (the `pipeline_events_health` pattern): every
+    constituent is the ALREADY-audited registered operator, glued by
+    source equi-joins on |sources|-sized frames; the oracle composes the
+    identical constituent SQL as CTEs, so the composed row can only be
+    right if every constituent is."""
+    from streamprocessing_with_kafka_spark.functions.numeric import dec_sum
+    from streamprocessing_with_kafka_spark.operators.dedup import (
+        dedup_stats_by_source,
+    )
+    from streamprocessing_with_kafka_spark.operators.text import (
+        quality_score,
+        source_divergence,
+    )
+    from streamprocessing_with_kafka_spark.sources.tables import load_table
+
+    stats = dedup_stats_by_source(spark, sf_dir)
+    div = source_divergence(spark, sf_dir).select(
+        "source", "n_tokens", "entropy", "kl_from_corpus"
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    q = (
+        quality_score(spark, sf_dir)
+        .join(docs, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.round(dec_sum("quality") / F.count(F.lit(1)).cast("double"), 6).alias(
+                "mean_quality"
+            ),
+            F.round(
+                F.sum(F.col("keep").cast("long")) / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("keep_frac"),
+        )
+    )
+    return (
+        stats.join(div, "source")
+        .join(q, "source")
+        .select(
+            "source",
+            "n_docs",
+            "drop_frac",
+            "n_clusters",
+            "n_tokens",
+            "entropy",
+            "kl_from_corpus",
+            "mean_quality",
+            "keep_frac",
+        )
+    )
+
+
+def _corpus_report_sql() -> str:
+    from streamprocessing_with_kafka_spark.functions.numeric import round_sql
+    from streamprocessing_with_kafka_spark.operators.dedup import (
+        DEDUP_STATS_BY_SOURCE_SQL,
+    )
+    from streamprocessing_with_kafka_spark.operators.text import (
+        QUALITY_SCORE_SQL,
+        SOURCE_DIVERGENCE_SQL,
+    )
+
+    mean_q = round_sql(
+        "CAST(CAST(SUM(CAST(quality AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)"
+        " / COUNT(*)",
+        6,
+    )
+    keep_f = round_sql("SUM(CASE WHEN keep THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE)", 6)
+    return f"""
+WITH stats AS ({DEDUP_STATS_BY_SOURCE_SQL}),
+div AS ({SOURCE_DIVERGENCE_SQL}),
+qs AS ({QUALITY_SCORE_SQL}),
+q AS (
+  SELECT source, {mean_q} AS mean_quality, {keep_f} AS keep_frac
+  FROM qs JOIN documents USING (doc_id)
+  GROUP BY source
+)
+SELECT stats.source, n_docs, drop_frac, n_clusters,
+       n_tokens, entropy, kl_from_corpus, mean_quality, keep_frac
+FROM stats JOIN div ON stats.source = div.source
+JOIN q ON stats.source = q.source
+"""
+
+
+CORPUS_REPORT_SQL = _corpus_report_sql()

@@ -1171,6 +1171,15 @@ register(
     "|dup docs| rows, final aggregate |sources|-keyed",
 )(dedup.dedup_stats_by_source)
 register(
+    "pipeline_corpus_report",
+    compose.CORPUS_REPORT_SQL,
+    doc="the curation-plane flagship: one row per source gluing "
+    "duplication pressure (dedup dashboard), distributional drift "
+    "(entropy + KL), and heuristic quality (mean score + keep rate) -- "
+    "already-audited constituents joined on |sources|-sized frames, "
+    "oracle composes the same constituent SQL as CTEs",
+)(compose.corpus_report_pipeline)
+register(
     "basket_part_pairs",
     analytics.BASKET_PART_PAIRS_SQL,
     doc="market-basket 2-itemsets: per-order sorted part set explodes "
@@ -1345,6 +1354,7 @@ PENDING_WINDOW = [
     "dedup_stats_by_source",
     "text_source_divergence",
     "basket_part_pairs",
+    "pipeline_corpus_report",
 ]
 
 assert len(CORRECTNESS_WINDOW) == 50, len(CORRECTNESS_WINDOW)

@@ -138,3 +138,25 @@ def test_basket_reuses_one_order_exchange(spark, sf_dir):
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
     assert "ReusedExchange" in plan, plan
+
+
+def test_corpus_report_rows_match_constituents(spark, sf_dir):
+    """The flagship's glued row must equal the constituent operators
+    queried independently (the composition contract)."""
+    from streamprocessing_with_kafka_spark.operators.compose import (
+        corpus_report_pipeline,
+    )
+    from streamprocessing_with_kafka_spark.operators.text import source_divergence
+
+    report = {r.source: r for r in corpus_report_pipeline(spark, sf_dir).collect()}
+    stats = {r.source: r for r in dedup_stats_by_source(spark, sf_dir).collect()}
+    div = {r.source: r for r in source_divergence(spark, sf_dir).collect()}
+    assert set(report) == set(stats) == set(div)
+    for src, r in report.items():
+        assert r.n_docs == stats[src].n_docs
+        assert r.drop_frac == stats[src].drop_frac
+        assert r.n_clusters == stats[src].n_clusters
+        assert r.entropy == div[src].entropy
+        assert r.kl_from_corpus == div[src].kl_from_corpus
+        assert 0.0 <= r.mean_quality <= 1.0
+        assert 0.0 <= r.keep_frac <= 1.0
