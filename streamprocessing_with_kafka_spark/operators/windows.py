@@ -845,3 +845,54 @@ SELECT s.event_type, s.bin, s.bin_lo, s.bin_hi,
        COALESCE(c.n_events, 0) AS n_events
 FROM spine s LEFT JOIN counts c ON s.event_type = c.event_type AND s.bin = c.bin
 """
+
+
+def value_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram per event type: bin edges at exact value
+    quantiles, so every bin holds ~the same row count -- the histogram
+    shape query optimizers keep as column statistics (equi-width shows
+    the distribution, equi-depth shows the quantile structure; the pair
+    is the standard stats page).
+
+    Edge computation is one percentile aggregate per type (full sort
+    per group -- fine on vocabulary-keyed groups; at 100 TB swap in
+    approx_percentile, same call shape, bounded error, exactly the
+    `events_value_percentiles` guidance). Edges broadcast back onto the
+    scan; bin = how many interior edges sit at or below the value (a
+    fixed-order fold over the HIST_BINS-1 edge array -- no per-row
+    search structure), then counts shuffle on the bounded (type, bin)
+    key. Duplicate quantile edges (heavy ties) yield empty bins by
+    construction rather than miscounts."""
+    ev = load_table(spark, sf_dir, "events")
+    qs = [i / HIST_BINS for i in range(1, HIST_BINS)]
+    edges = ev.groupBy("event_type").agg(
+        F.expr(
+            "percentile(value, array(" + ", ".join(repr(q) for q in qs) + "))"
+        ).alias("edges")
+    )
+    bin_of = F.aggregate(
+        F.col("edges"),
+        F.lit(0),
+        lambda acc, e: acc + F.when(F.col("value") >= e, 1).otherwise(0),
+    )
+    return (
+        ev.join(F.broadcast(edges), "event_type")
+        .select("event_type", bin_of.alias("bin"))
+        .groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+_ED_QS = ", ".join(repr(i / HIST_BINS) for i in range(1, HIST_BINS))
+
+VALUE_HISTOGRAM_EQUIDEPTH_SQL = f"""
+WITH edges AS (
+  SELECT event_type, quantile_cont(value, [{_ED_QS}]) AS edges
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       len(list_filter(edges, x -> e.value >= x)) AS bin,
+       COUNT(*) AS n_events
+FROM events e JOIN edges USING (event_type)
+GROUP BY 1, 2
+"""

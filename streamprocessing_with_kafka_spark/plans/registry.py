@@ -1147,6 +1147,14 @@ register(
     "left-joins the counts -- no corpus-sized join anywhere",
 )(windows.value_histogram)
 register(
+    "events_histogram_equidepth",
+    windows.VALUE_HISTOGRAM_EQUIDEPTH_SQL,
+    doc="equi-depth twin of events_histogram: bin edges at exact value "
+    "quantiles (per-type percentile aggregate, broadcast back), bin id "
+    "= fixed-order fold over the edge array, counts on a bounded key; "
+    "approx_percentile is the documented drop-in at fact scale",
+)(windows.value_histogram_equidepth)
+register(
     "graph_triangles",
     graph.TRIANGLE_CLUSTERING_SQL,
     doc="triangle count + degree + local clustering coefficient per user "
@@ -1355,6 +1363,7 @@ PENDING_WINDOW = [
     "text_source_divergence",
     "basket_part_pairs",
     "pipeline_corpus_report",
+    "events_histogram_equidepth",
 ]
 
 assert len(CORRECTNESS_WINDOW) == 50, len(CORRECTNESS_WINDOW)

@@ -100,3 +100,20 @@ def test_pagerank_uniform_on_regular_planted_graph(spark, tmp_path):
     got = {r.user_id: r.pagerank for r in pagerank(spark, d).collect()}
     assert set(got) == {1, 2, 3, 4}
     assert all(abs(v - 0.25) < 1e-5 for v in got.values()), got
+
+
+def test_equidepth_bins_are_balanced(spark, sf_dir):
+    """Equi-depth bins must partition each type's rows with near-equal
+    counts (within 1 of each other on continuous values) and cover all
+    HIST_BINS bin ids."""
+    from streamprocessing_with_kafka_spark.operators.windows import (
+        value_histogram_equidepth,
+    )
+
+    by_type: dict = {}
+    for r in value_histogram_equidepth(spark, sf_dir).collect():
+        by_type.setdefault(r.event_type, {})[r.bin] = r.n_events
+    assert by_type
+    for t, bins in by_type.items():
+        assert set(bins) == set(range(HIST_BINS)), (t, bins)
+        assert max(bins.values()) - min(bins.values()) <= 2, (t, bins)
