@@ -807,3 +807,82 @@ SELECT event_type, CAST(bucket AS TIMESTAMP) AS bucket, x,
 FROM hourly
 WINDOW w AS (PARTITION BY event_type ORDER BY bucket)
 """
+
+
+# --------------------------------------- CEP pattern match (A->B, no C)
+
+CEP_WINDOW_MINUTES = 30  # click -> purchase must close within this
+
+
+def cep_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style complex-event-processing: per user, emit
+    every purchase whose LATEST preceding click is (a) within
+    CEP_WINDOW_MINUTES and (b) not invalidated by an intervening
+    'error' event -- the "A then B within T, no C between" pattern that
+    CEP engines sell as a dedicated operator (SQL:2016
+    MATCH_RECOGNIZE; Flink CEP), here expressed as TWO running
+    conditional maxima on the one per-user sort window every
+    events operator shares.
+
+    The negation ("no C between") needs no anti-join: the pattern
+    matches iff the running-last error is OLDER than the running-last
+    click at the purchase row (both exact integer microseconds).  At
+    100 TB this is still one corpus shuffle on user_id; a streaming
+    deployment carries the same two timestamps as per-user state
+    (exactly the `streaming/attribution.py` shape, one more long).
+
+    Output: one row per matched purchase with the bound A/B events and
+    the gap."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    last_click_us = F.max(F.when(F.col("event_type") == "click", us)).over(w)
+    last_error_us = F.max(F.when(F.col("event_type") == "error", us)).over(w)
+    horizon_us = F.lit(CEP_WINDOW_MINUTES * 60 * 1_000_000)
+    tagged = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "ts",
+        us.alias("us"),
+        last_click_us.alias("click_us"),
+        last_error_us.alias("error_us"),
+    ).filter(F.col("event_type") == "purchase")
+    matched = tagged.filter(
+        F.col("click_us").isNotNull()
+        & (F.col("us") - F.col("click_us") <= horizon_us)
+        & (F.col("error_us").isNull() | (F.col("error_us") < F.col("click_us")))
+    )
+    return matched.select(
+        "user_id",
+        F.col("event_id").alias("purchase_event_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.timestamp_micros(F.col("click_us")).alias("click_ts"),
+        (F.col("us") - F.col("click_us")).alias("gap_us"),
+    )
+
+
+CEP_CLICK_PURCHASE_SQL = f"""
+WITH tagged AS (
+  SELECT user_id, event_id, event_type, ts, epoch_us(ts) AS us,
+         MAX(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
+           OVER w AS click_us,
+         MAX(CASE WHEN event_type = 'error' THEN epoch_us(ts) END)
+           OVER w AS error_us
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT user_id, event_id AS purchase_event_id, ts AS purchase_ts,
+       make_timestamp(click_us) AS click_ts,
+       us - click_us AS gap_us
+FROM tagged
+WHERE event_type = 'purchase'
+  AND click_us IS NOT NULL
+  AND us - click_us <= {CEP_WINDOW_MINUTES * 60 * 1_000_000}
+  AND (error_us IS NULL OR error_us < click_us)
+"""

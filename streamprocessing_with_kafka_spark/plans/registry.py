@@ -1204,6 +1204,14 @@ register(
     "contributions decimal-quantized so sums are order-independent",
 )(text.source_divergence)
 register(
+    "events_cep_match",
+    timeseries.CEP_CLICK_PURCHASE_SQL,
+    doc="MATCH_RECOGNIZE-style CEP: purchase preceded by a click within "
+    "30min with NO intervening error -- the negation needs no anti-join "
+    "(two running conditional maxima on the shared user sort window, "
+    "match iff last-error older than last-click); exact microseconds",
+)(timeseries.cep_click_purchase)
+register(
     "events_holt_forecast",
     timeseries.HOLT_FORECAST_SQL,
     doc="Holt linear-trend (double exponential smoothing) per type over "
@@ -1364,6 +1372,7 @@ PENDING_WINDOW = [
     "basket_part_pairs",
     "pipeline_corpus_report",
     "events_histogram_equidepth",
+    "events_cep_match",
 ]
 
 assert len(CORRECTNESS_WINDOW) == 50, len(CORRECTNESS_WINDOW)

@@ -463,6 +463,17 @@ def test_ewma_is_one_sort_window_pass(spark, sf_dir):
     assert "Join" not in plan, plan
 
 
+def test_cep_match_is_one_sort_window_pass(spark, sf_dir):
+    """The 'no C between' negation must NOT become an anti-join: both
+    running conditional maxima ride ONE user-keyed sort window -- one
+    hash exchange, no join of any kind."""
+    from streamprocessing_with_kafka_spark.operators import timeseries
+
+    plan = _plan(spark, timeseries.cep_click_purchase(spark, sf_dir))
+    assert _n_shuffles(plan) == 1, plan
+    assert "Join" not in plan, plan
+
+
 def test_containment_reuses_blocked_equi_join(spark, sf_dir):
     """Containment must pair through the shared-shingle EQUI join (the
     cached hash frame), never a cartesian/theta product."""

@@ -426,3 +426,43 @@ def test_holt_tracks_planted_linear_trend(spark, tmp_path):
     for t in range(HOLT_LAGS - 1, n):
         assert abs(rows[t].level - rec[t][0]) < 0.6
         assert abs(rows[t].trend - rec[t][1]) < 0.6
+
+
+def test_cep_pattern_semantics_on_planted_sequences(spark, tmp_path):
+    """A->B within T matches; A->C->B is killed by the intervening
+    error; a stale A does not match; B with no A does not match; an
+    error BEFORE the click does not kill the match."""
+    from streamprocessing_with_kafka_spark.operators.timeseries import (
+        cep_click_purchase,
+    )
+
+    rows = [
+        # user 1: clean click -> purchase (5 min) => MATCH
+        (10, "2024-01-01 10:00:00", 1, "click"),
+        (11, "2024-01-01 10:05:00", 1, "purchase"),
+        # user 2: click -> error -> purchase => NO match
+        (20, "2024-01-01 10:00:00", 2, "click"),
+        (21, "2024-01-01 10:02:00", 2, "error"),
+        (22, "2024-01-01 10:05:00", 2, "purchase"),
+        # user 3: click 31 min before purchase => NO match (stale)
+        (30, "2024-01-01 10:00:00", 3, "click"),
+        (31, "2024-01-01 10:31:00", 3, "purchase"),
+        # user 4: purchase with no click => NO match
+        (40, "2024-01-01 10:00:00", 4, "purchase"),
+        # user 5: error BEFORE the click does not invalidate => MATCH
+        (50, "2024-01-01 09:50:00", 5, "error"),
+        (51, "2024-01-01 10:00:00", 5, "click"),
+        (52, "2024-01-01 10:10:00", 5, "purchase"),
+    ]
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(
+        [(e, ts, u, t, 1.0, "{}") for (e, ts, u, t) in rows],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).selectExpr(
+        "event_id", "CAST(ts AS TIMESTAMP) AS ts", "user_id", "event_type",
+        "value", "props",
+    ).write.parquet(d + "/events.parquet")
+    got = {r.purchase_event_id: r for r in cep_click_purchase(spark, d).collect()}
+    assert set(got) == {11, 52}
+    assert got[11].gap_us == 5 * 60 * 1_000_000
+    assert got[52].gap_us == 10 * 60 * 1_000_000
