@@ -226,7 +226,7 @@ outliers AS (
   WHERE abs_dev > {MAD_K!r} * mad
   GROUP BY 1
 )
-SELECT event_type, n_events,
+SELECT event_type, CAST(n_events AS BIGINT) AS n_events,
        {round_sql('med', 6)} AS med,
        {round_sql('mad', 6)} AS mad,
        coalesce(n_outliers, 0) AS n_outliers,
@@ -885,4 +885,128 @@ WHERE event_type = 'purchase'
   AND click_us IS NOT NULL
   AND us - click_us <= {CEP_WINDOW_MINUTES * 60 * 1_000_000}
   AND (error_us IS NULL OR error_us < click_us)
+"""
+
+
+# ------------------------------- chi-squared independence (type x hour)
+
+def chi2_type_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-squared test of independence between event_type and
+    hour-of-day -- the distribution-shift / seasonality screen a corpus
+    monitor runs over categorical slices ("is traffic mix independent
+    of time?").
+
+    Scale design: the ONLY corpus work is one map-side-combinable
+    aggregate to the bounded contingency frame (|types| x 24 cells);
+    marginals come from windows over that tiny frame and the scalar
+    totals attach via the in-plan 1-row broadcast idiom (no driver
+    collect).  Expected counts use double multiply-then-divide (each op
+    correctly rounded -> engine-identical, and no BIGINT overflow at
+    any scale); per-cell terms are decimal-quantized before summing so
+    the statistic is partition-order independent.
+
+    Output: one row per event_type with its observed total, its
+    decimal-exact contribution to the statistic, and the shared
+    (chi2_total, dof) -- the monitoring-dashboard shape."""
+    ev = load_table(spark, sf_dir, "events")
+    # localCheckpoint the bounded contingency frame: it feeds the spine
+    # (twice), the cell join, and the totals -- without it each reuse
+    # re-derives the frame from a fresh corpus scan
+    observed = (
+        ev.groupBy("event_type", F.hour("ts").alias("hr"))
+        .agg(F.count(F.lit(1)).alias("obs"))
+        .localCheckpoint()
+    )
+    # densify: zero cells contribute their full expected count to the
+    # statistic (term = exp when obs = 0), so the spine of ALL
+    # (type, hour) combinations must exist -- a bounded vocab x 24
+    # cross of two tiny distinct frames, never the corpus
+    cells = (
+        observed.select("event_type")
+        .distinct()
+        .crossJoin(observed.select("hr").distinct())
+        .join(observed, ["event_type", "hr"], "left")
+        .withColumn("obs", F.coalesce(F.col("obs"), F.lit(0)))
+    )
+
+    totals = cells.agg(
+        F.sum("obs").alias("n"),
+        F.countDistinct("event_type").alias("n_types"),
+        F.countDistinct("hr").alias("n_hours"),
+    )
+    w_type = W.partitionBy("event_type")
+    w_hr = W.partitionBy("hr")
+    with_marg = (
+        cells.withColumn("row_tot", F.sum("obs").over(w_type))
+        .withColumn("col_tot", F.sum("obs").over(w_hr))
+        .crossJoin(F.broadcast(totals))
+    )
+    exp = (
+        F.col("row_tot").cast("double")
+        * F.col("col_tot").cast("double")
+        / F.col("n").cast("double")
+    )
+    diff = F.col("obs").cast("double") - exp
+    term = (diff * diff / exp).cast(DEC)
+    return (
+        with_marg.groupBy("event_type", "n_types", "n_hours")
+        .agg(
+            F.sum("obs").alias("n_events"),
+            F.sum(term).alias("contrib_dec"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            F.round(F.col("contrib_dec").cast("double"), 6).alias("chi2_contrib"),
+            F.round(
+                F.sum(F.col("contrib_dec")).over(W.partitionBy()).cast("double"), 6
+            ).alias("chi2_total"),
+            ((F.col("n_types") - 1) * (F.col("n_hours") - 1)).alias("dof"),
+        )
+    )
+
+
+CHI2_TYPE_HOUR_SQL = f"""
+WITH observed AS (
+  SELECT event_type, hour(ts) AS hr, COUNT(*) AS obs
+  FROM events GROUP BY 1, 2
+), cells AS (
+  SELECT s.event_type, s.hr, COALESCE(o.obs, 0) AS obs
+  FROM (SELECT t.event_type, h.hr
+        FROM (SELECT DISTINCT event_type FROM observed) t,
+             (SELECT DISTINCT hr FROM observed) h) s
+  LEFT JOIN observed o
+    ON s.event_type = o.event_type AND s.hr = o.hr
+), tot AS (
+  SELECT SUM(obs) AS n, COUNT(DISTINCT event_type) AS n_types,
+         COUNT(DISTINCT hr) AS n_hours
+  FROM cells
+), terms AS (
+  SELECT c.event_type, c.obs,
+         CAST(
+           (CAST(c.obs AS DOUBLE)
+              - CAST(SUM(c.obs) OVER (PARTITION BY c.event_type) AS DOUBLE)
+                * CAST(SUM(c.obs) OVER (PARTITION BY c.hr) AS DOUBLE)
+                / CAST(t.n AS DOUBLE))
+           * (CAST(c.obs AS DOUBLE)
+              - CAST(SUM(c.obs) OVER (PARTITION BY c.event_type) AS DOUBLE)
+                * CAST(SUM(c.obs) OVER (PARTITION BY c.hr) AS DOUBLE)
+                / CAST(t.n AS DOUBLE))
+           / (CAST(SUM(c.obs) OVER (PARTITION BY c.event_type) AS DOUBLE)
+                * CAST(SUM(c.obs) OVER (PARTITION BY c.hr) AS DOUBLE)
+                / CAST(t.n AS DOUBLE))
+         AS DECIMAL(28,10)) AS term,
+         t.n_types, t.n_hours
+  FROM cells c, tot t
+), per_type AS (
+  SELECT event_type, n_types, n_hours,
+         SUM(obs) AS n_events, SUM(term) AS contrib_dec
+  FROM terms GROUP BY 1, 2, 3
+)
+SELECT event_type, CAST(n_events AS BIGINT) AS n_events,
+       {round_sql("CAST(CAST(contrib_dec AS VARCHAR) AS DOUBLE)", 6)} AS chi2_contrib,
+       {round_sql("CAST(CAST(SUM(contrib_dec) OVER () AS VARCHAR) AS DOUBLE)", 6)}
+         AS chi2_total,
+       (n_types - 1) * (n_hours - 1) AS dof
+FROM per_type
 """

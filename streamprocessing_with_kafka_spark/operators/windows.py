@@ -896,3 +896,126 @@ SELECT e.event_type,
 FROM events e JOIN edges USING (event_type)
 GROUP BY 1, 2
 """
+
+
+# ---------------------------- interval concurrency (sweep-line, no sort)
+
+_DAY_US = 86_400 * 1_000_000
+
+
+def session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-day PEAK concurrent sessions -- the "how many users
+    were online at once" interval metric -- without a global sort.
+
+    The naive sweep-line is one totally-ordered running sum over every
+    session endpoint: a single-partition window that dies at scale.
+    Here each session [start, end) is split into PER-DAY segments (one
+    explode, bounded by days spanned), so the +1/-1 sweep partitions by
+    DAY: running sums order only within a day's endpoints, and the
+    day's peak is the max prefix.  Half-open semantics: a session
+    ending at instant t is NOT concurrent with one starting at t
+    (delta -1 sorts before +1 on ties); segment ends landing exactly on
+    midnight emit no -1 (the segment just fills the day).  Equal
+    (us, delta) rows are interchangeable, so the prefix-max is
+    deterministic under any tie permutation.
+
+    Output per day: peak_concurrency, n_active_sessions (sessions
+    touching the day), n_sessions_started (sessions beginning in it).
+    Session intervals come from the shared gap-based sessionizer
+    (session_end = last event + gap, the presence window)."""
+    sess = session_events(spark, sf_dir).select(
+        F.unix_micros(F.col("session_start").cast("timestamp")).alias("s_us"),
+        F.unix_micros(F.col("session_end").cast("timestamp")).alias("e_us"),
+        F.col("session_start"),
+        F.col("session_end"),
+    )
+    segs = sess.select(
+        "s_us",
+        "e_us",
+        F.explode(
+            F.sequence(
+                F.date_trunc("DAY", F.col("session_start")),
+                F.date_trunc(
+                    "DAY", F.timestamp_micros(F.col("e_us") - F.lit(1))
+                ),
+                F.expr("interval 1 day"),
+            )
+        ).alias("day"),
+    ).withColumn("d_start_us", F.unix_micros(F.col("day")))
+    pts = segs.select(
+        "day",
+        "s_us",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.greatest(F.col("s_us"), F.col("d_start_us")).alias("us"),
+                    F.lit(1).alias("delta"),
+                ),
+                F.struct(F.col("e_us").alias("us"), F.lit(-1).alias("delta")),
+            )
+        ).alias("p"),
+        "d_start_us",
+    ).select("day", "s_us", "p.us", "p.delta", "d_start_us")
+    pts = pts.filter(
+        (F.col("delta") == 1) | (F.col("us") < F.col("d_start_us") + _DAY_US)
+    )
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy("day")
+        .orderBy("us", "delta")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    run = pts.withColumn("c", F.sum("delta").over(w))
+    return run.groupBy("day").agg(
+        F.max("c").alias("peak_concurrency"),
+        F.count(F.when(F.col("delta") == 1, 1)).alias("n_active_sessions"),
+        F.count(
+            F.when((F.col("delta") == 1) & (F.col("us") == F.col("s_us")), 1)
+        ).alias("n_sessions_started"),
+    )
+
+
+SESSION_CONCURRENCY_SQL = f"""
+WITH flagged AS (
+  SELECT user_id, ts,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+         THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), numbered AS (
+  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM flagged
+), sessions AS (
+  SELECT user_id, MIN(ts) AS session_start,
+         MAX(ts) + INTERVAL '30 minutes' AS session_end
+  FROM numbered GROUP BY user_id, sess_id
+), segs AS (
+  SELECT epoch_us(session_start) AS s_us, epoch_us(session_end) AS e_us,
+         d.day, epoch_us(d.day) AS d_start_us
+  FROM sessions,
+       UNNEST(generate_series(
+         date_trunc('day', session_start),
+         date_trunc('day', session_end - INTERVAL 1 microsecond),
+         INTERVAL 1 day)) AS d(day)
+), pts AS (
+  SELECT day, s_us, GREATEST(s_us, d_start_us) AS us, 1 AS delta,
+         d_start_us FROM segs
+  UNION ALL
+  SELECT day, s_us, e_us, -1, d_start_us FROM segs
+  WHERE e_us < d_start_us + {_DAY_US}
+), run AS (
+  SELECT day, s_us, us, delta,
+         SUM(delta) OVER (PARTITION BY day ORDER BY us, delta
+                          ROWS UNBOUNDED PRECEDING) AS c
+  FROM pts
+)
+SELECT CAST(day AS TIMESTAMP) AS day,
+       CAST(MAX(c) AS BIGINT) AS peak_concurrency,
+       COUNT(CASE WHEN delta = 1 THEN 1 END) AS n_active_sessions,
+       COUNT(CASE WHEN delta = 1 AND us = s_us THEN 1 END)
+         AS n_sessions_started
+FROM run GROUP BY day
+"""

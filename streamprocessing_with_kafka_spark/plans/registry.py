@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from streamprocessing_with_kafka_spark.functions.numeric import dec_sum, dec_sum_sql
 from streamprocessing_with_kafka_spark.operators import (
     analytics,
+    bpe,
     bucketing,
     compose,
     crud,
@@ -28,6 +29,7 @@ from streamprocessing_with_kafka_spark.operators import (
     joins,
     multimodal,
     profile,
+    quality,
     sampling,
     similarity,
     sketches,
@@ -1204,6 +1206,79 @@ register(
     "contributions decimal-quantized so sums are order-independent",
 )(text.source_divergence)
 register(
+    "quality_report",
+    quality.QUALITY_REPORT_SQL,
+    doc="Deequ-shaped constraint audit: completeness / PK-uniqueness / "
+    "domain / bounds / FK-containment over orders + documents, each "
+    "table ONE map-side-combinable aggregate pass; the FK check joins "
+    "key projections only (keys shuffle, rows never move)",
+)(quality.quality_report)
+register(
+    "join_fuzzy_names",
+    quality.FUZZY_NAME_PAIRS_SQL,
+    doc="edit-distance<=1 similarity self-join via FastSS deletion-"
+    "neighborhood blocking: variant equi-join (recall exactly 1) + "
+    "levenshtein verify, never a cross join; oracle runs the brute-"
+    "force quadratic join so parity proves the recall claim",
+)(quality.fuzzy_name_pairs)
+register(
+    "privacy_k_anonymity",
+    quality.K_ANONYMITY_SQL,
+    doc="k-anonymity audit over the (nation, segment) quasi-identifier "
+    "tuple: equivalence-class sizes, k-violation flag, 1/size re-"
+    "identification risk; one bounded-key map-side-combinable groupBy",
+)(quality.k_anonymity_audit)
+register(
+    "events_chi2_independence",
+    timeseries.CHI2_TYPE_HOUR_SQL,
+    doc="Pearson chi-squared independence of event_type x hour-of-day: "
+    "one aggregate to the bounded contingency frame, marginals via "
+    "windows on that tiny frame, scalar totals via 1-row broadcast; "
+    "per-cell terms decimal-quantized so the statistic is order-free",
+)(timeseries.chi2_type_hour)
+register(
+    "events_concurrency",
+    windows.SESSION_CONCURRENCY_SQL,
+    doc="exact per-day peak concurrent sessions WITHOUT a global sort: "
+    "sessions split into per-day segments (one bounded explode), the "
+    "+1/-1 sweep runs as a DAY-partitioned running sum, peak = max "
+    "prefix; half-open tie semantics pinned (-1 sorts before +1)",
+)(windows.session_concurrency)
+register(
+    "text_bpe_train",
+    bpe.BPE_TRAIN_SQL,
+    doc="distributed BPE tokenizer training (Sennrich 2016): corpus "
+    "touched ONCE (word-freq aggregate), then fixed unrolled merge "
+    "rounds on the vocabulary frame -- bounded pair-count shuffle, "
+    "deterministic argmin winner via 1-row broadcast, in-plan left "
+    "fold merge (F.aggregate == DuckDB list_reduce); all-integer "
+    "state, bit-identical across engines",
+)(bpe.bpe_train)
+register(
+    "text_bpe_encode",
+    bpe.BPE_ENCODE_SQL,
+    doc="encode the corpus with the corpus-trained BPE merges: per-doc "
+    "token count + chars-per-token fertility; segmentation lives on "
+    "the vocab frame (word -> |symbols|), corpus words equi-join that "
+    "map and sum per doc -- the corpus never re-runs the folds",
+)(bpe.bpe_encode)
+register(
+    "quality_benford",
+    quality.BENFORD_AUDIT_SQL,
+    doc="Benford first-significant-digit audit of o_totalprice (the "
+    "fabricated-numbers screen): digit extracted with INTEGER "
+    "arithmetic only (no libm log10 on the data path), one 9-key "
+    "map-side-combinable aggregate + a 9-row window for shares",
+)(quality.benford_audit)
+register(
+    "pipeline_quality_gate",
+    quality.QUALITY_GATE_SQL,
+    doc="the quality-plane release gate: uniform (audit, check, metric, "
+    "passed) rows composing the set-level constraint report, the "
+    "Benford MAD fraud screen, and the k-anonymity at-risk share -- "
+    "summaries aggregate bounded frames, no corpus work beyond parts",
+)(quality.quality_gate)
+register(
     "events_cep_match",
     timeseries.CEP_CLICK_PURCHASE_SQL,
     doc="MATCH_RECOGNIZE-style CEP: purchase preceded by a click within "
@@ -1373,6 +1448,15 @@ PENDING_WINDOW = [
     "pipeline_corpus_report",
     "events_histogram_equidepth",
     "events_cep_match",
+    "quality_report",
+    "join_fuzzy_names",
+    "privacy_k_anonymity",
+    "events_chi2_independence",
+    "events_concurrency",
+    "text_bpe_train",
+    "text_bpe_encode",
+    "quality_benford",
+    "pipeline_quality_gate",
 ]
 
 assert len(CORRECTNESS_WINDOW) == 50, len(CORRECTNESS_WINDOW)

@@ -463,6 +463,53 @@ def test_ewma_is_one_sort_window_pass(spark, sf_dir):
     assert "Join" not in plan, plan
 
 
+def test_fuzzy_join_is_equi_blocked(spark, sf_dir):
+    """The deletion-neighborhood self-join must be an EQUI join on the
+    variant string -- never a cartesian/nested-loop pair scan."""
+    from streamprocessing_with_kafka_spark.operators import quality
+
+    plan = _plan(spark, quality.fuzzy_name_pairs(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_quality_report_is_aggregate_only(spark, sf_dir):
+    """Single-table constraints are one aggregate pass per table; the FK
+    check joins key projections only. No theta joins, and the FK-side
+    orders scan must prune to the single key column."""
+    from streamprocessing_with_kafka_spark.operators import quality
+
+    plan = _plan(spark, quality.quality_report(spark, sf_dir), "formatted")
+    assert "CartesianProduct" not in plan, plan
+    # exactly ONE nested-loop join is allowed: the broadcast crossJoin
+    # attaching the 1-row fk aggregate (the in-plan-scalar idiom)
+    assert plan.count("(") and plan.count("BroadcastNestedLoopJoin Cross") == 1, plan
+    assert "ReadSchema: struct<o_custkey:bigint>" in plan, plan
+
+
+def test_k_anonymity_is_one_bounded_aggregate(spark, sf_dir):
+    """One map-side-combinable groupBy on the bounded QI domain -- one
+    shuffle, no joins, nothing else touches the table."""
+    from streamprocessing_with_kafka_spark.operators import quality
+
+    plan = _plan(spark, quality.k_anonymity_audit(spark, sf_dir))
+    assert _n_shuffles(plan) == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_chi2_scans_events_once(spark, sf_dir):
+    """All corpus work is the single eager aggregate into the
+    checkpointed contingency frame; the final plan must run ENTIRELY on
+    that bounded frame (no parquet rescans for the spine/marginals/
+    totals reuses) and never via a cartesian pair scan."""
+    from streamprocessing_with_kafka_spark.operators import timeseries
+
+    plan = _plan(spark, timeseries.chi2_type_hour(spark, sf_dir), "formatted")
+    assert "Scan parquet" not in plan, plan  # corpus scanned once, eagerly
+    assert "Scan ExistingRDD" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
 def test_cep_match_is_one_sort_window_pass(spark, sf_dir):
     """The 'no C between' negation must NOT become an anti-join: both
     running conditional maxima ride ONE user-keyed sort window -- one
@@ -604,3 +651,15 @@ def test_runtime_bloom_filter_prunes_shuffle_join_fact_side(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_concurrency_sweep_partitions_by_day(spark, sf_dir):
+    """The sweep must never be a single global sort: the running-sum
+    window partitions by day, and the final day aggregate reuses that
+    partitioning (2 shuffles total: sessionize + day)."""
+    from streamprocessing_with_kafka_spark.operators import windows
+
+    plan = _plan(spark, windows.session_concurrency(spark, sf_dir))
+    assert _n_shuffles(plan) == 2, plan
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "Join" not in plan, plan

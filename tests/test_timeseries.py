@@ -466,3 +466,72 @@ def test_cep_pattern_semantics_on_planted_sequences(spark, tmp_path):
     assert set(got) == {11, 52}
     assert got[11].gap_us == 5 * 60 * 1_000_000
     assert got[52].gap_us == 10 * 60 * 1_000_000
+
+
+def test_chi2_matches_python_recompute_and_detects_dependence(spark, tmp_path):
+    """Planted dependent table (type a only at hour 0, type b only at
+    hour 1) must produce the textbook chi2 = N for a 2x2 extreme; and
+    the statistic must equal an independent Python recompute."""
+    from streamprocessing_with_kafka_spark.operators.timeseries import (
+        chi2_type_hour,
+    )
+
+    rows = []
+    eid = 0
+    for _ in range(30):
+        rows.append((eid, "2024-01-01 00:15:00", 1, "a", 1.0, "{}")); eid += 1
+    for _ in range(20):
+        rows.append((eid, "2024-01-01 01:15:00", 1, "b", 1.0, "{}")); eid += 1
+    d = str(tmp_path / "chi")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).selectExpr(
+        "event_id", "CAST(ts AS TIMESTAMP) AS ts", "user_id", "event_type",
+        "value", "props",
+    ).write.parquet(d + "/events.parquet")
+    out = {r.event_type: r for r in chi2_type_hour(spark, d).collect()}
+    # perfectly dependent 2x2 -> chi2 == N, dof == 1
+    assert out["a"].dof == 1
+    assert abs(out["a"].chi2_total - 50.0) < 1e-6
+    assert out["a"].chi2_total == out["b"].chi2_total
+    # python recompute of the contributions
+    n, ra, rb, c0, c1 = 50, 30, 20, 30, 20
+    exp = {("a", 0): ra * c0 / n, ("a", 1): ra * c1 / n,
+           ("b", 0): rb * c0 / n, ("b", 1): rb * c1 / n}
+    obs = {("a", 0): 30, ("a", 1): 0, ("b", 0): 0, ("b", 1): 20}
+    contrib_a = sum((obs[k] - exp[k]) ** 2 / exp[k] for k in exp if k[0] == "a")
+    assert abs(out["a"].chi2_contrib - round(contrib_a, 6)) < 1e-9
+    assert out["a"].n_events == 30 and out["b"].n_events == 20
+
+
+def test_session_concurrency_planted_intervals(spark, tmp_path):
+    """Known session overlap: three sessions overlapping at 10:29 give
+    peak 3; a session starting EXACTLY when another ends is not
+    concurrent with it (half-open); a session crossing midnight is
+    active-but-not-started on day 2."""
+    from streamprocessing_with_kafka_spark.operators.windows import (
+        session_concurrency,
+    )
+
+    rows = [
+        (1, "2024-01-01 10:00:00", 1),  # session [10:00, 10:30)
+        (2, "2024-01-01 10:10:00", 2),  # [10:10, 10:40)
+        (3, "2024-01-01 10:29:00", 3),  # [10:29, 10:59) -> 3 overlap here
+        (4, "2024-01-01 10:30:00", 5),  # [10:30, 11:00): u1 just ended
+        (5, "2024-01-01 23:50:00", 4),  # [23:50, 00:20 next day)
+    ]
+    d = str(tmp_path / "conc")
+    spark.createDataFrame(
+        [(e, ts, u, "click", 1.0, "{}") for (e, ts, u) in rows],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).selectExpr(
+        "event_id", "CAST(ts AS TIMESTAMP) AS ts", "user_id", "event_type",
+        "value", "props",
+    ).write.parquet(d + "/events.parquet")
+    out = {str(r.day): r for r in session_concurrency(spark, d).collect()}
+    assert len(out) == 2
+    d1 = out["2024-01-01 00:00:00"]
+    assert (d1.peak_concurrency, d1.n_active_sessions, d1.n_sessions_started) == (3, 5, 5)
+    d2 = out["2024-01-02 00:00:00"]
+    assert (d2.peak_concurrency, d2.n_active_sessions, d2.n_sessions_started) == (1, 1, 0)
