@@ -967,3 +967,216 @@ CROSS JOIN n_row
 ORDER BY lift DESC, pa ASC, pb ASC
 LIMIT {BASKET_TOP_K}
 """
+
+
+# ------------------------------------------- RFM customer segmentation
+
+RFM_QUARTILES = (0.25, 0.5, 0.75)
+
+
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) quartile segmentation of
+    customers from their order history -- the classic marketing-
+    analytics rollup (segment '444' = recent, frequent, big spenders).
+
+    Per-customer stats are ONE map-side-combinable aggregate over
+    orders (the only corpus shuffle); recency is exact INTEGER
+    epoch-day arithmetic against the corpus max date (1-row broadcast
+    -- the dayofweek/div traps documented on events_seasonality apply
+    here too); quartile edges come from one exact-percentile aggregate
+    over the customer frame (approx_percentile is the 100 TB swap) and
+    broadcast back; scores are pure comparisons (recency reversed:
+    recent = high).  Output: one row per (r, f, m) segment with
+    customer count and exact-decimal average spend -- <= 64 rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    day = "unix_micros(CAST({} AS TIMESTAMP)) div 86400000000"
+    cust = orders.groupBy("o_custkey").agg(
+        F.max(F.expr(day.format("o_orderdate"))).alias("last_day"),
+        F.count(F.lit(1)).alias("frequency"),
+        dec_sum("o_totalprice").alias("monetary"),
+    )
+    maxd = orders.agg(
+        F.max(F.expr(day.format("o_orderdate"))).alias("max_day")
+    )
+    # checkpoint: cust feeds BOTH the edges aggregate and the scoring
+    # pass -- without it each consumer re-derives it from a fresh
+    # orders scan
+    cust = (
+        cust.crossJoin(F.broadcast(maxd))
+        .withColumn("recency", F.col("max_day") - F.col("last_day"))
+        .localCheckpoint()
+    )
+    edges = cust.agg(
+        *[
+            F.expr(f"percentile({c}, {q!r})").alias(f"{c}_q{i}")
+            for c in ("recency", "frequency", "monetary")
+            for i, q in enumerate(RFM_QUARTILES, 1)
+        ]
+    )
+    scored = cust.crossJoin(F.broadcast(edges))
+
+    def up_score(c):  # higher value -> higher score
+        return (
+            F.lit(1)
+            + (F.col(c) > F.col(f"{c}_q1")).cast("int")
+            + (F.col(c) > F.col(f"{c}_q2")).cast("int")
+            + (F.col(c) > F.col(f"{c}_q3")).cast("int")
+        )
+
+    def down_score(c):  # lower value (recent) -> higher score
+        return (
+            F.lit(1)
+            + (F.col(c) <= F.col(f"{c}_q3")).cast("int")
+            + (F.col(c) <= F.col(f"{c}_q2")).cast("int")
+            + (F.col(c) <= F.col(f"{c}_q1")).cast("int")
+        )
+
+    return (
+        scored.select(
+            down_score("recency").alias("r_score"),
+            up_score("frequency").alias("f_score"),
+            up_score("monetary").alias("m_score"),
+            "monetary",
+        )
+        .groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(
+                dec_sum("monetary") / F.count(F.lit(1)).cast("double"), 6
+            ).alias("avg_monetary"),
+        )
+    )
+
+
+def _rfm_sql() -> str:
+    day = "epoch_us(CAST({} AS TIMESTAMP)) // 86400000000"
+    edge_cols = ", ".join(
+        f"quantile_cont({c}, {q!r}) AS {c}_q{i}"
+        for c in ("recency", "frequency", "monetary")
+        for i, q in enumerate(RFM_QUARTILES, 1)
+    )
+    up = (
+        "1 + CAST({c} > {c}_q1 AS INT) + CAST({c} > {c}_q2 AS INT)"
+        " + CAST({c} > {c}_q3 AS INT)"
+    )
+    down = (
+        "1 + CAST({c} <= {c}_q3 AS INT) + CAST({c} <= {c}_q2 AS INT)"
+        " + CAST({c} <= {c}_q1 AS INT)"
+    )
+    return f"""
+WITH cust AS (
+  SELECT o_custkey,
+         MAX({day.format('o_orderdate')}) AS last_day,
+         COUNT(*) AS frequency,
+         {dec_sum_sql('o_totalprice')} AS monetary
+  FROM orders GROUP BY 1
+), maxd AS (
+  SELECT MAX({day.format('o_orderdate')}) AS max_day FROM orders
+), cust2 AS (
+  SELECT c.*, m.max_day - c.last_day AS recency FROM cust c, maxd m
+), edges AS (
+  SELECT {edge_cols} FROM cust2
+), scored AS (
+  SELECT {down.format(c='recency')} AS r_score,
+         {up.format(c='frequency')} AS f_score,
+         {up.format(c='monetary')} AS m_score,
+         monetary
+  FROM cust2, edges
+)
+SELECT r_score, f_score, m_score, COUNT(*) AS n_customers,
+       {round_sql("CAST(CAST(SUM(CAST(monetary AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) / COUNT(*)::DOUBLE", 6)}
+         AS avg_monetary
+FROM scored GROUP BY 1, 2, 3
+"""
+
+
+RFM_SEGMENTS_SQL = _rfm_sql()
+
+
+# ---------------------------------- revenue concentration (Gini/Pareto)
+
+TOP_SHARE_PCT = 0.1  # "do the top 10% of customers carry the revenue?"
+
+
+def revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration diagnostics over customer spend: exact
+    Gini coefficient (sort-based formula G = (2*SUM(i*x_i))/(n*SUM(x))
+    - (n+1)/n over ascending spend) and the revenue share of the top
+    TOP_SHARE_PCT customers -- the Pareto dashboard for 'how skewed is
+    our demand', feeding the same salting/broadcast decisions as
+    profile_key_skew but in value terms.
+
+    One corpus aggregate to per-customer spend; the rank window and
+    both decimal sums run on the customer frame.  Rank ties break on
+    customer key, but G is tie-permutation invariant (equal x_i swap
+    freely in SUM(i*x_i)); i*x_i products quantize to DECIMAL before
+    summing so the statistic is partition-order independent.  Output:
+    one row (n_customers, total_revenue, gini, top_share)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = orders.groupBy("o_custkey").agg(
+        dec_sum("o_totalprice").alias("spend")
+    )
+    # the global rank is the sort-based Gini formula's requirement; at
+    # 100 TB replace with two-phase ranking (per-partition ranks +
+    # range-partitioned offsets). checkpoint: ranked feeds both sums
+    # and the top-slice filter
+    w = W.orderBy(F.asc("spend"), F.asc("o_custkey"))
+    ranked = cust.withColumn("i", F.row_number().over(w)).localCheckpoint()
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("spend").cast(DEC)).alias("total"),
+        F.sum(
+            (F.col("i").cast("double") * F.col("spend")).cast(DEC)
+        ).alias("iw_sum"),
+    )
+    n_d = F.col("n").cast("double")
+    gini = (
+        F.lit(2.0) * F.col("iw_sum").cast("double")
+        / (n_d * F.col("total").cast("double"))
+        - (n_d + F.lit(1.0)) / n_d
+    )
+    top_k = F.ceil(n_d * F.lit(TOP_SHARE_PCT)).cast("int")
+    top = ranked.crossJoin(F.broadcast(agg.select("n"))).filter(
+        F.col("i") > F.col("n") - F.ceil(
+            F.col("n").cast("double") * F.lit(TOP_SHARE_PCT)
+        ).cast("int")
+    ).agg(F.sum(F.col("spend").cast(DEC)).alias("top_sum"))
+    return (
+        agg.crossJoin(F.broadcast(top))
+        .select(
+            F.col("n").alias("n_customers"),
+            F.round(F.col("total").cast("double"), 2).alias("total_revenue"),
+            F.round(gini, 6).alias("gini"),
+            F.round(
+                F.col("top_sum").cast("double")
+                / F.col("total").cast("double"),
+                6,
+            ).alias("top_share"),
+        )
+    )
+
+
+REVENUE_CONCENTRATION_SQL = f"""
+WITH cust AS (
+  SELECT o_custkey, {dec_sum_sql('o_totalprice')} AS spend
+  FROM orders GROUP BY 1
+), ranked AS (
+  SELECT o_custkey, spend,
+         ROW_NUMBER() OVER (ORDER BY spend ASC, o_custkey ASC) AS i
+  FROM cust
+), agg AS (
+  SELECT COUNT(*) AS n,
+         CAST(CAST(SUM(CAST(spend AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS total,
+         CAST(CAST(SUM(CAST(i::DOUBLE * spend AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS iw_sum
+  FROM ranked
+), top AS (
+  SELECT CAST(CAST(SUM(CAST(r.spend AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS top_sum
+  FROM ranked r, agg a
+  WHERE r.i > a.n - CAST(CEIL(a.n::DOUBLE * {TOP_SHARE_PCT!r}) AS INT)
+)
+SELECT n AS n_customers,
+       {round_sql("total", 2)} AS total_revenue,
+       {round_sql("2.0 * iw_sum / (n::DOUBLE * total) - (n::DOUBLE + 1.0) / n::DOUBLE", 6)} AS gini,
+       {round_sql("top_sum / total", 6)} AS top_share
+FROM agg, top
+"""

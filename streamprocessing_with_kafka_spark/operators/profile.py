@@ -255,3 +255,72 @@ ORDER BY event_type
 
 
 PROFILE_DRIFT_SQL = _drift_sql()
+
+
+# ------------------------------------------------ join-key skew advisor
+
+SKEW_TOP_K = 10
+
+
+def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew diagnostics for the orders->customer join key: the heaviest
+    SKEW_TOP_K keys with their row share and per-key skew factor
+    (count / mean-rows-per-key) -- the evidence a planner (or an
+    engineer) needs to decide between plain hash join, AQE skew
+    handling, and explicit salting (`join_salted_skew` is the
+    treatment; this is the diagnosis).
+
+    Plan: one map-side-combinable count per key (the only corpus
+    shuffle), localCheckpointed because both the top-K and the scalar
+    totals re-read it; top-K = sort-limit on the counts frame (partial
+    TakeOrdered, never a full sort of all keys); scalars attach via the
+    1-row broadcast idiom."""
+    orders = load_table(spark, sf_dir, "orders")
+    counts = (
+        orders.groupBy(F.col("o_custkey").alias("key"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint()
+    )
+    totals = counts.agg(
+        F.sum("cnt").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+    )
+    # materialize the top-K BEFORE the scalar crossJoin: left under a
+    # join, Catalyst can strip the sort and degrade limit(K) to an
+    # arbitrary-K LocalLimit; the eager checkpoint pins the
+    # TakeOrderedAndProject execution
+    top = (
+        counts.orderBy(F.desc("cnt"), F.asc("key"))
+        .limit(SKEW_TOP_K)
+        .localCheckpoint()
+    )
+    mean_per_key = F.col("n_rows").cast("double") / F.col("n_keys").cast("double")
+    return top.crossJoin(F.broadcast(totals)).select(
+        "key",
+        "cnt",
+        F.round(F.col("cnt").cast("double") / F.col("n_rows").cast("double"), 6).alias("share"),
+        "n_rows",
+        "n_keys",
+        F.round(mean_per_key, 6).alias("mean_per_key"),
+        F.round(F.col("cnt").cast("double") / mean_per_key, 6).alias("skew_factor"),
+    )
+
+
+from streamprocessing_with_kafka_spark.functions.numeric import round_sql  # noqa: E402
+
+KEY_SKEW_SQL = f"""
+WITH counts AS (
+  SELECT o_custkey AS key, COUNT(*) AS cnt FROM orders GROUP BY 1
+), totals AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows, COUNT(*) AS n_keys FROM counts
+), top AS (
+  SELECT key, cnt FROM counts ORDER BY cnt DESC, key ASC LIMIT {SKEW_TOP_K}
+)
+SELECT key, cnt,
+       {round_sql("cnt::DOUBLE / n_rows::DOUBLE", 6)} AS share,
+       n_rows, n_keys,
+       {round_sql("n_rows::DOUBLE / n_keys::DOUBLE", 6)} AS mean_per_key,
+       {round_sql("cnt::DOUBLE / (n_rows::DOUBLE / n_keys::DOUBLE)", 6)}
+         AS skew_factor
+FROM top, totals
+"""

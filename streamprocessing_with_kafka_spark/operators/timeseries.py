@@ -1010,3 +1010,95 @@ SELECT event_type, CAST(n_events AS BIGINT) AS n_events,
        (n_types - 1) * (n_hours - 1) AS dof
 FROM per_type
 """
+
+
+# ------------------------------- seasonal profile (hour x day-of-week)
+
+def seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type seasonal indices over the (day-of-week, hour-of-day)
+    grid: cell mean value, plus hour-of-day and day-of-week indices
+    (band mean / type mean) -- the seasonal-naive decomposition a
+    monitor needs before flagging 'low traffic' at 4am as an anomaly.
+
+    dow computes as INTEGER arithmetic on epoch days ((days + 3) % 7,
+    0 = Monday): Spark's dayofweek() and DuckDB's dayofweek() disagree
+    on both origin and range, so neither touches the data path.  One
+    map-side-combinable aggregate to the bounded (type, dow, hour)
+    frame (<= |types| x 168 rows); every band statistic is a window
+    over that tiny frame re-aggregating EXACT decimal sums, so indices
+    are partition-order independent."""
+    ev = load_table(spark, sf_dir, "events")
+    # integer DIV, not cast-of-true-division: Spark's long cast
+    # truncates where DuckDB's BIGINT cast rounds-to-nearest
+    dow = (
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000")
+        + F.lit(3)
+    ) % F.lit(7)
+    cells = ev.groupBy(
+        "event_type",
+        dow.alias("dow"),
+        F.hour("ts").alias("hr"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast(DEC)).alias("s"),
+    )
+    w_type = W.partitionBy("event_type")
+    w_hr = W.partitionBy("event_type", "hr")
+    w_dow = W.partitionBy("event_type", "dow")
+
+    def mean(s_col, n_col):
+        return s_col.cast("double") / n_col.cast("double")
+
+    enriched = (
+        cells.withColumn("type_s", F.sum("s").over(w_type))
+        .withColumn("type_n", F.sum("n").over(w_type))
+        .withColumn("hr_s", F.sum("s").over(w_hr))
+        .withColumn("hr_n", F.sum("n").over(w_hr))
+        .withColumn("dow_s", F.sum("s").over(w_dow))
+        .withColumn("dow_n", F.sum("n").over(w_dow))
+    )
+    type_mean = mean(F.col("type_s"), F.col("type_n"))
+    return enriched.select(
+        "event_type",
+        "dow",
+        "hr",
+        "n",
+        F.round(mean(F.col("s"), F.col("n")), 6).alias("cell_mean"),
+        F.round(mean(F.col("hr_s"), F.col("hr_n")) / type_mean, 6).alias(
+            "hour_index"
+        ),
+        F.round(mean(F.col("dow_s"), F.col("dow_n")) / type_mean, 6).alias(
+            "dow_index"
+        ),
+    )
+
+
+_SEAS_DEC = "CAST(CAST({} AS VARCHAR) AS DOUBLE)"
+
+SEASONALITY_PROFILE_SQL = f"""
+WITH cells AS (
+  SELECT event_type,
+         ((epoch_us(ts) // 86400000000) + 3) % 7 AS dow,
+         hour(ts) AS hr,
+         COUNT(*) AS n,
+         SUM(CAST(value AS DECIMAL(28,10))) AS s
+  FROM events GROUP BY 1, 2, 3
+), enriched AS (
+  SELECT event_type, dow, hr, n,
+         {_SEAS_DEC.format('s')} AS s_d,
+         {_SEAS_DEC.format('SUM(s) OVER (PARTITION BY event_type)')} AS type_s,
+         SUM(n) OVER (PARTITION BY event_type) AS type_n,
+         {_SEAS_DEC.format('SUM(s) OVER (PARTITION BY event_type, hr)')} AS hr_s,
+         SUM(n) OVER (PARTITION BY event_type, hr) AS hr_n,
+         {_SEAS_DEC.format('SUM(s) OVER (PARTITION BY event_type, dow)')} AS dow_s,
+         SUM(n) OVER (PARTITION BY event_type, dow) AS dow_n
+  FROM cells
+)
+SELECT event_type, dow, hr, n,
+       {round_sql("s_d / n::DOUBLE", 6)} AS cell_mean,
+       {round_sql("(hr_s / hr_n::DOUBLE) / (type_s / type_n::DOUBLE)", 6)}
+         AS hour_index,
+       {round_sql("(dow_s / dow_n::DOUBLE) / (type_s / type_n::DOUBLE)", 6)}
+         AS dow_index
+FROM enriched
+"""

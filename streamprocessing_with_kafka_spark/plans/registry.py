@@ -1279,6 +1279,47 @@ register(
     "summaries aggregate bounded frames, no corpus work beyond parts",
 )(quality.quality_gate)
 register(
+    "events_seasonality",
+    timeseries.SEASONALITY_PROFILE_SQL,
+    doc="per-type seasonal indices over the (dow, hour) grid: one "
+    "aggregate to the bounded cell frame, band windows re-aggregate "
+    "EXACT decimal sums; dow = integer epoch-day arithmetic because "
+    "Spark and DuckDB dayofweek() disagree on origin and range",
+)(timeseries.seasonality_profile)
+register(
+    "profile_key_skew",
+    profile.KEY_SKEW_SQL,
+    doc="join-key skew advisor: heaviest keys with row share and "
+    "per-key skew factor (diagnosis for AQE-skew/salting; "
+    "join_salted_skew is the treatment); one corpus count shuffle, "
+    "checkpointed counts feed partial top-K + 1-row broadcast totals",
+)(profile.key_skew_profile)
+register(
+    "events_rolling_wau",
+    windows.ROLLING_WAU_SQL,
+    doc="exact trailing-7-day distinct users per day (rolling WAU): "
+    "sliding distinct does not decompose over overlapping frames, so "
+    "the corpus collapses to distinct (user, day) pairs once and the "
+    "TINY pair frame fans x7 onto report days; per-day HLL union is "
+    "the documented sketch swap-in at 100 TB",
+)(windows.rolling_wau)
+register(
+    "agg_rfm_segments",
+    analytics.RFM_SEGMENTS_SQL,
+    doc="RFM quartile segmentation of customers from order history: "
+    "one corpus aggregate to per-customer stats, integer epoch-day "
+    "recency vs a 1-row broadcast max date, exact-percentile edges "
+    "broadcast back, pure-comparison scores; <= 64 segment rows",
+)(analytics.rfm_segments)
+register(
+    "agg_revenue_concentration",
+    analytics.REVENUE_CONCENTRATION_SQL,
+    doc="Pareto dashboard: exact Gini over per-customer spend (sort-"
+    "based formula, tie-permutation invariant, decimal-quantized "
+    "rank-weighted sums) + top-decile revenue share; one corpus "
+    "aggregate, rank + sums on the checkpointed customer frame",
+)(analytics.revenue_concentration)
+register(
     "events_cep_match",
     timeseries.CEP_CLICK_PURCHASE_SQL,
     doc="MATCH_RECOGNIZE-style CEP: purchase preceded by a click within "
@@ -1457,6 +1498,11 @@ PENDING_WINDOW = [
     "text_bpe_encode",
     "quality_benford",
     "pipeline_quality_gate",
+    "events_seasonality",
+    "profile_key_skew",
+    "events_rolling_wau",
+    "agg_rfm_segments",
+    "agg_revenue_concentration",
 ]
 
 assert len(CORRECTNESS_WINDOW) == 50, len(CORRECTNESS_WINDOW)

@@ -663,3 +663,56 @@ def test_concurrency_sweep_partitions_by_day(spark, sf_dir):
     assert _n_shuffles(plan) == 2, plan
     assert "Exchange SinglePartition" not in plan, plan
     assert "Join" not in plan, plan
+
+
+def test_seasonality_scans_events_once(spark, sf_dir):
+    """One corpus aggregate to the bounded (type, dow, hr) frame; all
+    band windows run on that frame -- no joins, single parquet scan."""
+    from streamprocessing_with_kafka_spark.operators import timeseries
+
+    plan = _plan(spark, timeseries.seasonality_profile(spark, sf_dir), "formatted")
+    # formatted mode prints each node twice (tree + detail section)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_key_skew_final_plan_is_checkpoint_only(spark, sf_dir):
+    """Counts and top-K are eagerly materialized (the top-K MUST
+    execute as TakeOrdered before the scalar join -- under the join
+    Catalyst can degrade it to an arbitrary LocalLimit); the final
+    plan runs on checkpoint RDDs with the 1-row broadcast attach."""
+    from streamprocessing_with_kafka_spark.operators import profile
+
+    plan = _plan(spark, profile.key_skew_profile(spark, sf_dir), "formatted")
+    assert "Scan parquet" not in plan, plan
+    assert "Scan ExistingRDD" in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin Cross") == 1, plan
+
+
+def test_rolling_wau_fans_out_pairs_not_corpus(spark, sf_dir):
+    """The x7 day fan-out must sit ABOVE the (user, day) distinct, so
+    the explode multiplies the tiny pair frame, not raw events; no
+    joins beyond the 1-row max-day broadcast."""
+    from streamprocessing_with_kafka_spark.operators import windows
+
+    plan = _plan(spark, windows.rolling_wau(spark, sf_dir))
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("Generate explode") == 1, plan
+    # explode must consume the aggregated (deduped) side: the plan
+    # shows Generate above the first HashAggregate pair
+    assert plan.index("Generate") < plan.index("Scan parquet"), plan
+
+
+def test_rfm_single_corpus_shuffle(spark, sf_dir):
+    """Orders shuffles once into the per-customer aggregate; edges and
+    max-day attach via 1-row broadcasts; segment rollup reuses nothing
+    corpus-sized."""
+    from streamprocessing_with_kafka_spark.operators import analytics
+
+    plan = _plan(spark, analytics.rfm_segments(spark, sf_dir), "formatted")
+    # the per-customer frame is checkpointed (it feeds both the edge
+    # aggregate and the scoring pass): final plan must be parquet-free
+    # with exactly the edges 1-row broadcast attach
+    assert "SortMergeJoin" not in plan, plan
+    assert "Scan parquet" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin Cross") == 1, plan

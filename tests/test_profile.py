@@ -95,3 +95,34 @@ def test_profile_drift_zero_variance_type_yields_null_z(spark):
     )
     out = profile_drift_frame(e).collect()[0]
     assert out.welch_z is None and not out.drift_flag
+
+
+def test_key_skew_finds_planted_heavy_key(spark, tmp_path):
+    """A planted 100x-heavy key must rank first with the right share
+    and skew factor, across repeated runs (the sort-limit must not
+    degrade under the scalar join)."""
+    from streamprocessing_with_kafka_spark.operators.profile import (
+        key_skew_profile,
+    )
+
+    rows = [(i, 777, "O", 10.0) for i in range(100)]  # heavy key
+    rows += [(100 + i, i % 20, "O", 10.0) for i in range(100)]  # 5 each
+    d = str(tmp_path / "skew")
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double",
+    ).selectExpr(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "CAST('2024-01-01' AS TIMESTAMP) AS o_orderdate",
+        "'1-URGENT' AS o_orderpriority",
+    ).write.parquet(d + "/orders.parquet")
+    for _ in range(2):
+        out = key_skew_profile(spark, d).collect()
+        top = max(out, key=lambda r: r.cnt)
+        assert (top.key, top.cnt) == (777, 100)
+        assert top.n_rows == 200 and top.n_keys == 21
+        assert top.share == 0.5
+        assert top.skew_factor == round(100 / (200 / 21), 6)
+        # ties at cnt=5 break by key asc: keys 0..8 fill the 9 slots
+        assert {r.key for r in out} == {777, *range(9)}
+        assert len(out) == 10

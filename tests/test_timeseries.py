@@ -535,3 +535,52 @@ def test_session_concurrency_planted_intervals(spark, tmp_path):
     assert (d1.peak_concurrency, d1.n_active_sessions, d1.n_sessions_started) == (3, 5, 5)
     d2 = out["2024-01-02 00:00:00"]
     assert (d2.peak_concurrency, d2.n_active_sessions, d2.n_sessions_started) == (1, 1, 0)
+
+
+def test_seasonality_indices_on_planted_grid(spark, tmp_path):
+    """Hand-computed seasonal indices; 2024-01-01 is a Monday and must
+    land in dow bucket 0 under the integer epoch-day formula."""
+    from streamprocessing_with_kafka_spark.operators.timeseries import (
+        seasonality_profile,
+    )
+
+    rows = [
+        (1, "2024-01-01 09:00:00", 10.0),  # Monday hr 9
+        (2, "2024-01-01 09:30:00", 10.0),
+        (3, "2024-01-01 18:00:00", 40.0),  # Monday hr 18
+        (4, "2024-01-02 09:00:00", 20.0),  # Tuesday hr 9
+    ]
+    d = str(tmp_path / "seas")
+    spark.createDataFrame(
+        [(e, ts, 1, "x", v, "{}") for (e, ts, v) in rows],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).selectExpr(
+        "event_id", "CAST(ts AS TIMESTAMP) AS ts", "user_id", "event_type",
+        "value", "props",
+    ).write.parquet(d + "/events.parquet")
+    out = {(r.dow, r.hr): r for r in seasonality_profile(spark, d).collect()}
+    assert set(out) == {(0, 9), (0, 18), (1, 9)}
+    # type mean = 80/4 = 20
+    assert out[(0, 9)].cell_mean == 10.0
+    assert out[(0, 9)].hour_index == round((40 / 3) / 20, 6)  # hr-9 band
+    assert out[(0, 18)].hour_index == 2.0
+    assert out[(0, 9)].dow_index == 1.0  # Monday mean 20 == type mean
+    assert out[(1, 9)].dow_index == 1.0
+
+
+def test_rolling_wau_hand_computed(spark, tmp_path):
+    """Planted activity: WAU(d) = distinct users active in [d-6, d],
+    report days clipped to the observed range."""
+    from streamprocessing_with_kafka_spark.operators.windows import rolling_wau
+
+    acts = [(1, "2024-01-01"), (2, "2024-01-01"), (3, "2024-01-03"), (2, "2024-01-09")]
+    d = str(tmp_path / "wau")
+    spark.createDataFrame(
+        [(i, f"{day} 12:00:00", u, "click", 1.0, "{}") for i, (u, day) in enumerate(acts)],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).selectExpr(
+        "event_id", "CAST(ts AS TIMESTAMP) AS ts", "user_id", "event_type",
+        "value", "props",
+    ).write.parquet(d + "/events.parquet")
+    out = {r.report_day.day: r.wau for r in rolling_wau(spark, d).collect()}
+    assert out == {1: 2, 2: 2, 3: 3, 4: 3, 5: 3, 6: 3, 7: 3, 8: 1, 9: 2}
