@@ -929,12 +929,22 @@ def session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("session_start"),
         F.col("session_end"),
     )
-    segs = sess.select(
+    return daily_interval_peaks(sess)
+
+
+def daily_interval_peaks(intervals: DataFrame) -> DataFrame:
+    """The day-partitioned sweep-line over any half-open [s_us, e_us)
+    interval frame (integer microseconds, e_us > s_us): per day, the
+    exact peak number of simultaneously-open intervals plus active/
+    started counts.  Shared by `session_concurrency` (sessions) and
+    `orders_backlog` (order lifecycles) -- see session_concurrency's
+    docstring for the semantics and scale argument."""
+    segs = intervals.select(
         "s_us",
         "e_us",
         F.explode(
             F.sequence(
-                F.date_trunc("DAY", F.col("session_start")),
+                F.date_trunc("DAY", F.timestamp_micros(F.col("s_us"))),
                 F.date_trunc(
                     "DAY", F.timestamp_micros(F.col("e_us") - F.lit(1))
                 ),
@@ -1086,4 +1096,78 @@ WITH pairs AS (
 SELECT CAST(report_day AS TIMESTAMP) AS report_day,
        COUNT(DISTINCT user_id) AS wau
 FROM fanned GROUP BY 1
+"""
+
+
+def orders_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day order-backlog peaks: an order is OPEN from o_orderdate
+    until its last line ships (half-open, fulfilled at the last
+    l_shipdate instant) -- the operations dashboard twin of
+    `session_concurrency`, riding the same `daily_interval_peaks`
+    sweep.  Output columns keep the sweep's names: peak_concurrency =
+    peak simultaneously-open orders, n_active_sessions = orders open at
+    any point that day, n_sessions_started = orders placed that day.
+
+    One shuffle builds per-order intervals (lineitem aggregates onto
+    its order key, the order side broadcast-joins in key order at test
+    scale / co-shuffles at 100 TB); degenerate intervals (last ship at
+    or before the order instant -- absent in TPC-H data) are filtered
+    rather than fed to the sweep, whose sequence() would run backwards
+    on them."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("s_us"),
+    )
+    last_ship = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.max(
+                F.unix_micros(F.col("l_shipdate").cast("timestamp"))
+            ).alias("e_us")
+        )
+    )
+    intervals = (
+        orders.join(
+            last_ship, orders.o_orderkey == last_ship.l_orderkey
+        )
+        .select("s_us", "e_us")
+        .filter(F.col("e_us") > F.col("s_us"))
+    )
+    return daily_interval_peaks(intervals)
+
+
+ORDERS_BACKLOG_SQL = f"""
+WITH intervals AS (
+  SELECT epoch_us(o.o_orderdate) AS s_us, last_ship.e_us
+  FROM orders o
+  JOIN (SELECT l_orderkey, MAX(epoch_us(l_shipdate)) AS e_us
+        FROM lineitem GROUP BY 1) last_ship
+    ON o.o_orderkey = last_ship.l_orderkey
+  WHERE last_ship.e_us > epoch_us(o.o_orderdate)
+), segs AS (
+  SELECT s_us, e_us, d.day, epoch_us(d.day) AS d_start_us
+  FROM intervals,
+       UNNEST(generate_series(
+         date_trunc('day', make_timestamp(s_us)),
+         date_trunc('day', make_timestamp(e_us - 1)),
+         INTERVAL 1 day)) AS d(day)
+), pts AS (
+  SELECT day, s_us, GREATEST(s_us, d_start_us) AS us, 1 AS delta,
+         d_start_us FROM segs
+  UNION ALL
+  SELECT day, s_us, e_us, -1, d_start_us FROM segs
+  WHERE e_us < d_start_us + {_DAY_US}
+), run AS (
+  SELECT day, s_us, us, delta,
+         SUM(delta) OVER (PARTITION BY day ORDER BY us, delta
+                          ROWS UNBOUNDED PRECEDING) AS c
+  FROM pts
+)
+SELECT CAST(day AS TIMESTAMP) AS day,
+       CAST(MAX(c) AS BIGINT) AS peak_concurrency,
+       COUNT(CASE WHEN delta = 1 THEN 1 END) AS n_active_sessions,
+       COUNT(CASE WHEN delta = 1 AND us = s_us THEN 1 END)
+         AS n_sessions_started
+FROM run GROUP BY day
 """

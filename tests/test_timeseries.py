@@ -584,3 +584,35 @@ def test_rolling_wau_hand_computed(spark, tmp_path):
     ).write.parquet(d + "/events.parquet")
     out = {r.report_day.day: r.wau for r in rolling_wau(spark, d).collect()}
     assert out == {1: 2, 2: 2, 3: 3, 4: 3, 5: 3, 6: 3, 7: 3, 8: 1, 9: 2}
+
+
+def test_orders_backlog_planted_lifecycles(spark, tmp_path):
+    """Three orders with known open intervals; an order shipping at the
+    day-D midnight instant is NOT open during day D (half-open)."""
+    from streamprocessing_with_kafka_spark.operators.windows import orders_backlog
+
+    d = str(tmp_path / "bk")
+    orders = [(1, "2024-01-01"), (2, "2024-01-02"), (3, "2024-01-01")]
+    ships = [(1, "2024-01-04"), (2, "2024-01-03"), (3, "2024-01-02")]
+    spark.createDataFrame(
+        [(o, 1, "O", 10.0, ts) for (o, ts) in orders],
+        "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double, ts string",
+    ).selectExpr(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "CAST(ts AS TIMESTAMP) AS o_orderdate", "'1-URGENT' AS o_orderpriority",
+    ).write.parquet(d + "/orders.parquet")
+    spark.createDataFrame(
+        [(o, 1, 1, 1, 1.0, 10.0, 0.0, 0.0, "N", "O", ts) for (o, ts) in ships],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, l_tax double, "
+        "l_returnflag string, l_linestatus string, ts string",
+    ).selectExpr(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus",
+        "CAST(ts AS TIMESTAMP) AS l_shipdate",
+    ).write.parquet(d + "/lineitem.parquet")
+    out = {r.day.day: r for r in orders_backlog(spark, d).collect()}
+    assert set(out) == {1, 2, 3}
+    assert (out[1].peak_concurrency, out[1].n_active_sessions, out[1].n_sessions_started) == (2, 2, 2)
+    assert (out[2].peak_concurrency, out[2].n_active_sessions, out[2].n_sessions_started) == (2, 2, 1)
+    assert (out[3].peak_concurrency, out[3].n_active_sessions, out[3].n_sessions_started) == (1, 1, 0)
