@@ -1180,3 +1180,162 @@ SELECT n AS n_customers,
        {round_sql("top_sum / total", 6)} AS top_share
 FROM agg, top
 """
+
+
+# ------------------------------------------- skyline (Pareto frontier)
+
+def pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline / Pareto-frontier operator (Borzsony, Kossmann &
+    Stocker, ICDE 2001): the orders not dominated on the
+    (more recent o_orderdate, higher o_totalprice) plane -- "the best
+    price ever seen as of each date, scanning backward from today".
+    A row is dominated if another row is at least as good on both
+    dimensions and strictly better on one.  Classic relational
+    operator Spark has no primitive for; here it decomposes into
+    aggregates + one bounded window.
+
+    Scale shape: the corpus collapses FIRST -- one map-side-combinable
+    groupBy onto the (o_orderdate, o_totalprice) grid, then per-date
+    max -- so every later step runs on <= |distinct dates| rows
+    (TPC-H's date domain is bounded: ~2.4k days regardless of SF; for
+    an unbounded dimension the `vocab_growth` bucket decomposition
+    slots in).  The frontier test is then one ordered scan: keep a
+    date's best price iff it strictly beats the running max over all
+    MORE RECENT dates.  The DuckDB oracle runs the quadratic
+    NOT-EXISTS domination definition -- two algorithms, one answer.
+
+    Output: the frontier points (date, price) with the number of
+    orders sitting exactly on each point."""
+    orders = load_table(spark, sf_dir, "orders")
+    grid = orders.groupBy("o_orderdate", "o_totalprice").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    per_date = W.partitionBy("o_orderdate").orderBy(
+        F.col("o_totalprice").desc()
+    )
+    best = (
+        grid.withColumn("rn", F.row_number().over(per_date))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    # bounded global window: |distinct dates| rows (~2.4k), documented
+    # above -- NOT the corpus
+    later = W.orderBy(F.col("o_orderdate").desc()).rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    return (
+        best.withColumn("max_later", F.max("o_totalprice").over(later))
+        .filter(
+            F.col("max_later").isNull()
+            | (F.col("o_totalprice") > F.col("max_later"))
+        )
+        .select("o_orderdate", "o_totalprice", "n_orders")
+    )
+
+
+PARETO_FRONTIER_SQL = """
+SELECT o_orderdate, o_totalprice, COUNT(*) AS n_orders
+FROM orders o
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders d
+  WHERE (d.o_totalprice > o.o_totalprice AND d.o_orderdate >= o.o_orderdate)
+     OR (d.o_totalprice >= o.o_totalprice AND d.o_orderdate > o.o_orderdate)
+)
+GROUP BY 1, 2
+"""
+
+
+# ------------------------------------------ ship-latency SLA percentiles
+
+def ship_latency_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fulfilment-SLA dashboard: per order month, exact p50/p95 and
+    mean of order-to-FIRST-ship latency in days.  Two map-side-
+    combinable shuffles, both bounded: lineitem collapses onto its
+    order (first ship date), then orders collapse onto ~84 months.
+    Exact percentile() here; `approx_percentile` with the same call
+    shape is the 100 TB drop-in (the `window_customer_quartiles`
+    trade, documented there)."""
+    first_ship = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.min("l_shipdate").alias("first_ship"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    lat = orders.join(
+        first_ship, orders.o_orderkey == first_ship.l_orderkey
+    ).select(
+        F.date_trunc("MONTH", F.col("o_orderdate")).alias("month"),
+        F.datediff(
+            F.col("first_ship").cast("date"), F.col("o_orderdate").cast("date")
+        ).alias("lat_days"),
+    )
+    return lat.groupBy("month").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.expr("percentile(lat_days, 0.5)").alias("p50_days"),
+        F.expr("percentile(lat_days, 0.95)").alias("p95_days"),
+        F.round(dec_sum(F.col("lat_days").cast("double")) / F.count(F.lit(1)), 6).alias(
+            "avg_days"
+        ),
+    )
+
+
+SHIP_LATENCY_MONTHLY_SQL = f"""
+WITH first_ship AS (
+  SELECT l_orderkey, MIN(l_shipdate) AS first_ship
+  FROM lineitem GROUP BY 1
+),
+lat AS (
+  SELECT date_trunc('month', o_orderdate) AS month,
+         datediff('day', CAST(o_orderdate AS DATE), CAST(first_ship AS DATE))
+           AS lat_days
+  FROM orders JOIN first_ship ON o_orderkey = l_orderkey
+)
+SELECT CAST(month AS TIMESTAMP) AS month, COUNT(*) AS n_orders,
+       quantile_cont(lat_days, 0.5) AS p50_days,
+       quantile_cont(lat_days, 0.95) AS p95_days,
+       {round_sql(dec_sum_sql('CAST(lat_days AS DOUBLE)') + ' / COUNT(*)', 6)} AS avg_days
+FROM lat GROUP BY 1
+"""
+
+
+# ----------------------------------------- exact mode w/ deterministic ties
+
+def mode_segment_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group MODE with a DETERMINISTIC tie-break -- the
+    aggregate SQL gives you only via engine-defined mode()/min_by()
+    tie order (DuckDB documents "first found", Spark picks
+    arbitrarily): per nation, the most common customer market segment,
+    ties to the lexicographically smallest segment.  Counts collapse
+    the corpus in one map-side-combinable shuffle; the ranking window
+    runs on the bounded |nations| x |segments| frame (<= 125 rows at
+    every SF)."""
+    cust = load_table(spark, sf_dir, "customer")
+    counts = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = W.partitionBy("c_nationkey").orderBy(
+        F.col("n").desc(), F.col("c_mktsegment").asc()
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "c_nationkey",
+            F.col("c_mktsegment").alias("modal_segment"),
+            F.col("n").alias("n_customers"),
+        )
+    )
+
+
+MODE_SEGMENT_BY_NATION_SQL = """
+WITH counts AS (
+  SELECT c_nationkey, c_mktsegment, COUNT(*) AS n
+  FROM customer GROUP BY 1, 2
+)
+SELECT c_nationkey, c_mktsegment AS modal_segment, n AS n_customers
+FROM counts
+QUALIFY ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                           ORDER BY n DESC, c_mktsegment ASC) = 1
+"""

@@ -295,3 +295,82 @@ SELECT COALESCE(p.user_id, e.user_id) AS user_id,
 FROM purchases p FULL OUTER JOIN errors e
   ON p.user_id = e.user_id AND p.day = e.day
 """
+
+
+# ------------------------------------------------------ nearest-event join
+
+def nearest_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-event join: each purchase paired with the same user's
+    closest view in EITHER time direction (kdb's `aj` is backward-only;
+    window analytics often want the nearest reading, e.g. sensor
+    calibration).  Ties (equidistant before/after) take the earlier
+    view; a view at the exact purchase instant is a 0-gap 'before'
+    match.
+
+    Same single-shuffle shape as `asof_join_events`: one (user_id)
+    window ordered by (ts, side, event_id) -- views sort before
+    purchases at an instant -- carries the latest preceding view
+    forward AND the first following view backward; the verdict is a
+    row-local integer-microsecond comparison.  No inequality join.
+    The DuckDB oracle is a LEFT JOIN LATERAL ordered by absolute gap
+    (a per-row nested loop -- fine single-node, the thing this plan
+    avoids at scale)."""
+    ev = load_table(spark, sf_dir, "events")
+    both = ev.filter(
+        F.col("event_type").isin(LEFT_TYPE, RIGHT_TYPE)
+    ).withColumn(
+        "side", F.when(F.col("event_type") == RIGHT_TYPE, 0).otherwise(1)
+    ).withColumn("ts_us", F.unix_micros(F.col("ts").cast("timestamp")))
+    order = [F.col("ts"), F.col("side"), F.col("event_id")]
+    wprev = (
+        W.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wnext = (
+        W.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(1, W.unboundedFollowing)
+    )
+    view_ts = F.when(F.col("side") == 0, F.col("ts_us"))
+    prev_us = F.last(view_ts, ignorenulls=True).over(wprev)
+    next_us = F.first(view_ts, ignorenulls=True).over(wnext)
+    prev_gap = F.col("ts_us") - F.col("prev_us")
+    next_gap = F.col("next_us") - F.col("ts_us")
+    take_prev = F.col("prev_us").isNotNull() & (
+        F.col("next_us").isNull() | (prev_gap <= next_gap)
+    )
+    nearest_us = F.when(take_prev, F.col("prev_us")).otherwise(F.col("next_us"))
+    return (
+        both.withColumn("prev_us", prev_us)
+        .withColumn("next_us", next_us)
+        .filter(F.col("side") == 1)
+        .filter(nearest_us.isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.timestamp_micros(nearest_us).alias("nearest_view_ts"),
+            F.when(take_prev, prev_gap).otherwise(next_gap).alias("gap_us"),
+            F.when(take_prev, F.lit("before")).otherwise(F.lit("after")).alias(
+                "direction"
+            ),
+        )
+    )
+
+
+NEAREST_JOIN_EVENTS_SQL = f"""
+SELECT p.event_id, p.user_id, p.ts,
+       l.view_ts AS nearest_view_ts,
+       l.gap_us,
+       CASE WHEN l.view_ts <= p.ts THEN 'before' ELSE 'after' END AS direction
+FROM (SELECT * FROM events WHERE event_type = '{LEFT_TYPE}') p
+JOIN LATERAL (
+  SELECT v.ts AS view_ts,
+         abs(epoch_us(v.ts) - epoch_us(p.ts)) AS gap_us
+  FROM events v
+  WHERE v.event_type = '{RIGHT_TYPE}' AND v.user_id = p.user_id
+  ORDER BY abs(epoch_us(v.ts) - epoch_us(p.ts)), v.ts
+  LIMIT 1
+) l ON true
+"""

@@ -324,3 +324,94 @@ SELECT key, cnt,
          AS skew_factor
 FROM top, totals
 """
+
+
+# ------------------------------------------ numeric correlation matrix
+
+CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def numeric_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation matrix over lineitem's numeric columns --
+    the profiling pass that catches derived/duplicated measures and
+    feature leakage before a column ships into a training set.
+
+    ONE map-side-combinable aggregate collects every moment (n, sums,
+    squares, cross-products) for all C(4,2) pairs in a single corpus
+    scan -- no per-pair passes, no corr() UDAF (whose float merge order
+    is partition-dependent): each moment is a DECIMAL(28,10)-quantized
+    sum, and the correlation assembles in fixed-order double arithmetic
+    identical to the oracle's, so parity is exact at 6dp.  The 1-row
+    moments frame explodes to the 6 output pairs driver-side-free via
+    a literal array."""
+    from streamprocessing_with_kafka_spark.functions.numeric import dec_sum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).cast("double").alias("n")]
+    for c in CORR_COLS:
+        aggs.append(dec_sum(F.col(c)).alias(f"s_{c}"))
+        aggs.append(dec_sum(F.col(c) * F.col(c)).alias(f"ss_{c}"))
+    for i, a in enumerate(CORR_COLS):
+        for b in CORR_COLS[i + 1 :]:
+            aggs.append(dec_sum(F.col(a) * F.col(b)).alias(f"sx_{a}_{b}"))
+    m = li.agg(*aggs)
+    pairs = []
+    for i, a in enumerate(CORR_COLS):
+        for b in CORR_COLS[i + 1 :]:
+            cov = F.col("n") * F.col(f"sx_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}")
+            var_a = F.col("n") * F.col(f"ss_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}")
+            var_b = F.col("n") * F.col(f"ss_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}")
+            pairs.append(
+                F.struct(
+                    F.lit(a).alias("col_a"),
+                    F.lit(b).alias("col_b"),
+                    # a zero-variance column has no defined correlation:
+                    # explicit NULL (ANSI Spark would throw on /0, and
+                    # engines disagree on 0/0 -> NaN vs NULL otherwise)
+                    F.when(
+                        (var_a > 0) & (var_b > 0),
+                        F.round(cov / (F.sqrt(var_a) * F.sqrt(var_b)), 6),
+                    ).alias("pearson_r"),
+                )
+            )
+    return m.select(
+        F.explode(F.array(*pairs)).alias("p"), F.col("n").cast("long").alias("n_rows")
+    ).select("p.col_a", "p.col_b", "p.pearson_r", "n_rows")
+
+
+def _corr_sql() -> str:
+    from streamprocessing_with_kafka_spark.functions.numeric import (
+        dec_sum_sql,
+        round_sql,
+    )
+
+    moments = ["CAST(COUNT(*) AS DOUBLE) AS n"]
+    for c in CORR_COLS:
+        moments.append(f"{dec_sum_sql(c)} AS s_{c}")
+        moments.append(f"{dec_sum_sql(f'{c} * {c}')} AS ss_{c}")
+    sel = []
+    for i, a in enumerate(CORR_COLS):
+        for b in CORR_COLS[i + 1 :]:
+            moments.append(f"{dec_sum_sql(f'{a} * {b}')} AS sx_{a}_{b}")
+            r = (
+                f"(n * sx_{a}_{b} - s_{a} * s_{b})"
+                f" / (sqrt(n * ss_{a} - s_{a} * s_{a})"
+                f" * sqrt(n * ss_{b} - s_{b} * s_{b}))"
+            )
+            guard = (
+                f"n * ss_{a} - s_{a} * s_{a} > 0"
+                f" AND n * ss_{b} - s_{b} * s_{b} > 0"
+            )
+            sel.append(
+                f"SELECT '{a}' AS col_a, '{b}' AS col_b, "
+                f"CASE WHEN {guard} THEN {round_sql(r, 6)} END AS pearson_r, "
+                f"CAST(n AS BIGINT) AS n_rows "
+                "FROM m"
+            )
+    return (
+        "WITH m AS (SELECT " + ", ".join(moments) + " FROM lineitem)\n"
+        + "\nUNION ALL\n".join(sel)
+    )
+
+
+NUMERIC_CORRELATIONS_SQL = _corr_sql()

@@ -308,6 +308,88 @@ GROUP BY c_nationkey, c_mktsegment
 """
 
 
+# --------------------------------------------- l-diversity audit
+
+L_DIVERSITY = 3  # classes need >= this many distinct sensitive values
+
+
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al. 2007): k-anonymity's
+    successor -- a quasi-identifier class can be large (k-anonymous) yet
+    still leak if everyone in it shares the SAME sensitive value.  Per
+    (c_nationkey, c_mktsegment) class, against the sensitive attribute
+    o_orderpriority of the class members' orders: distinct-l (number of
+    distinct sensitive values), entropy-l (exp of the Shannon entropy of
+    the sensitive distribution -- the EFFECTIVE number of values,
+    punishing 99/1 skew that distinct-l ignores), and the homogeneity-
+    attack flag distinct_l < {L_DIVERSITY}.
+
+    Scale: orders co-shuffles onto its customer on custkey (the corpus'
+    one row-level shuffle), then a two-level map-side-combinable
+    aggregate on the bounded (nation x segment x priority) domain --
+    everything past the join moves <= |nations|x|segments|x5 rows.
+    Entropy terms quantize to DECIMAL(28,10) before summing (the
+    `bigram_logprob` pattern), so the double sum is partition-order
+    independent and engine-exact."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority"
+    )
+    cells = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_nationkey", "c_mktsegment", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # window-free entropy over counts: H = ln(n) - sum(c*ln c)/n
+    agg = cells.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.sum("c").alias("class_orders"),
+        F.count(F.lit(1)).alias("distinct_l"),
+        F.sum(
+            (F.col("c").cast("double") * F.log(F.col("c").cast("double")))
+            .cast("decimal(28,10)")
+        ).cast("double").alias("sum_clnc"),
+    )
+    entropy = (
+        F.log(F.col("class_orders").cast("double"))
+        - F.col("sum_clnc") / F.col("class_orders").cast("double")
+    )
+    return agg.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "class_orders",
+        "distinct_l",
+        (F.col("distinct_l") < L_DIVERSITY).alias("homogeneity_risk"),
+        F.round(F.exp(entropy), 6).alias("entropy_l"),
+    )
+
+
+L_DIVERSITY_SQL = f"""
+WITH cells AS (
+  SELECT c_nationkey, c_mktsegment, o_orderpriority, COUNT(*) AS c
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2, 3
+),
+agg AS (
+  SELECT c_nationkey, c_mktsegment,
+         SUM(c) AS class_orders,
+         COUNT(*) AS distinct_l,
+         CAST(CAST(SUM(CAST(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))
+                            AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)
+           AS sum_clnc
+  FROM cells GROUP BY 1, 2
+)
+SELECT c_nationkey, c_mktsegment,
+       CAST(class_orders AS BIGINT) AS class_orders, distinct_l,
+       distinct_l < {L_DIVERSITY} AS homogeneity_risk,
+       {round_sql(
+           "exp(ln(CAST(class_orders AS DOUBLE))"
+           " - sum_clnc / CAST(class_orders AS DOUBLE))", 6)} AS entropy_l
+FROM agg
+"""
+
+
 # --------------------------------------------- Benford first-digit audit
 
 #: expected first-significant-digit shares log10(1 + 1/d) (Benford 1938);

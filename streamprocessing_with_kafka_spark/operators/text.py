@@ -1084,3 +1084,260 @@ SELECT source,
 FROM cst JOIN term_tot USING (term) JOIN src_tot USING (source), corpus_tot
 GROUP BY source
 """
+
+
+# --------------------------------------------- PMI collocation mining
+
+COLLOC_MIN_COUNT = 3  # bigrams rarer than this are noise, not collocations
+COLLOC_TOP_K = 50
+
+
+def collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level collocation mining: adjacent word pairs ranked by
+    pointwise mutual information (Church & Hanks 1990) -- the classic
+    "strongly associated phrase" detector ("new york" scores high, "of
+    the" scores low even though it is frequent).  Complements
+    `bigram_logprob` (which SCORES documents under a corpus model; this
+    RANKS the corpus' own pairs) and `text_term_df`.
+
+    pmi  = ln( p(a,b) / (p(a) p(b)) ), npmi = pmi / -ln p(a,b) in
+    [-1, 1] -- all probabilities share the total-token denominator (the
+    standard approximation; npmi = 1 iff the words occur only as the
+    pair).  Both are pure fixed-order arithmetic on exact integer
+    counts -- no float accumulation anywhere, so engine parity is exact
+    before the final 6dp round.
+
+    Scale: bigram positions explode once and count map-side-combinably
+    (the `bigram_logprob` shape); the min-count filter runs BEFORE the
+    two unigram-count equi-joins, so only the (tiny) surviving pair set
+    joins; totals are 1-row broadcasts.  At 100 TB the unigram table
+    outgrows broadcast range and the joins co-shuffle on the word key,
+    which is the honest plan."""
+    d = load_table(spark, sf_dir, "documents")
+    w = _tokens()
+    pairs = d.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(2), F.size(w)),
+                lambda i: F.struct(
+                    F.element_at(w, i - 1).alias("w_prev"),
+                    F.element_at(w, i).alias("w"),
+                ),
+            )
+        ).alias("bg")
+    ).select(F.col("bg.w_prev").alias("w_prev"), F.col("bg.w").alias("w"))
+    big = (
+        pairs.groupBy("w_prev", "w")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= COLLOC_MIN_COUNT)
+    )
+    toks = d.select(F.explode(w).alias("term"))
+    uni = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c1"))
+    tot = toks.agg(F.count(F.lit(1)).alias("t_tokens"))
+    # one denominator for BOTH pair and unigram probabilities (the
+    # standard approximation): keeps npmi <= 1 with equality iff the
+    # words occur only as the pair
+    p_ab = F.col("c_ab").cast("double") / F.col("t_tokens").cast("double")
+    p_a = F.col("c_a").cast("double") / F.col("t_tokens").cast("double")
+    p_b = F.col("c_b").cast("double") / F.col("t_tokens").cast("double")
+    pmi = F.log(p_ab / (p_a * p_b))
+    scored = (
+        big.join(
+            F.broadcast(uni.select(F.col("term").alias("w_prev"), F.col("c1").alias("c_a"))),
+            "w_prev",
+        )
+        .join(
+            F.broadcast(uni.select(F.col("term").alias("w"), F.col("c1").alias("c_b"))),
+            "w",
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w_prev",
+            "w",
+            "c_ab",
+            F.round(pmi, 6).alias("pmi"),
+            F.round(pmi / -F.log(p_ab), 6).alias("npmi"),
+        )
+    )
+    return scored.orderBy(
+        F.col("npmi").desc(), F.col("w_prev").asc(), F.col("w").asc()
+    ).limit(COLLOC_TOP_K)
+
+
+COLLOCATIONS_SQL = f"""
+WITH pairs AS (
+  SELECT w[i-1] AS w_prev, w[i] AS w
+  FROM (SELECT string_split(text, ' ') AS w FROM documents),
+       UNNEST(range(2, len(w) + 1)) AS t(i)
+),
+big AS (
+  SELECT w_prev, w, COUNT(*) AS c_ab FROM pairs GROUP BY 1, 2
+  HAVING COUNT(*) >= {COLLOC_MIN_COUNT}
+),
+uni AS (
+  SELECT term, COUNT(*) AS c1
+  FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+  GROUP BY term
+),
+tot AS (
+  SELECT (SELECT COUNT(*) FROM (SELECT unnest(string_split(text, ' '))
+          FROM documents)) AS t_tokens
+)
+SELECT w_prev, w, c_ab,
+  {_round_sql(
+      "ln((CAST(c_ab AS DOUBLE) / CAST(t_tokens AS DOUBLE))"
+      " / ((CAST(ca.c1 AS DOUBLE) / CAST(t_tokens AS DOUBLE))"
+      "    * (CAST(cb.c1 AS DOUBLE) / CAST(t_tokens AS DOUBLE))))", 6)} AS pmi,
+  {_round_sql(
+      "ln((CAST(c_ab AS DOUBLE) / CAST(t_tokens AS DOUBLE))"
+      " / ((CAST(ca.c1 AS DOUBLE) / CAST(t_tokens AS DOUBLE))"
+      "    * (CAST(cb.c1 AS DOUBLE) / CAST(t_tokens AS DOUBLE))))"
+      " / -ln(CAST(c_ab AS DOUBLE) / CAST(t_tokens AS DOUBLE))", 6)} AS npmi
+FROM big
+JOIN uni ca ON ca.term = w_prev
+JOIN uni cb ON cb.term = w, tot
+ORDER BY npmi DESC, w_prev ASC, w ASC
+LIMIT {COLLOC_TOP_K}
+"""
+
+
+# ------------------------------- vocabulary growth curve (Heaps' law)
+
+VOCAB_BUCKET = 64  # docs per prefix-sum range; |docs|/64 offset rows
+
+
+def vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth curve + Heaps'-law fit: after each document
+    (in doc_id order), the cumulative token count N and cumulative
+    distinct vocabulary V, plus the corpus' fitted Heaps exponent
+    (V ~ k N^beta; natural text sits around beta ~ 0.4-0.6 -- a corpus
+    whose beta collapses toward 0 is template/boilerplate, toward 1 is
+    noise/garbage, so the exponent is a one-number corpus-health
+    signal a curation pipeline tracks per source/snapshot).
+
+    Scale design -- a GLOBAL running sum without a global window: the
+    classic two-phase distributed prefix sum.  Phase 1 aggregates
+    per-doc (n_tokens, n_new_words) into VOCAB_BUCKET-sized doc_id
+    ranges; the |docs|/64-row bucket frame takes a (tiny, driver-scale)
+    ordered cumsum for range offsets; phase 2 broadcasts the offsets
+    back and each range computes its interior cumsum under
+    partitionBy(bucket) -- every window runs on a bounded partition.
+    "New words per doc" is exact: each word attributes to its global
+    min(doc_id) (one word-key shuffle).  The DuckDB oracle uses the
+    single-node global window, so the driver check proves the
+    decomposition IS the global prefix sum.  The Heaps fit is closed-
+    form log-log OLS with DECIMAL-quantized terms (order-independent),
+    broadcast back onto every checkpoint row."""
+    from pyspark.sql import Window as W
+
+    from streamprocessing_with_kafka_spark.functions.numeric import dec_sum
+
+    d = load_table(spark, sf_dir, "documents")
+    w = _tokens()
+    per_doc = d.select("doc_id", F.size(w).alias("n_tokens"))
+    new_words = (
+        d.select("doc_id", F.explode(F.array_distinct(w)).alias("term"))
+        .groupBy("term")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_new"))
+    )
+    base = (
+        per_doc.join(new_words, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_new", F.lit(0)).alias("n_new"),
+            F.floor(F.col("doc_id") / VOCAB_BUCKET).alias("bucket"),
+        )
+    )
+    wb = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, -1)
+    offsets = (
+        base.groupBy("bucket")
+        .agg(F.sum("n_tokens").alias("bt"), F.sum("n_new").alias("bn"))
+        .select(
+            "bucket",
+            F.coalesce(F.sum("bt").over(wb), F.lit(0)).alias("tok_off"),
+            F.coalesce(F.sum("bn").over(wb), F.lit(0)).alias("new_off"),
+        )
+    )
+    wd = W.partitionBy("bucket").orderBy("doc_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    cp = base.join(F.broadcast(offsets), "bucket").select(
+        "doc_id",
+        (F.col("tok_off") + F.sum("n_tokens").over(wd)).alias("cum_tokens"),
+        (F.col("new_off") + F.sum("n_new").over(wd)).alias("cum_vocab"),
+    )
+    x = F.log(F.col("cum_tokens").cast("double"))
+    y = F.log(F.col("cum_vocab").cast("double"))
+    fit = cp.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dec_sum(x).alias("sx"),
+        dec_sum(y).alias("sy"),
+        dec_sum(x * y).alias("sxy"),
+        dec_sum(x * x).alias("sxx"),
+    )
+    beta = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return cp.crossJoin(F.broadcast(fit)).select(
+        "doc_id",
+        "cum_tokens",
+        "cum_vocab",
+        F.round(beta, 6).alias("heaps_beta"),
+        F.round(
+            F.exp((F.col("sy") - beta * F.col("sx")) / F.col("n")), 6
+        ).alias("heaps_k"),
+    )
+
+
+_HEAPS_BETA_SQL = (
+    "(n * sxy - sx * sy) / (n * sxx - sx * sx)"
+)
+
+VOCAB_GROWTH_SQL = f"""
+WITH per_doc AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+),
+new_words AS (
+  SELECT doc_id, COUNT(*) AS n_new FROM (
+    SELECT term, MIN(doc_id) AS doc_id FROM (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS term
+      FROM documents)
+    GROUP BY term)
+  GROUP BY doc_id
+),
+base AS (
+  SELECT per_doc.doc_id, n_tokens, COALESCE(n_new, 0) AS n_new
+  FROM per_doc LEFT JOIN new_words ON per_doc.doc_id = new_words.doc_id
+),
+cp AS (
+  SELECT doc_id,
+    CAST(SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+      AS cum_tokens,
+    CAST(SUM(n_new) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+      AS cum_vocab
+  FROM base
+),
+fit AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+    {
+      "CAST(CAST(SUM(CAST(ln(CAST(cum_tokens AS DOUBLE)) AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)"
+    } AS sx,
+    {
+      "CAST(CAST(SUM(CAST(ln(CAST(cum_vocab AS DOUBLE)) AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)"
+    } AS sy,
+    {
+      "CAST(CAST(SUM(CAST(ln(CAST(cum_tokens AS DOUBLE)) * ln(CAST(cum_vocab AS DOUBLE)) AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)"
+    } AS sxy,
+    {
+      "CAST(CAST(SUM(CAST(ln(CAST(cum_tokens AS DOUBLE)) * ln(CAST(cum_tokens AS DOUBLE)) AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)"
+    } AS sxx
+  FROM cp
+)
+SELECT doc_id, cum_tokens, cum_vocab,
+  {_round_sql(_HEAPS_BETA_SQL, 6)} AS heaps_beta,
+  {_round_sql(f"exp((sy - ({_HEAPS_BETA_SQL}) * sx) / n)", 6)} AS heaps_k
+FROM cp, fit
+"""

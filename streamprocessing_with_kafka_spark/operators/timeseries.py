@@ -1102,3 +1102,83 @@ SELECT event_type, dow, hr, n,
          AS dow_index
 FROM enriched
 """
+
+
+# --------------------------------- activity streaks (gaps-and-islands)
+
+def user_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user consecutive-day activity streaks -- the canonical
+    gaps-and-islands pattern: distinct active days collapse to runs via
+    the day_number - row_number() constant-per-run key, runs aggregate
+    to islands, islands roll up per user (total active days, number of
+    streaks, longest streak and its start date, earliest on ties --
+    no min_by/max_by, whose tie order is engine-defined).
+
+    Scale: the corpus collapses to distinct (user, day) FIRST (one
+    map-side-combinable shuffle, bounded by users x days); every window
+    after that is user-partitioned over day counts, never event rows.
+    The longest-streak start resolves with an islands self-equi-join on
+    (user, longest_len) instead of a positional pick, so the plan stays
+    deterministic under ties."""
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.date_trunc("DAY", F.col("ts")).alias("day")
+    ).distinct()
+    w = W.partitionBy("user_id").orderBy("day")
+    isl = days.select(
+        "user_id",
+        "day",
+        (
+            F.unix_date(F.col("day").cast("date"))
+            - F.row_number().over(w)
+        ).alias("grp"),
+    )
+    islands = isl.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).alias("len"), F.min("day").alias("start")
+    )
+    per_user = islands.groupBy("user_id").agg(
+        F.sum("len").alias("n_active_days"),
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.max("len").alias("longest_streak"),
+    )
+    return (
+        per_user.join(
+            islands.select(
+                "user_id",
+                F.col("len").alias("longest_streak"),
+                F.col("start"),
+            ),
+            ["user_id", "longest_streak"],
+        )
+        .groupBy("user_id", "n_active_days", "n_streaks", "longest_streak")
+        .agg(F.min("start").alias("longest_start"))
+    )
+
+
+USER_STREAKS_SQL = """
+WITH days AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+),
+isl AS (
+  SELECT user_id, day,
+         datediff('day', DATE '1970-01-01', CAST(day AS DATE))
+           - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS grp
+  FROM days
+),
+islands AS (
+  SELECT user_id, grp, COUNT(*) AS len, MIN(day) AS start
+  FROM isl GROUP BY 1, 2
+),
+per_user AS (
+  SELECT user_id,
+         CAST(SUM(len) AS BIGINT) AS n_active_days,
+         COUNT(*) AS n_streaks,
+         MAX(len) AS longest_streak
+  FROM islands GROUP BY 1
+)
+SELECT p.user_id, p.n_active_days, p.n_streaks, p.longest_streak,
+       CAST(MIN(i.start) AS TIMESTAMP) AS longest_start
+FROM per_user p
+JOIN islands i ON i.user_id = p.user_id AND i.len = p.longest_streak
+GROUP BY 1, 2, 3, 4
+"""

@@ -1171,3 +1171,121 @@ SELECT CAST(day AS TIMESTAMP) AS day,
          AS n_sessions_started
 FROM run GROUP BY day
 """
+
+
+def interval_stab_counts(intervals: DataFrame) -> DataFrame:
+    """Interval-stabbing JOIN via the day-partitioned sweep: for each
+    interval's own start instant, how many intervals in the frame are
+    open there (half-open [s_us, e_us) -- an interval IS open at its s,
+    NOT at its e).  Input needs (iid, s_us, e_us); output (iid, n_open)
+    where n_open INCLUDES the probe interval itself.
+
+    The naive formulation is an inequality self-join (d.s <= p < d.e)
+    -- quadratic pairs at 100 TB.  Here every boundary becomes a +/-1
+    delta bucketed per overlapped day exactly like
+    `daily_interval_peaks` (carried-in intervals inject +1 at the day
+    start), probe points ride the SAME day-partitioned window ordered
+    by (us, pri) with pri sequencing ends < starts < probes at an
+    instant, and each probe reads the running sum -- one shuffle on
+    day, windows bounded by per-day boundary counts.  The oracle runs
+    the quadratic inequality join, so parity proves the sweep."""
+    segs = intervals.select(
+        "s_us",
+        "e_us",
+        F.explode(
+            F.sequence(
+                F.date_trunc("DAY", F.timestamp_micros(F.col("s_us"))),
+                F.date_trunc(
+                    "DAY", F.timestamp_micros(F.col("e_us") - F.lit(1))
+                ),
+                F.expr("interval 1 day"),
+            )
+        ).alias("day"),
+    ).withColumn("d_start_us", F.unix_micros(F.col("day")))
+    deltas = segs.select(
+        "day",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.greatest(F.col("s_us"), F.col("d_start_us")).alias("us"),
+                    F.lit(1).alias("pri"),
+                    F.lit(1).alias("delta"),
+                ),
+                F.struct(
+                    F.col("e_us").alias("us"),
+                    F.lit(-1).alias("pri"),
+                    F.lit(-1).alias("delta"),
+                ),
+            )
+        ).alias("p"),
+        "d_start_us",
+    ).select("day", "p.us", "p.pri", "p.delta", "d_start_us")
+    deltas = deltas.filter(
+        (F.col("pri") == 1) | (F.col("us") < F.col("d_start_us") + _DAY_US)
+    ).select("day", "us", "pri", "delta", F.lit(None).cast("long").alias("iid"))
+    probes = intervals.select(
+        F.date_trunc("DAY", F.timestamp_micros(F.col("s_us"))).alias("day"),
+        F.col("s_us").alias("us"),
+        F.lit(2).alias("pri"),
+        F.lit(0).alias("delta"),
+        F.col("iid"),
+    )
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy("day")
+        .orderBy("us", "pri")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    run = deltas.unionByName(probes).withColumn("c", F.sum("delta").over(w))
+    return run.filter(F.col("pri") == 2).select(
+        "iid", F.col("c").alias("n_open")
+    )
+
+
+def orders_open_at_start(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per order: how many OTHER orders were already open (placed, not
+    yet fully shipped) at its placement instant -- `orders_backlog`'s
+    per-entity companion, and the repo's interval-stabbing join.  Same
+    lifecycle definition as the backlog (open from o_orderdate until
+    the last l_shipdate, half-open)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("s_us"),
+    )
+    last_ship = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.max(
+                F.unix_micros(F.col("l_shipdate").cast("timestamp"))
+            ).alias("e_us")
+        )
+    )
+    intervals = (
+        orders.join(last_ship, orders.o_orderkey == last_ship.l_orderkey)
+        .select(F.col("o_orderkey").alias("iid"), "s_us", "e_us")
+        .filter(F.col("e_us") > F.col("s_us"))
+    )
+    return interval_stab_counts(intervals).select(
+        F.col("iid").alias("o_orderkey"),
+        # the probe's own interval is open at its own start: exclude it
+        (F.col("n_open") - F.lit(1)).alias("n_open_at_start"),
+    )
+
+
+ORDERS_OPEN_AT_START_SQL = """
+WITH intervals AS (
+  SELECT o.o_orderkey AS iid, epoch_us(o.o_orderdate) AS s_us, last_ship.e_us
+  FROM orders o
+  JOIN (SELECT l_orderkey, MAX(epoch_us(l_shipdate)) AS e_us
+        FROM lineitem GROUP BY 1) last_ship
+    ON o.o_orderkey = last_ship.l_orderkey
+  WHERE last_ship.e_us > epoch_us(o.o_orderdate)
+)
+SELECT p.iid AS o_orderkey,
+       CAST(COUNT(d.iid) AS BIGINT) AS n_open_at_start
+FROM intervals p LEFT JOIN intervals d
+  ON d.s_us <= p.s_us AND p.s_us < d.e_us AND d.iid <> p.iid
+GROUP BY 1
+"""

@@ -1229,6 +1229,30 @@ register(
     "identification risk; one bounded-key map-side-combinable groupBy",
 )(quality.k_anonymity_audit)
 register(
+    "privacy_l_diversity",
+    quality.L_DIVERSITY_SQL,
+    doc="l-diversity audit (k-anonymity's successor): per quasi-class "
+    "distinct-l and entropy-l of the members' order-priority sensitive "
+    "attribute, homogeneity-attack flag; one custkey co-shuffle join + "
+    "a bounded-domain two-level aggregate, DECIMAL-quantized entropy",
+)(quality.l_diversity_audit)
+register(
+    "text_collocations",
+    text.COLLOCATIONS_SQL,
+    doc="PMI/NPMI collocation mining (Church & Hanks 1990): corpus "
+    "adjacent-pair ranking on exact integer counts, min-count filter "
+    "BEFORE the unigram equi-joins, fixed-order float arithmetic only",
+)(text.collocations)
+register(
+    "text_vocab_growth",
+    text.VOCAB_GROWTH_SQL,
+    doc="vocabulary growth curve + Heaps'-law exponent: global prefix "
+    "sum via the two-phase bucket decomposition (no global window), "
+    "exact first-occurrence attribution, DECIMAL-quantized log-log OLS "
+    "fit broadcast onto every checkpoint row; oracle runs the single-"
+    "node global window so parity proves the decomposition",
+)(text.vocab_growth)
+register(
     "events_chi2_independence",
     timeseries.CHI2_TYPE_HOUR_SQL,
     doc="Pearson chi-squared independence of event_type x hour-of-day: "
@@ -1319,6 +1343,76 @@ register(
     "rank-weighted sums) + top-decile revenue share; one corpus "
     "aggregate, rank + sums on the checkpointed customer frame",
 )(analytics.revenue_concentration)
+register(
+    "window_pareto_frontier",
+    analytics.PARETO_FRONTIER_SQL,
+    doc="skyline / Pareto frontier on (recency, price): corpus "
+    "collapses to the bounded (date, price) grid first, frontier is "
+    "one ordered scan over <= |dates| rows; oracle runs the quadratic "
+    "NOT-EXISTS domination definition -- two algorithms, one answer",
+)(analytics.pareto_frontier)
+register(
+    "events_streaks",
+    timeseries.USER_STREAKS_SQL,
+    doc="gaps-and-islands consecutive-day streaks per user: distinct "
+    "(user, day) collapse first, day_number - row_number run keys, "
+    "deterministic tie-break via islands equi-join (no min_by)",
+)(timeseries.user_streaks)
+register(
+    "orders_backlog",
+    windows.ORDERS_BACKLOG_SQL,
+    doc="per-day peak open orders (order lifecycle = orderdate until "
+    "last line ships): one shuffle builds per-order intervals, then "
+    "the SHARED daily_interval_peaks day-partitioned sweep -- the "
+    "session_concurrency machinery re-applied to a second domain",
+)(windows.orders_backlog)
+register(
+    "profile_correlations",
+    profile.NUMERIC_CORRELATIONS_SQL,
+    doc="Pearson correlation matrix over lineitem numerics: every "
+    "moment for all pairs in ONE map-side-combinable aggregate "
+    "(decimal-quantized sums, no corr() UDAF), fixed-order assembly",
+)(profile.numeric_correlations)
+register(
+    "mm_phash_index",
+    None,
+    doc="perceptual-hash (aHash) index of the image corpus: real pixel "
+    "path for BMP/PIL, labeled md5 stub otherwise; per-doc 64-bit hash "
+    "+ Hamming-0 cluster size (never vacuously empty); the banded "
+    "pigeonhole pair join (recall 1 at Hamming <= 3, JVM bit_count "
+    "verify) is phash_pairs, pinned on genuine BMPs in tests; "
+    "rows-only (decode is not SQL-expressible)",
+)(multimodal.mm_phash_index)
+register(
+    "join_asof_nearest",
+    joins.NEAREST_JOIN_EVENTS_SQL,
+    doc="nearest-event join (closest view EITHER direction, ties to "
+    "the earlier): one user window carries prev forward + next "
+    "backward, row-local integer-microsecond verdict; oracle is a "
+    "LATERAL nested loop ordered by absolute gap",
+)(joins.nearest_join_events)
+register(
+    "agg_ship_latency_monthly",
+    analytics.SHIP_LATENCY_MONTHLY_SQL,
+    doc="order-to-first-ship SLA percentiles per month: two bounded "
+    "map-side-combinable shuffles, exact percentile with the "
+    "approx_percentile 100 TB drop-in documented",
+)(analytics.ship_latency_monthly)
+register(
+    "agg_mode_by_nation",
+    analytics.MODE_SEGMENT_BY_NATION_SQL,
+    doc="exact per-group mode with a DETERMINISTIC tie-break (engine "
+    "mode()/min_by() tie order is unspecified): corpus collapses to "
+    "counts in one shuffle, ranking window on the <= 125-row frame",
+)(analytics.mode_segment_by_nation)
+register(
+    "join_interval_stab",
+    windows.ORDERS_OPEN_AT_START_SQL,
+    doc="interval-stabbing join (how many other orders were open at "
+    "each order's placement instant) via the day-partitioned sweep: "
+    "probe points ride the delta window at pri 2, NO inequality "
+    "self-join; oracle runs the quadratic d.s <= p < d.e join",
+)(windows.orders_open_at_start)
 register(
     "events_cep_match",
     timeseries.CEP_CLICK_PURCHASE_SQL,
@@ -1503,6 +1597,18 @@ PENDING_WINDOW = [
     "events_rolling_wau",
     "agg_rfm_segments",
     "agg_revenue_concentration",
+    "orders_backlog",
+    "privacy_l_diversity",
+    "text_collocations",
+    "text_vocab_growth",
+    "window_pareto_frontier",
+    "events_streaks",
+    "join_interval_stab",
+    "join_asof_nearest",
+    "agg_ship_latency_monthly",
+    "agg_mode_by_nation",
+    "mm_phash_index",
+    "profile_correlations",
 ]
 
 assert len(CORRECTNESS_WINDOW) == 50, len(CORRECTNESS_WINDOW)

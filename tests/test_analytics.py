@@ -63,3 +63,90 @@ def test_revenue_concentration_hand_computed(spark, tmp_path):
     # iw = 1 + 2 + 3 + 4*997 = 3994; G = 2*3994/4000 - 5/4 = 0.747
     assert r.gini == 0.747
     assert r.top_share == 0.997
+
+
+def test_pareto_frontier_domination_and_multiplicity(spark, tmp_path):
+    """Planted grid: (d1,10)x2 kept (price beats everything later),
+    (d1,5) dominated same-date, (d2,8) dominated by equal price on a
+    later date, (d3,8) kept (most recent date's max)."""
+    from streamprocessing_with_kafka_spark.operators.analytics import (
+        pareto_frontier,
+    )
+
+    rows = [
+        (1, "2024-01-01", 10.0),
+        (2, "2024-01-01", 10.0),
+        (3, "2024-01-01", 5.0),
+        (4, "2024-01-02", 8.0),
+        (5, "2024-01-03", 8.0),
+    ]
+    d = str(tmp_path / "sky")
+    spark.createDataFrame(
+        [(o, 1, "O", p, ts) for (o, ts, p) in rows],
+        "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double, ts string",
+    ).selectExpr(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "CAST(ts AS TIMESTAMP) AS o_orderdate", "'1-URGENT' AS o_orderpriority",
+    ).write.parquet(d + "/orders.parquet")
+    got = {
+        (str(r.o_orderdate)[:10], r.o_totalprice): r.n_orders
+        for r in pareto_frontier(spark, d).collect()
+    }
+    assert got == {("2024-01-01", 10.0): 2, ("2024-01-03", 8.0): 1}
+
+
+def test_ship_latency_interpolated_percentiles(spark, tmp_path):
+    """Two orders, latencies 2 and 10 days -> interpolated p50 = 6,
+    p95 = 9.6, avg = 6."""
+    from streamprocessing_with_kafka_spark.operators.analytics import (
+        ship_latency_monthly,
+    )
+
+    d = str(tmp_path / "sla")
+    orders = [(1, "2024-01-05"), (2, "2024-01-20")]
+    ships = [(1, 1, "2024-01-07"), (2, 1, "2024-01-30"), (2, 2, "2024-02-15")]
+    spark.createDataFrame(
+        [(o, 1, "O", 10.0, ts) for (o, ts) in orders],
+        "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double, ts string",
+    ).selectExpr(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "CAST(ts AS TIMESTAMP) AS o_orderdate", "'1-URGENT' AS o_orderpriority",
+    ).write.parquet(d + "/orders.parquet")
+    spark.createDataFrame(
+        [(o, ln, 1, 1, 1.0, 10.0, 0.0, 0.0, "N", "O", ts) for (o, ln, ts) in ships],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, l_tax double, "
+        "l_returnflag string, l_linestatus string, ts string",
+    ).selectExpr(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus",
+        "CAST(ts AS TIMESTAMP) AS l_shipdate",
+    ).write.parquet(d + "/lineitem.parquet")
+    rows = ship_latency_monthly(spark, d).collect()
+    assert len(rows) == 1  # the Feb line ships later; FIRST ship is Jan
+    r = rows[0]
+    assert r.n_orders == 2
+    assert r.p50_days == 6.0
+    assert abs(r.p95_days - 9.6) < 1e-9
+    assert r.avg_days == 6.0
+
+
+def test_mode_by_nation_deterministic_tiebreak(spark, tmp_path):
+    from streamprocessing_with_kafka_spark.operators.analytics import (
+        mode_segment_by_nation,
+    )
+
+    rows = [(1, 1, "BUILDING"), (2, 1, "BUILDING"), (3, 1, "AUTOMOBILE"),
+            (4, 2, "MACHINERY"), (5, 2, "AUTOMOBILE"), (6, 2, "MACHINERY"),
+            (7, 2, "AUTOMOBILE")]
+    d = str(tmp_path / "mode")
+    spark.createDataFrame(
+        rows, "c_custkey long, c_nationkey int, c_mktsegment string"
+    ).selectExpr(
+        "c_custkey", "concat('Customer#', c_custkey) AS c_name",
+        "c_nationkey", "0.0 AS c_acctbal", "c_mktsegment",
+    ).write.parquet(d + "/customer.parquet")
+    got = {r.c_nationkey: r for r in mode_segment_by_nation(spark, d).collect()}
+    assert got[1].modal_segment == "BUILDING" and got[1].n_customers == 2
+    # nation 2 ties 2-2: lexicographically smaller segment wins
+    assert got[2].modal_segment == "AUTOMOBILE" and got[2].n_customers == 2

@@ -35,6 +35,7 @@ def test_documented_queries_exist():
     known_helpers = {
         "agg_order_dist",  # shorthand in prose
         "date_add",  # Spark function named in prose, not a query
+        "orders_audit_frame",  # shared batch/streaming helper, not a query
     }
     ghost = [g for g in ghost if g not in known_helpers]
     assert not ghost, f"COVERAGE.md references unknown queries: {ghost}"

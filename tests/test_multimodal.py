@@ -125,3 +125,76 @@ def test_png_routes_to_stub_without_pil(spark):
     )
     got = {r.doc_id: (r.width, r.height, r.n_frames) for r in decode_frame(corpus).collect()}
     assert got[5] == _fake_decode(png)
+
+
+def make_bmp_pattern(width: int, height: int, pixel) -> bytes:
+    """24bpp BMP with pixel(x, y) -> (r, g, b); bottom-up rows."""
+    row_size = (width * 3 + 3) & ~3
+    rows = []
+    for y in range(height - 1, -1, -1):  # file order is bottom-up
+        row = bytearray()
+        for x in range(width):
+            r, g, b = pixel(x, y)
+            row += bytes([b, g, r])
+        row += b"\x00" * (row_size - len(row))
+        rows.append(bytes(row))
+    pixels = b"".join(rows)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pixels), 2835, 2835, 0, 0
+    )
+    offset = 14 + len(dib)
+    header = b"BM" + struct.pack("<IHHI", offset + len(pixels), 0, 0, offset)
+    return header + dib + pixels
+
+
+def test_ahash_half_black_half_white_bmp():
+    """Left half black, right half white -> bits set exactly where the
+    8x8 grid lands on white (columns 4-7 of every row)."""
+    from streamprocessing_with_kafka_spark.operators.multimodal import _ahash64
+
+    bmp = make_bmp_pattern(
+        16, 16, lambda x, y: (255, 255, 255) if x >= 8 else (0, 0, 0)
+    )
+    expected = 0
+    for i in range(64):
+        if i % 8 >= 4:
+            expected |= 1 << i
+    if expected >= 1 << 63:
+        expected -= 1 << 64
+    assert _ahash64(bmp) == expected
+
+
+def test_phash_pairs_noisy_duplicate_caught_distinct_not(spark):
+    """A and its 2-cell-flipped copy pair up (hamming <= 3); the
+    inverted image pairs with neither."""
+    from streamprocessing_with_kafka_spark.operators.multimodal import (
+        ahash_frame,
+        phash_pairs,
+    )
+
+    def base(x, y):
+        return (255, 255, 255) if (x // 2 + y // 2) % 2 else (0, 0, 0)
+
+    def noisy(x, y):
+        # flip the two top-left grid cells' blocks
+        if y < 2 and x < 4:
+            r, g, b = base(x, y)
+            return (255 - r, 255 - g, 255 - b)
+        return base(x, y)
+
+    def inverted(x, y):
+        r, g, b = base(x, y)
+        return (255 - r, 255 - g, 255 - b)
+
+    imgs = [
+        (0, make_bmp_pattern(16, 16, base)),
+        (1, make_bmp_pattern(16, 16, noisy)),
+        (2, make_bmp_pattern(16, 16, inverted)),
+    ]
+    frame = spark.createDataFrame(imgs, "doc_id long, payload binary")
+    pairs = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in phash_pairs(ahash_frame(frame)).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] <= 3
+    assert (0, 2) not in pairs and (1, 2) not in pairs

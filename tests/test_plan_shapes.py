@@ -716,3 +716,139 @@ def test_rfm_single_corpus_shuffle(spark, sf_dir):
     assert "SortMergeJoin" not in plan, plan
     assert "Scan parquet" not in plan, plan
     assert plan.count("BroadcastNestedLoopJoin Cross") == 1, plan
+
+
+def test_l_diversity_one_row_shuffle_join(spark, sf_dir):
+    """The custkey join is the only row-level exchange; everything after
+    it aggregates on the bounded (nation x segment x priority) domain.
+    At sf the customer side broadcasts (one hash exchange for orders at
+    most); no cartesian anywhere."""
+    from streamprocessing_with_kafka_spark.operators import quality
+
+    plan = _plan(spark, quality.l_diversity_audit(spark, sf_dir))
+    assert "Cartesian" not in plan, plan
+    assert _n_shuffles(plan) <= 3, plan
+
+
+def test_collocations_min_count_precedes_unigram_joins(spark, sf_dir):
+    """The c_ab >= COLLOC_MIN_COUNT filter must sit below the joins so
+    only surviving pairs join the unigram table; both unigram joins are
+    broadcast at test scale and the pair count is map-side combinable."""
+    from streamprocessing_with_kafka_spark.operators import text as t
+
+    plan = _plan(spark, t.collocations(spark, sf_dir), "formatted")
+    assert "CartesianProduct" not in plan, plan
+    # the min-count condition appears in an Aggregate/Filter, not after
+    # the BroadcastHashJoins
+    assert re.search(r"c_ab#\d+L >= 3", plan) or ">= 3" in plan, plan
+
+
+def test_vocab_growth_has_no_global_window(spark, sf_dir):
+    """Every window in the two-phase prefix sum must be partitioned
+    (bucket ranges) -- a single-partition global window would serialize
+    the corpus through one task.  The tiny offsets frame is the ONE
+    allowed unpartitioned window; it runs over |docs|/VOCAB_BUCKET rows
+    and must be the only one."""
+    from streamprocessing_with_kafka_spark.operators import text as t
+
+    plan = _plan(spark, t.vocab_growth(spark, sf_dir))
+    # per-doc cumsum windows (over n_tokens/n_new) carry a bucket
+    # partition spec: `..., [bucket#N], [doc_id ASC]`
+    per_doc = re.findall(r"Window \[sum\(n_tokens#[^\n]*", plan)
+    assert per_doc and all(
+        re.search(r"\], \[bucket#\d+L\], \[doc_id", w) for w in per_doc
+    ), plan
+    # the ONLY unpartitioned windows are the bucket-offset cumsums over
+    # the |docs|/VOCAB_BUCKET-row frame (sum(bt)/sum(bn))
+    unpart = [
+        w
+        for w in re.findall(r"Window \[[^\n]*", plan)
+        if not re.search(r"\], \[[a-z_]+#\d+L?\], \[", w)
+    ]
+    assert unpart and all("sum(bt#" in w for w in unpart), plan
+    assert "Cartesian" not in plan, plan
+
+
+def test_pareto_frontier_collapses_before_windows(spark, sf_dir):
+    """The corpus must aggregate onto the (date, price) grid BELOW both
+    windows: the single-partition frontier scan may only ever see the
+    bounded per-date frame, never order rows."""
+    from streamprocessing_with_kafka_spark.operators import analytics as an
+
+    plan = _plan(spark, an.pareto_frontier(spark, sf_dir))
+    assert "Cartesian" not in plan, plan
+    assert plan.count("Exchange SinglePartition") == 1, plan
+    # the plan string prints root-first, so "below both windows" means
+    # AFTER the last Window line: the grid aggregate (and the corpus
+    # scan) must both appear there
+    below_windows = plan[plan.rindex("Window"):]
+    assert "HashAggregate" in below_windows, plan
+    assert "Scan parquet" in below_windows, plan
+
+
+def test_streaks_windows_are_user_partitioned(spark, sf_dir):
+    """Every window carries the user_id partition spec; the corpus
+    collapses to distinct (user, day) in one shuffle first."""
+    from streamprocessing_with_kafka_spark.operators import timeseries as ts
+
+    plan = _plan(spark, ts.user_streaks(spark, sf_dir))
+    for w in re.findall(r"Window \[[^\n]*", plan):
+        assert re.search(r"\], \[user_id#\d+L\], \[", w), w
+    assert "Cartesian" not in plan, plan
+
+
+def test_interval_stab_has_no_inequality_join(spark, sf_dir):
+    """The stabbing join must compile to the day-partitioned sweep:
+    equi-joins only (the lineitem last-ship hop), no BNLJ/cartesian
+    range join anywhere, windows partitioned by day."""
+    from streamprocessing_with_kafka_spark.operators import windows as wi
+
+    plan = _plan(spark, wi.orders_open_at_start(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Cartesian" not in plan, plan
+    for w in re.findall(r"Window \[[^\n]*", plan):
+        assert re.search(r"\], \[day#\d+\], \[", w), w
+
+
+def test_nearest_join_single_shuffle_no_nested_loop(spark, sf_dir):
+    """The nearest-event join must be ONE user-window pass -- never the
+    oracle's per-row nested loop (BNLJ/cartesian)."""
+    from streamprocessing_with_kafka_spark.operators import joins as j
+
+    plan = _plan(spark, j.nearest_join_events(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Cartesian" not in plan, plan
+    assert _n_shuffles(plan) == 1, plan
+
+
+def test_ship_latency_two_bounded_shuffles(spark, sf_dir):
+    from streamprocessing_with_kafka_spark.operators import analytics as an
+
+    plan = _plan(spark, an.ship_latency_monthly(spark, sf_dir))
+    assert "Cartesian" not in plan, plan
+    assert _n_shuffles(plan) <= 2, plan
+
+
+def test_mode_window_runs_on_collapsed_counts(spark, sf_dir):
+    """The ranking window must sit ABOVE the counts aggregate (root
+    printed first: Window appears before the HashAggregates in the
+    string and the aggregate below it), so it only ever sees the
+    bounded (nation, segment) frame."""
+    from streamprocessing_with_kafka_spark.operators import analytics as an
+
+    plan = _plan(spark, an.mode_segment_by_nation(spark, sf_dir))
+    below_window = plan[plan.rindex("Window"):]
+    assert "HashAggregate" in below_window and "Scan parquet" in below_window, plan
+    assert _n_shuffles(plan) <= 2, plan
+
+
+def test_correlations_one_aggregate_pass(spark, sf_dir):
+    """All moments for every pair collect in ONE aggregate over ONE
+    lineitem scan: a single exchange (the 1-row final aggregate), no
+    joins, no per-pair passes."""
+    from streamprocessing_with_kafka_spark.operators import profile as pr
+
+    plan = _plan(spark, pr.numeric_correlations(spark, sf_dir))
+    assert plan.count("Scan parquet") == 1, plan
+    assert _n_shuffles(plan) == 1, plan
+    assert "Join" not in plan, plan

@@ -126,3 +126,32 @@ def test_key_skew_finds_planted_heavy_key(spark, tmp_path):
         # ties at cnt=5 break by key asc: keys 0..8 fill the 9 slots
         assert {r.key for r in out} == {777, *range(9)}
         assert len(out) == 10
+
+
+def test_numeric_correlations_hand_computed(spark, tmp_path):
+    """Planted lineitem where extendedprice = 10*quantity exactly
+    (r = 1), discount is anti-correlated with quantity (r = -1), and
+    tax is constant (r undefined -> NULL via 0/0)."""
+    from streamprocessing_with_kafka_spark.operators.profile import (
+        numeric_correlations,
+    )
+
+    rows = [(i, 1, 1, 1, float(q), 10.0 * q, 1.0 - q * 0.1, 0.05, "N", "O")
+            for i, q in enumerate([1, 2, 3, 4, 5])]
+    d = str(tmp_path / "corr")
+    spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string",
+    ).selectExpr("*", "CAST('2024-01-01' AS TIMESTAMP) AS l_shipdate").write.parquet(
+        d + "/lineitem.parquet"
+    )
+    got = {
+        (r.col_a, r.col_b): r.pearson_r
+        for r in numeric_correlations(spark, d).collect()
+    }
+    assert got[("l_quantity", "l_extendedprice")] == 1.0
+    assert got[("l_quantity", "l_discount")] == -1.0
+    assert got[("l_quantity", "l_tax")] is None  # zero variance
+    assert got[("l_extendedprice", "l_discount")] == -1.0

@@ -229,3 +229,54 @@ def test_quality_gate_composes_three_planes(spark, sf_dir):
     assert rows[("benford", "benford_mad")].metric > 0.015
     assert rows[("constraints", "unique_o_orderkey")].passed is True
     assert ("privacy", "k_anon_at_risk_share") in rows
+
+
+def test_l_diversity_entropy_and_flags(spark, tmp_path):
+    """Planted classes: homogeneous (distinct_l=1, entropy_l=1), uniform
+    2-value (entropy_l=2), and skewed 3-value (1 < entropy_l < 3)."""
+    import math
+
+    from streamprocessing_with_kafka_spark.operators.quality import (
+        l_diversity_audit,
+    )
+
+    d = str(tmp_path / "ldiv")
+    cust = [(1, 1, "HOMOG"), (2, 2, "UNIF"), (3, 3, "SKEW")]
+    _write(
+        spark.createDataFrame(
+            cust, "c_custkey long, c_nationkey int, c_mktsegment string"
+        ).selectExpr(
+            "c_custkey", "concat('Customer#', c_custkey) AS c_name",
+            "c_nationkey", "0.0 AS c_acctbal", "c_mktsegment",
+        ),
+        d + "/customer.parquet",
+    )
+    orders = (
+        [(i, 1, "1-URGENT") for i in range(4)]
+        + [(10, 2, "1-URGENT"), (11, 2, "2-HIGH"), (12, 2, "1-URGENT"), (13, 2, "2-HIGH")]
+        + [(20, 3, "1-URGENT")] * 1
+        + [(21, 3, "2-HIGH")] * 1
+        + [(22, 3, "3-MEDIUM"), (23, 3, "3-MEDIUM"), (24, 3, "3-MEDIUM"), (25, 3, "3-MEDIUM")]
+    )
+    _write(
+        spark.createDataFrame(
+            orders, "o_orderkey long, o_custkey long, o_orderpriority string"
+        ).selectExpr(
+            "o_orderkey", "o_custkey", "'O' AS o_orderstatus",
+            "100.0 AS o_totalprice",
+            "CAST('2024-01-01' AS TIMESTAMP) AS o_orderdate",
+            "o_orderpriority",
+        ),
+        d + "/orders.parquet",
+    )
+    got = {r.c_mktsegment: r for r in l_diversity_audit(spark, d).collect()}
+    assert got["HOMOG"].distinct_l == 1
+    assert got["HOMOG"].homogeneity_risk is True
+    assert got["HOMOG"].entropy_l == 1.0
+    assert got["UNIF"].distinct_l == 2
+    assert got["UNIF"].entropy_l == 2.0
+    # skew: 1/6, 1/6, 4/6 -> H = ln6 - (4 ln4)/6; entropy_l = exp(H)
+    h = math.log(6.0) - (4.0 * math.log(4.0)) / 6.0
+    assert got["SKEW"].distinct_l == 3
+    assert got["SKEW"].homogeneity_risk is False
+    assert abs(got["SKEW"].entropy_l - math.exp(h)) < 1e-5

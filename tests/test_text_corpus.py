@@ -1,0 +1,91 @@
+"""Semantic tests for the corpus-level text operators: PMI collocation
+mining and the Heaps'-law vocabulary growth curve (registered queries
+`text_collocations` / `text_vocab_growth`; engine parity is covered by
+test_oracle_parity -- these pin the MATH on planted fixtures)."""
+
+import math
+
+from streamprocessing_with_kafka_spark.operators.text import (
+    COLLOC_MIN_COUNT,
+    VOCAB_BUCKET,
+    collocations,
+    vocab_growth,
+)
+
+
+def _write_docs(spark, path, texts):
+    spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    ).selectExpr(
+        "doc_id", "'test' AS source", "'en' AS lang", "text",
+        "CAST('2024-01-01' AS TIMESTAMP) AS crawl_ts",
+    ).write.mode("overwrite").parquet(path + "/documents.parquet")
+
+
+def test_collocations_rank_bound_pair_over_frequent_pair(spark, tmp_path):
+    """'new york' always co-occurs (perfect collocation, npmi == 1 when
+    both words only appear in the pair); 'of the' is frequent but
+    independent, so it ranks below."""
+    d = str(tmp_path / "coll")
+    texts = [("new york " + "of x the y " * 3).strip()] * COLLOC_MIN_COUNT
+    _write_docs(spark, d, texts)
+    rows = collocations(spark, d).collect()
+    got = {(r.w_prev, r.w): r for r in rows}
+    assert ("new", "york") in got
+    ny = got[("new", "york")]
+    # both 'new' and 'york' occur ONLY inside the pair -> npmi = 1
+    assert ny.npmi == 1.0
+    # 'of the' never occurs adjacently here; 'of x' does, but x also
+    # pairs with 'the', diluting its association below the perfect pair
+    assert rows[0].w_prev == "new" and rows[0].w == "york"
+    for r in rows:
+        assert r.c_ab >= COLLOC_MIN_COUNT
+        assert r.npmi <= 1.0
+
+
+def test_collocations_pmi_hand_computed(spark, tmp_path):
+    """One doc 'a b a b a b a c': c(a,b)=3, c(b,a)=3, c1(a)=4, c1(b)=3,
+    T=8; (a,c) falls below COLLOC_MIN_COUNT and must be absent."""
+    d = str(tmp_path / "pmi")
+    _write_docs(spark, d, ["a b a b a b a c"])
+    got = {(r.w_prev, r.w): r for r in collocations(spark, d).collect()}
+    assert set(got) == {("a", "b"), ("b", "a")}
+    pmi = math.log((3 / 8) / ((4 / 8) * (3 / 8)))
+    npmi = pmi / -math.log(3 / 8)
+    for pair in [("a", "b"), ("b", "a")]:
+        assert abs(got[pair].pmi - pmi) < 1e-6
+        assert abs(got[pair].npmi - npmi) < 1e-6
+
+
+def test_vocab_growth_hand_computed_two_docs(spark, tmp_path):
+    d = str(tmp_path / "vg2")
+    _write_docs(spark, d, ["a b", "a c"])
+    rows = {r.doc_id: r for r in vocab_growth(spark, d).collect()}
+    assert (rows[0].cum_tokens, rows[0].cum_vocab) == (2, 2)
+    assert (rows[1].cum_tokens, rows[1].cum_vocab) == (4, 3)
+    # log-log OLS through (ln2, ln2), (ln4, ln3)
+    beta = (math.log(3) - math.log(2)) / (math.log(4) - math.log(2))
+    assert abs(rows[0].heaps_beta - beta) < 1e-6
+    k = math.exp(
+        (math.log(2) + math.log(3)) / 2 - beta * (math.log(2) + math.log(4)) / 2
+    )
+    assert abs(rows[0].heaps_k - k) < 1e-5
+
+
+def test_vocab_growth_bucket_decomposition_matches_global_cumsum(
+    spark, tmp_path
+):
+    """> 2*VOCAB_BUCKET docs so the two-phase prefix sum crosses range
+    boundaries; compare against a brute-force Python cumsum."""
+    d = str(tmp_path / "vgb")
+    n = 2 * VOCAB_BUCKET + 7
+    texts = [f"w{i % 17} w{(i * 3) % 31} common" for i in range(n)]
+    _write_docs(spark, d, texts)
+    rows = sorted(vocab_growth(spark, d).collect(), key=lambda r: r.doc_id)
+    seen, cum_v, cum_t = set(), [], 0
+    for i, t in enumerate(texts):
+        words = t.split(" ")
+        cum_t += len(words)
+        seen.update(words)
+        cum_v.append((cum_t, len(seen)))
+    assert [(r.cum_tokens, r.cum_vocab) for r in rows] == cum_v

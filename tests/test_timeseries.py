@@ -616,3 +616,100 @@ def test_orders_backlog_planted_lifecycles(spark, tmp_path):
     assert (out[1].peak_concurrency, out[1].n_active_sessions, out[1].n_sessions_started) == (2, 2, 2)
     assert (out[2].peak_concurrency, out[2].n_active_sessions, out[2].n_sessions_started) == (2, 2, 1)
     assert (out[3].peak_concurrency, out[3].n_active_sessions, out[3].n_sessions_started) == (1, 1, 0)
+
+
+def test_user_streaks_gaps_islands_and_tiebreak(spark, tmp_path):
+    """User 1: days 1-3, 5-6, 10 -> longest 3 starting day 1.
+    User 2: two 2-day streaks -> tie resolves to the EARLIEST start."""
+    from streamprocessing_with_kafka_spark.operators.timeseries import (
+        user_streaks,
+    )
+
+    days_u1 = ["01", "02", "03", "05", "06", "10"]
+    days_u2 = ["01", "02", "05", "06"]
+    rows = [(i, f"2024-01-{d} 09:00:00", 1) for i, d in enumerate(days_u1)]
+    rows += [
+        (100 + i, f"2024-01-{d} 09:00:00", 2) for i, d in enumerate(days_u2)
+    ]
+    d = str(tmp_path / "streaks")
+    spark.createDataFrame(
+        [(eid, ts, u, "click", 1.0, "{}") for (eid, ts, u) in rows],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp")).write.parquet(
+        d + "/events.parquet"
+    )
+    got = {r.user_id: r for r in user_streaks(spark, d).collect()}
+    u1, u2 = got[1], got[2]
+    assert (u1.n_active_days, u1.n_streaks, u1.longest_streak) == (6, 3, 3)
+    assert str(u1.longest_start)[:10] == "2024-01-01"
+    assert (u2.n_active_days, u2.n_streaks, u2.longest_streak) == (4, 2, 2)
+    assert str(u2.longest_start)[:10] == "2024-01-01"
+
+
+def test_interval_stab_half_open_and_same_instant(spark, tmp_path):
+    """A [1,4), B [2,3), C [2,5), D [3,6): starts at the same instant
+    see each other (B and C), an interval is NOT open at its end
+    (B invisible to D), and the probe never counts itself."""
+    from streamprocessing_with_kafka_spark.operators.windows import (
+        orders_open_at_start,
+    )
+
+    d = str(tmp_path / "stab")
+    orders = [(1, "2024-01-01"), (2, "2024-01-02"), (3, "2024-01-02"), (4, "2024-01-03")]
+    ships = [(1, "2024-01-04"), (2, "2024-01-03"), (3, "2024-01-05"), (4, "2024-01-06")]
+    spark.createDataFrame(
+        [(o, 1, "O", 10.0, ts) for (o, ts) in orders],
+        "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double, ts string",
+    ).selectExpr(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "CAST(ts AS TIMESTAMP) AS o_orderdate", "'1-URGENT' AS o_orderpriority",
+    ).write.parquet(d + "/orders.parquet")
+    spark.createDataFrame(
+        [(o, 1, 1, 1, 1.0, 10.0, 0.0, 0.0, "N", "O", ts) for (o, ts) in ships],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, l_tax double, "
+        "l_returnflag string, l_linestatus string, ts string",
+    ).selectExpr(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus",
+        "CAST(ts AS TIMESTAMP) AS l_shipdate",
+    ).write.parquet(d + "/lineitem.parquet")
+    got = {
+        r.o_orderkey: r.n_open_at_start
+        for r in orders_open_at_start(spark, d).collect()
+    }
+    assert got == {1: 0, 2: 2, 3: 2, 4: 2}
+
+
+def test_nearest_join_directions_and_tiebreak(spark, tmp_path):
+    """Views at 10:00 and 10:10: purchase 10:04 -> before(10:00),
+    10:05 -> equidistant tie goes to the EARLIER view, 10:10 ->
+    0-gap 'before' on the same-instant view, 09:00 -> 'after';
+    a user with no views emits nothing."""
+    from streamprocessing_with_kafka_spark.operators.joins import (
+        nearest_join_events,
+    )
+
+    rows = [
+        (1, "2024-01-01 10:00:00", 1, "view"),
+        (2, "2024-01-01 10:10:00", 1, "view"),
+        (3, "2024-01-01 10:04:00", 1, "purchase"),
+        (4, "2024-01-01 10:05:00", 1, "purchase"),
+        (5, "2024-01-01 10:10:00", 1, "purchase"),
+        (6, "2024-01-01 09:00:00", 1, "purchase"),
+        (7, "2024-01-01 12:00:00", 2, "purchase"),
+    ]
+    d = str(tmp_path / "nearest")
+    spark.createDataFrame(
+        [(eid, ts, u, t, 1.0, "{}") for (eid, ts, u, t) in rows],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp")).write.parquet(
+        d + "/events.parquet"
+    )
+    got = {r.event_id: r for r in nearest_join_events(spark, d).collect()}
+    assert set(got) == {3, 4, 5, 6}
+    assert (str(got[3].nearest_view_ts)[11:16], got[3].direction) == ("10:00", "before")
+    assert (str(got[4].nearest_view_ts)[11:16], got[4].direction) == ("10:00", "before")
+    assert got[4].gap_us == 300 * 1_000_000
+    assert (got[5].gap_us, got[5].direction) == (0, "before")
+    assert (str(got[6].nearest_view_ts)[11:16], got[6].direction) == ("10:00", "after")
