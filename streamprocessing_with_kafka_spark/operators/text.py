@@ -1206,7 +1206,9 @@ LIMIT {COLLOC_TOP_K}
 VOCAB_BUCKET = 64  # docs per prefix-sum range; |docs|/64 offset rows
 
 
-def vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+def vocab_growth(
+    spark: SparkSession, sf_dir: str, *, checkpoint: bool = True
+) -> DataFrame:
     """Vocabulary growth curve + Heaps'-law fit: after each document
     (in doc_id order), the cumulative token count N and cumulative
     distinct vocabulary V, plus the corpus' fitted Heaps exponent
@@ -1251,6 +1253,12 @@ def vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("doc_id") / VOCAB_BUCKET).alias("bucket"),
         )
     )
+    # base feeds BOTH the offsets aggregate and the per-range join;
+    # without truncation each consumer re-runs the word-attribution
+    # shuffles (13-shuffle plan). |docs| rows: cheap to materialize.
+    # checkpoint=False exposes the full lineage to the plan-shape pin.
+    if checkpoint:
+        base = base.localCheckpoint()
     wb = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, -1)
     offsets = (
         base.groupBy("bucket")
@@ -1269,6 +1277,8 @@ def vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("tok_off") + F.sum("n_tokens").over(wd)).alias("cum_tokens"),
         (F.col("new_off") + F.sum("n_new").over(wd)).alias("cum_vocab"),
     )
+    if checkpoint:
+        cp = cp.localCheckpoint()  # feeds the OLS fit AND the final projection
     x = F.log(F.col("cum_tokens").cast("double"))
     y = F.log(F.col("cum_vocab").cast("double"))
     fit = cp.agg(

@@ -751,7 +751,10 @@ def test_vocab_growth_has_no_global_window(spark, sf_dir):
     and must be the only one."""
     from streamprocessing_with_kafka_spark.operators import text as t
 
-    plan = _plan(spark, t.vocab_growth(spark, sf_dir))
+    # checkpoint=False: the registered query truncates lineage with
+    # localCheckpoint (shared-frame reuse), hiding the windows from
+    # explain -- audit the full un-checkpointed composition instead
+    plan = _plan(spark, t.vocab_growth(spark, sf_dir, checkpoint=False))
     # per-doc cumsum windows (over n_tokens/n_new) carry a bucket
     # partition spec: `..., [bucket#N], [doc_id ASC]`
     per_doc = re.findall(r"Window \[sum\(n_tokens#[^\n]*", plan)
