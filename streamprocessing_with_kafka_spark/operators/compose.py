@@ -338,3 +338,102 @@ JOIN q ON stats.source = q.source
 
 
 CORPUS_REPORT_SQL = _corpus_report_sql()
+
+
+# ---------------------------------------- v5 flagship: orders ops report
+
+def orders_ops_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ORDERS OPERATIONS monthly dashboard -- this round's composed
+    flagship, gluing the interval family into one frame per month:
+    order volume, order-to-first-ship latency percentiles
+    (`agg_ship_latency_monthly`), the month's PEAK open-order backlog
+    (max of `orders_backlog`'s daily sweep), and the mean congestion an
+    order is born into (`join_interval_stab`'s open-at-start count
+    averaged over the month's placements).
+
+    Every constituent is independently driver-proven; the report is
+    three month-keyed equi-joins of already-tiny frames (<= |months|
+    rows each), so the composition adds no scale risk: the corpus is
+    touched exactly once per constituent, exactly as when they run
+    alone.  The oracle composes the SAME SQL constants as CTEs."""
+    from streamprocessing_with_kafka_spark.operators.analytics import (
+        ship_latency_monthly,
+    )
+    from streamprocessing_with_kafka_spark.operators.windows import (
+        orders_backlog,
+        orders_open_at_start,
+    )
+    from streamprocessing_with_kafka_spark.sources.tables import load_table
+
+    lat = ship_latency_monthly(spark, sf_dir)
+    peak = (
+        orders_backlog(spark, sf_dir)
+        .groupBy(F.date_trunc("MONTH", F.col("day")).alias("month"))
+        .agg(F.max("peak_concurrency").alias("peak_backlog"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.date_trunc("MONTH", F.col("o_orderdate")).alias("month")
+    )
+    stab = (
+        orders_open_at_start(spark, sf_dir)
+        .join(orders, "o_orderkey")
+        .groupBy("month")
+        .agg(
+            F.round(
+                F.sum(F.col("n_open_at_start").cast("decimal(28,10)"))
+                .cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("avg_open_at_start")
+        )
+    )
+    return (
+        lat.join(peak, "month")
+        .join(stab, "month")
+        .select(
+            "month",
+            "n_orders",
+            "p50_days",
+            "p95_days",
+            "peak_backlog",
+            "avg_open_at_start",
+        )
+    )
+
+
+def _ops_report_sql() -> str:
+    from streamprocessing_with_kafka_spark.operators.analytics import (
+        SHIP_LATENCY_MONTHLY_SQL,
+    )
+    from streamprocessing_with_kafka_spark.operators.windows import (
+        ORDERS_BACKLOG_SQL,
+        ORDERS_OPEN_AT_START_SQL,
+    )
+
+    from streamprocessing_with_kafka_spark.functions.numeric import round_sql
+
+    cong = round_sql(
+        "CAST(CAST(SUM(CAST(s.n_open_at_start AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)"
+        " / CAST(COUNT(*) AS DOUBLE)", 6)
+    return f"""
+WITH lat AS ({SHIP_LATENCY_MONTHLY_SQL}),
+bk AS ({ORDERS_BACKLOG_SQL}),
+stab AS ({ORDERS_OPEN_AT_START_SQL}),
+peak AS (
+  SELECT CAST(date_trunc('month', day) AS TIMESTAMP) AS month,
+         MAX(peak_concurrency) AS peak_backlog
+  FROM bk GROUP BY 1
+),
+congestion AS (
+  SELECT CAST(date_trunc('month', o.o_orderdate) AS TIMESTAMP) AS month,
+         {cong} AS avg_open_at_start
+  FROM stab s JOIN orders o ON s.o_orderkey = o.o_orderkey
+  GROUP BY 1
+)
+SELECT lat.month, lat.n_orders, lat.p50_days, lat.p95_days,
+       peak.peak_backlog, congestion.avg_open_at_start
+FROM lat JOIN peak USING (month) JOIN congestion USING (month)
+"""
+
+
+ORDERS_OPS_REPORT_SQL = _ops_report_sql()

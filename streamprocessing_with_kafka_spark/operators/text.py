@@ -1351,3 +1351,95 @@ SELECT doc_id, cum_tokens, cum_vocab,
   {_round_sql(f"exp((sy - ({_HEAPS_BETA_SQL}) * sx) / n)", 6)} AS heaps_k
 FROM cp, fit
 """
+
+
+# ---------------------------------------------- Zipf rank-frequency fit
+
+ZIPF_TOP_K = 500  # fit the head; the tail deviates from the power law
+
+
+def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the term rank-frequency head: log-log OLS
+    slope (natural text sits near -1) plus the top-rank share --
+    `text_vocab_growth`'s companion corpus-health number (Heaps and
+    Zipf are two views of the same token process; a corpus whose slope
+    drifts toward 0 is template spam, steeper than -1.5 is a
+    degenerate vocabulary).
+
+    Scale: term counts are one map-side-combinable shuffle; the head
+    extracts via TakeOrdered (distributed partial top-K -- no global
+    sort, no single-partition window over the vocabulary); ranking and
+    the DECIMAL-quantized OLS run on the ZIPF_TOP_K-row frame.  Output
+    is one row, engine-exact at 6dp."""
+    from pyspark.sql import Window as W
+
+    from streamprocessing_with_kafka_spark.functions.numeric import dec_sum
+
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(_tokens()).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    head = counts.orderBy(F.col("c").desc(), F.col("term").asc()).limit(
+        ZIPF_TOP_K
+    )
+    w = W.orderBy(F.col("c").desc(), F.col("term").asc())
+    ranked = head.select(
+        F.row_number().over(w).alias("rank"), F.col("c")
+    )
+    x = F.log(F.col("rank").cast("double"))
+    y = F.log(F.col("c").cast("double"))
+    fit = ranked.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dec_sum(x).alias("sx"),
+        dec_sum(y).alias("sy"),
+        dec_sum(x * y).alias("sxy"),
+        dec_sum(x * x).alias("sxx"),
+        F.max(F.when(F.col("rank") == 1, F.col("c"))).alias("top_c"),
+        F.sum("c").alias("head_tokens"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return fit.select(
+        F.col("n").cast("long").alias("n_terms_fit"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(
+            F.exp((F.col("sy") - slope * F.col("sx")) / F.col("n")), 6
+        ).alias("zipf_c"),
+        F.round(
+            F.col("top_c").cast("double") / F.col("head_tokens").cast("double"),
+            6,
+        ).alias("top_rank_share"),
+    )
+
+
+_ZIPF_SLOPE_SQL = "(n * sxy - sx * sy) / (n * sxx - sx * sx)"
+
+ZIPF_FIT_SQL = f"""
+WITH counts AS (
+  SELECT term, COUNT(*) AS c
+  FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+  GROUP BY term
+),
+head AS (
+  SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, term ASC) AS rank
+  FROM counts ORDER BY c DESC, term ASC LIMIT {ZIPF_TOP_K}
+),
+fit AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+    CAST(CAST(SUM(CAST(ln(CAST(rank AS DOUBLE)) AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS sx,
+    CAST(CAST(SUM(CAST(ln(CAST(c AS DOUBLE)) AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS sy,
+    CAST(CAST(SUM(CAST(ln(CAST(rank AS DOUBLE)) * ln(CAST(c AS DOUBLE)) AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS sxy,
+    CAST(CAST(SUM(CAST(ln(CAST(rank AS DOUBLE)) * ln(CAST(rank AS DOUBLE)) AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS sxx,
+    MAX(CASE WHEN rank = 1 THEN c END) AS top_c,
+    SUM(c) AS head_tokens
+  FROM head
+)
+SELECT CAST(n AS BIGINT) AS n_terms_fit,
+  {_round_sql(_ZIPF_SLOPE_SQL, 6)} AS zipf_slope,
+  {_round_sql(f"exp((sy - ({_ZIPF_SLOPE_SQL}) * sx) / n)", 6)} AS zipf_c,
+  {_round_sql("CAST(top_c AS DOUBLE) / CAST(head_tokens AS DOUBLE)", 6)} AS top_rank_share
+FROM fit
+"""

@@ -1182,3 +1182,111 @@ FROM per_user p
 JOIN islands i ON i.user_id = p.user_id AND i.len = p.longest_streak
 GROUP BY 1, 2, 3, 4
 """
+
+
+# ------------------------------- SAX symbolic series representation
+
+SAX_SEG_HOURS = 4  # 6 segments per day
+#: Gaussian equiprobable breakpoints for a 4-letter alphabet
+#: (Lin/Keogh/Lonardi/Chiu 2003); float repr literals parse
+#: bit-identically in both engines
+SAX_BREAKS = (-0.6745, 0.0, 0.6745)
+
+
+def sax_daily_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX (Symbolic Aggregate approXimation) of each event type's
+    hourly value series: per day, a 6-letter word -- PAA over 4-hour
+    segments, z-normalized against the TYPE's whole-series hourly
+    moments, discretized at the Gaussian equiprobable breakpoints.
+    The classic symbolic representation behind motif/anomaly discovery
+    at scale: grep-able daily shapes instead of raw floats (two days
+    with the same word are candidate motifs; a never-seen word is the
+    anomaly shortlist).
+
+    Determinism: hourly sums, segment PAA numerators, and the type
+    moments are all DECIMAL-quantized; mean/std/z assemble in the same
+    fixed-order double arithmetic as the oracle (std = 0 pins z = 0 ->
+    'c', and engines agree because the guard is explicit, not 0/0).
+    Scale: one corpus shuffle to the hourly rollup; everything after
+    rides |types x hours| frames; the word assembles from an
+    array_sort'ed collect_list (order-proof) per (type, day)."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket")
+    ).agg(F.sum(F.col("value").cast(DEC)).cast("double").alias("x"))
+    stats = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("x").cast(DEC)).cast("double").alias("sx"),
+        F.sum((F.col("x").cast(DEC) * F.col("x").cast(DEC)).cast("decimal(38,10)"))
+        .cast("double")
+        .alias("sxx"),
+    )
+    seg = hourly.groupBy(
+        "event_type",
+        F.date_trunc("day", F.col("bucket")).alias("day"),
+        F.floor(F.hour("bucket") / SAX_SEG_HOURS).cast("int").alias("seg"),
+    ).agg(
+        F.sum(F.col("x").cast(DEC)).cast("double").alias("sseg"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    j = seg.join(F.broadcast(stats), "event_type")
+    mean = F.col("sx") / F.col("n")
+    var = (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / F.col("n")
+    std = F.sqrt(var)
+    paa = F.col("sseg") / F.col("cnt").cast("double")
+    z = F.when(std > 0, (paa - mean) / std).otherwise(F.lit(0.0))
+    sym = (
+        F.when(z < SAX_BREAKS[0], F.lit("a"))
+        .when(z < SAX_BREAKS[1], F.lit("b"))
+        .when(z < SAX_BREAKS[2], F.lit("c"))
+        .otherwise(F.lit("d"))
+    )
+    with_sym = j.select("event_type", "day", "seg", sym.alias("sym"), "cnt")
+    return with_sym.groupBy("event_type", "day").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("seg"), F.col("sym")))
+                ),
+                lambda s: s.getField("sym"),
+            ),
+        ).alias("sax_word"),
+        F.sum("cnt").alias("n_hours"),
+    )
+
+
+SAX_DAILY_WORDS_SQL = f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket,
+         {dec_sum_sql('value')} AS x
+  FROM events GROUP BY 1, 2
+),
+stats AS (
+  SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n,
+         {dec_sum_sql('x')} AS sx,
+         CAST(CAST(SUM(CAST(CAST(x AS DECIMAL(28,10)) * CAST(x AS DECIMAL(28,10)) AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS sxx
+  FROM hourly GROUP BY 1
+),
+seg AS (
+  SELECT event_type, date_trunc('day', bucket) AS day,
+         CAST(floor(EXTRACT(hour FROM bucket) / {SAX_SEG_HOURS}) AS INT) AS seg,
+         {dec_sum_sql('x')} AS sseg, COUNT(*) AS cnt
+  FROM hourly GROUP BY 1, 2, 3
+),
+z AS (
+  SELECT event_type, day, seg, cnt,
+    CASE WHEN sqrt((sxx - sx * sx / n) / n) > 0
+         THEN ((sseg / CAST(cnt AS DOUBLE)) - sx / n)
+              / sqrt((sxx - sx * sx / n) / n)
+         ELSE 0.0 END AS zval
+  FROM seg JOIN stats USING (event_type)
+)
+SELECT event_type, CAST(day AS TIMESTAMP) AS day,
+       string_agg(CASE WHEN zval < {SAX_BREAKS[0]!r} THEN 'a'
+                       WHEN zval < {SAX_BREAKS[1]!r} THEN 'b'
+                       WHEN zval < {SAX_BREAKS[2]!r} THEN 'c'
+                       ELSE 'd' END, '' ORDER BY seg) AS sax_word,
+       CAST(SUM(cnt) AS BIGINT) AS n_hours
+FROM z GROUP BY 1, 2
+"""

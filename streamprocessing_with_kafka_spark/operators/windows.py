@@ -1289,3 +1289,56 @@ FROM intervals p LEFT JOIN intervals d
   ON d.s_us <= p.s_us AND p.s_us < d.e_us AND d.iid <> p.iid
 GROUP BY 1
 """
+
+
+# ----------------------------------- RANGE-frame trailing time window
+
+ROLLING_RANGE_MINUTES = 30
+_RANGE_US = ROLLING_RANGE_MINUTES * 60 * 1_000_000
+
+
+def rolling_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event, the user's trailing-30-minute activity (count + exact
+    value sum, window inclusive at both ends) -- the RANGE-frame window
+    mode (frame bounded by an ORDER-BY VALUE offset, not a row count),
+    which none of the rows-frame operators exercise: with bursty
+    streams, 'last N rows' and 'last 30 minutes' answer different
+    questions, and rate-limit / velocity-check logic needs the latter.
+
+    The frame orders by exact integer microseconds (the repo's ts
+    discipline), so the range arithmetic is integer-exact in both
+    engines; the value sum accumulates DECIMALS inside the frame (same
+    argument as `running_user_value`: segment-tree vs running float
+    accumulation differs, decimal addition is associative).  Scale: one
+    user-partitioned sort window, corpus shuffles once on user_id."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    with_us = ev.select("event_id", "user_id", "ts", "value", us.alias("us"))
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-_RANGE_US, 0)
+    )
+    return with_us.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count(F.lit(1)).over(w).alias("n_events_30m"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(28,10)")).over(w).cast("double"),
+            6,
+        ).alias("sum_value_30m"),
+    )
+
+
+ROLLING_TIME_WINDOW_SQL = f"""
+SELECT event_id, user_id, ts,
+  COUNT(*) OVER w AS n_events_30m,
+  {round_sql("CAST(CAST(SUM(CAST(value AS DECIMAL(28,10))) OVER w AS VARCHAR) AS DOUBLE)", 6)}
+    AS sum_value_30m
+FROM (SELECT event_id, user_id, ts, value, epoch_us(ts) AS us FROM events)
+WINDOW w AS (PARTITION BY user_id ORDER BY us
+             RANGE BETWEEN {_RANGE_US} PRECEDING AND CURRENT ROW)
+"""

@@ -1367,6 +1367,39 @@ register(
     "session_concurrency machinery re-applied to a second domain",
 )(windows.orders_backlog)
 register(
+    "events_rolling_time_window",
+    windows.ROLLING_TIME_WINDOW_SQL,
+    doc="RANGE-frame trailing 30-minute per-user window (value-offset "
+    "frame, the mode no rows-frame operator exercises): exact integer-"
+    "microsecond range arithmetic, in-frame decimal sums, one "
+    "user-partitioned sort window",
+)(windows.rolling_time_window)
+register(
+    "pipeline_orders_ops_report",
+    compose.ORDERS_OPS_REPORT_SQL,
+    doc="v5 composed flagship: monthly orders OPS dashboard gluing "
+    "ship-latency percentiles + peak open-order backlog (daily sweep "
+    "max) + mean open-at-start congestion -- three month-keyed joins "
+    "of independently-proven tiny frames; oracle composes the same "
+    "SQL constants as CTEs",
+)(compose.orders_ops_report)
+register(
+    "text_zipf_fit",
+    text.ZIPF_FIT_SQL,
+    doc="Zipf rank-frequency log-log fit over the term head (vocab "
+    "top-K via distributed TakeOrdered, no global sort): slope, "
+    "intercept, top-rank share -- text_vocab_growth's companion "
+    "corpus-health number",
+)(text.zipf_fit)
+register(
+    "events_sax_words",
+    timeseries.SAX_DAILY_WORDS_SQL,
+    doc="SAX symbolic daily words (Lin/Keogh 2003): hourly rollup -> "
+    "4-hour PAA -> per-type z-normalize -> Gaussian-breakpoint "
+    "letters; grep-able motif/anomaly shapes, one corpus shuffle, "
+    "order-proof word assembly via array_sort'ed collect_list",
+)(timeseries.sax_daily_words)
+register(
     "profile_correlations",
     profile.NUMERIC_CORRELATIONS_SQL,
     doc="Pearson correlation matrix over lineitem numerics: every "
@@ -1609,6 +1642,10 @@ PENDING_WINDOW = [
     "agg_mode_by_nation",
     "mm_phash_index",
     "profile_correlations",
+    "events_sax_words",
+    "text_zipf_fit",
+    "pipeline_orders_ops_report",
+    "events_rolling_time_window",
 ]
 
 assert len(CORRECTNESS_WINDOW) == 50, len(CORRECTNESS_WINDOW)

@@ -855,3 +855,12 @@ def test_correlations_one_aggregate_pass(spark, sf_dir):
     assert plan.count("Scan parquet") == 1, plan
     assert _n_shuffles(plan) == 1, plan
     assert "Join" not in plan, plan
+
+
+def test_zipf_head_extracts_via_take_ordered(spark, sf_dir):
+    """The vocabulary head must come from a distributed partial top-K
+    (TakeOrderedAndProject), never a full global sort of the vocab."""
+    from streamprocessing_with_kafka_spark.operators import text as t
+
+    plan = _plan(spark, t.zipf_fit(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan

@@ -89,3 +89,25 @@ def test_vocab_growth_bucket_decomposition_matches_global_cumsum(
         seen.update(words)
         cum_v.append((cum_t, len(seen)))
     assert [(r.cum_tokens, r.cum_vocab) for r in rows] == cum_v
+
+
+def test_zipf_fit_hand_computed(spark, tmp_path):
+    """Frequencies 8/4/2/1 over ranks 1-4: OLS on (ln r, ln c) computed
+    independently; top-rank share = 8/15."""
+    from streamprocessing_with_kafka_spark.operators.text import zipf_fit
+
+    text = " ".join(["a"] * 8 + ["b"] * 4 + ["c"] * 2 + ["d"])
+    d = str(tmp_path / "zipf")
+    _write_docs(spark, d, [text])
+    r = zipf_fit(spark, d).collect()[0]
+    xs = [math.log(i) for i in (1, 2, 3, 4)]
+    ys = [math.log(c) for c in (8, 4, 2, 1)]
+    n = 4.0
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    sxx = sum(a * a for a in xs)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert r.n_terms_fit == 4
+    assert abs(r.zipf_slope - slope) < 1e-6
+    assert abs(r.zipf_c - math.exp((sy - slope * sx) / n)) < 1e-5
+    assert r.top_rank_share == round(8 / 15, 6)

@@ -713,3 +713,78 @@ def test_nearest_join_directions_and_tiebreak(spark, tmp_path):
     assert got[4].gap_us == 300 * 1_000_000
     assert (got[5].gap_us, got[5].direction) == (0, "before")
     assert (str(got[6].nearest_view_ts)[11:16], got[6].direction) == ("10:00", "after")
+
+
+def test_sax_words_shape_and_motif(spark, tmp_path):
+    """A rising 24-hour ramp gives a monotone word; a second day with
+    the identical shape yields the SAME word (the motif property)."""
+    import math
+
+    from streamprocessing_with_kafka_spark.operators.timeseries import (
+        SAX_BREAKS,
+        SAX_SEG_HOURS,
+        sax_daily_words,
+    )
+
+    vals = [float(h) for h in range(24)]
+    rows = []
+    eid = 0
+    for day in ("2024-01-01", "2024-01-02"):
+        for h, v in enumerate(vals):
+            rows.append((eid, f"{day} {h:02d}:30:00", 1, "t", v))
+            eid += 1
+    d = str(tmp_path / "sax")
+    spark.createDataFrame(
+        [(e, ts, u, t, v, "{}") for (e, ts, u, t, v) in rows],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp")).write.parquet(
+        d + "/events.parquet"
+    )
+    got = {str(r.day)[:10]: r for r in sax_daily_words(spark, d).collect()}
+    assert got["2024-01-01"].sax_word == got["2024-01-02"].sax_word
+    word = got["2024-01-01"].sax_word
+    assert len(word) == 24 // SAX_SEG_HOURS
+    assert list(word) == sorted(word)  # rising ramp -> monotone letters
+    # replicate the operator's arithmetic exactly
+    xs = vals * 2
+    n = float(len(xs))
+    sx, sxx = sum(xs), sum(x * x for x in xs)
+    mean, std = sx / n, math.sqrt((sxx - sx * sx / n) / n)
+    expected = ""
+    for s0 in range(0, 24, SAX_SEG_HOURS):
+        paa = sum(vals[s0 : s0 + SAX_SEG_HOURS]) / SAX_SEG_HOURS
+        z = (paa - mean) / std
+        expected += (
+            "a" if z < SAX_BREAKS[0] else
+            "b" if z < SAX_BREAKS[1] else
+            "c" if z < SAX_BREAKS[2] else "d"
+        )
+    assert word == expected
+    assert got["2024-01-01"].n_hours == 24
+
+
+def test_rolling_time_window_range_vs_rows(spark, tmp_path):
+    """Bursty fixture where 'last 30 minutes' != 'last N rows': events
+    at 00, 10, 20, 29, 31 minutes -- the 31' event's trailing window
+    holds 10/20/29/31 (the 00' event ages out; boundary INCLUSIVE at
+    exactly -30')."""
+    from streamprocessing_with_kafka_spark.operators.windows import (
+        rolling_time_window,
+    )
+
+    mins = [0, 10, 20, 29, 31, 40]
+    rows = [(i, f"2024-01-01 10:{m:02d}:00", 1, "t", 1.0) for i, m in enumerate(mins)]
+    d = str(tmp_path / "rtw")
+    spark.createDataFrame(
+        [(e, ts, u, t, v, "{}") for (e, ts, u, t, v) in rows],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp")).write.parquet(
+        d + "/events.parquet"
+    )
+    got = {r.event_id: r.n_events_30m for r in rolling_time_window(spark, d).collect()}
+    assert got[0] == 1          # 00'
+    assert got[3] == 4          # 29': 00,10,20,29
+    assert got[4] == 4          # 31': 10,20,29,31 (00 aged out)
+    # 40': 40 - 30 = 10 -> the 10' event sits exactly on the boundary
+    # and IS included (inclusive frame): {10,20,29,31,40} = 5
+    assert got[5] == 5
