@@ -416,3 +416,80 @@ def test_holt_matches_python_recompute(spark, vals):
             trend = trend + ys[t - j] * wb
         assert math.isclose(r.level, level, rel_tol=1e-9, abs_tol=2e-6), t
         assert math.isclose(r.trend, trend, rel_tol=1e-9, abs_tol=2e-6), t
+
+
+# ---------------- interval sweep family: fuzz vs brute force ----------------
+
+_DAY_US_ = 86_400_000_000
+
+interval = st.tuples(
+    st.integers(0, 4 * 86_400),  # start second within a 4-day span
+    st.integers(1, 3 * 86_400),  # duration seconds (may cross days)
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ivs=st.lists(interval, min_size=1, max_size=14))
+def test_interval_stab_matches_bruteforce(spark, ivs):
+    """For ANY interval set (random starts/durations, day-crossing,
+    same-instant ties, nested), every probe's open-count equals the
+    quadratic definition: # intervals with s <= p < e."""
+    from streamprocessing_with_kafka_spark.operators.windows import (
+        interval_stab_counts,
+    )
+
+    base = 1_700_000_000 * 1_000_000  # fixed epoch anchor
+    rows = [
+        (i, base + s * 1_000_000, base + (s + d) * 1_000_000)
+        for i, (s, d) in enumerate(ivs)
+    ]
+    df = spark.createDataFrame(rows, "iid long, s_us long, e_us long")
+    got = {r.iid: r.n_open for r in interval_stab_counts(df).collect()}
+    for iid, s, _ in rows:
+        expect = sum(1 for (_, s2, e2) in rows if s2 <= s < e2)
+        assert got[iid] == expect, (iid, rows)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ivs=st.lists(interval, min_size=1, max_size=12))
+def test_daily_peaks_match_bruteforce(spark, ivs):
+    """Per-day peak concurrency equals a brute-force sweep over every
+    boundary instant of that day (half-open intervals)."""
+    from streamprocessing_with_kafka_spark.operators.windows import (
+        daily_interval_peaks,
+    )
+
+    base = 1_700_000_000 * 1_000_000
+    base -= base % _DAY_US_  # align to a day boundary for readability
+    rows = [
+        (base + s * 1_000_000, base + (s + d) * 1_000_000)
+        for (s, d) in ivs
+    ]
+    df = spark.createDataFrame(rows, "s_us long, e_us long")
+    got = {
+        int((r.day.timestamp() * 1_000_000 - base) // _DAY_US_): r.peak_concurrency
+        for r in daily_interval_peaks(df).collect()
+    }
+    # brute force: for each day an interval overlaps, evaluate the open
+    # count at every boundary instant clamped into that day
+    days = sorted(
+        {d for (s, e) in rows for d in range((s - base) // _DAY_US_,
+                                             (e - 1 - base) // _DAY_US_ + 1)}
+    )
+    for day in days:
+        lo, hi = base + day * _DAY_US_, base + (day + 1) * _DAY_US_
+        probes = {lo} | {
+            p for (s, e) in rows for p in (s, e) if lo <= p < hi
+        }
+        peak = max(
+            sum(1 for (s, e) in rows if s <= p < e) for p in probes
+        )
+        assert got[day] == peak, (day, rows)
