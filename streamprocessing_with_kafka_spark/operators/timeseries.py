@@ -1290,3 +1290,187 @@ SELECT event_type, CAST(day AS TIMESTAMP) AS day,
        CAST(SUM(cnt) AS BIGINT) AS n_hours
 FROM z GROUP BY 1, 2
 """
+
+
+# ----------------------------- seasonal-profile anomaly detection
+
+SEASONAL_Z_FENCE = 3.0
+
+
+def seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive anomaly detection: every hourly bucket scored
+    against the SAME-HOUR-OF-WEEK profile across all weeks -- the
+    operational complement of `events_seasonality` (and the reason it
+    exists): 4am traffic compares against other 4am's, so quiet hours
+    stop triggering and a quiet TUESDAY LUNCH does.
+
+    Two aggregates, both map-side-combinable and bounded: corpus ->
+    hourly buckets, buckets -> (type, dow, hr) profile moments (n, sum,
+    sumsq as exact decimals; <= |types| x 168 rows, broadcast back).
+    z assembles in fixed-order double arithmetic (sample std, n-1);
+    cells with under 2 weeks of history or zero variance yield NULL z
+    and never flag -- an explicit guard, not engine 0/0 behavior.
+    dow is the integer epoch-day arithmetic (engines disagree on
+    dayofweek origin/range; documented on `seasonality_profile`)."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket")
+    ).agg(F.sum(F.col("value").cast(DEC)).cast("double").alias("x"))
+    dow = (
+        F.expr("unix_micros(CAST(bucket AS TIMESTAMP)) div 86400000000")
+        + F.lit(3)
+    ) % F.lit(7)
+    keyed = hourly.select(
+        "event_type", "bucket", "x", dow.alias("dow"), F.hour("bucket").alias("hr")
+    )
+    prof = keyed.groupBy("event_type", "dow", "hr").agg(
+        F.count(F.lit(1)).alias("n_weeks"),
+        F.sum(F.col("x").cast(DEC)).cast("double").alias("sx"),
+        F.sum((F.col("x").cast(DEC) * F.col("x").cast(DEC)).cast("decimal(38,10)"))
+        .cast("double")
+        .alias("sxx"),
+    )
+    return seasonal_score(keyed, prof)
+
+
+def seasonal_score(keyed: DataFrame, prof: DataFrame) -> DataFrame:
+    """Score (event_type, bucket, x, dow, hr) rows against profile
+    moments -- shared verbatim by the batch operator and the streaming
+    gate (`streaming/seasonal_gate.py`), so online and nightly-audit z
+    values are definitionally identical."""
+    j = keyed.join(F.broadcast(prof), ["event_type", "dow", "hr"])
+    n = F.col("n_weeks").cast("double")
+    mean = F.col("sx") / n
+    var = (F.col("sxx") - F.col("sx") * F.col("sx") / n) / (n - 1)
+    z = F.when(
+        (F.col("n_weeks") >= 2) & (var > 0),
+        (F.col("x") - mean) / F.sqrt(var),
+    )
+    return j.select(
+        "event_type",
+        "bucket",
+        F.round(F.col("x"), 6).alias("x"),
+        F.round(z, 6).alias("z"),
+        F.coalesce(F.abs(z) > SEASONAL_Z_FENCE, F.lit(False)).alias(
+            "is_anomaly"
+        ),
+    )
+
+
+SEASONAL_ANOMALY_SQL = f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket,
+         {dec_sum_sql('value')} AS x
+  FROM events GROUP BY 1, 2
+),
+keyed AS (
+  SELECT event_type, bucket, x,
+         ((epoch_us(bucket) // 86400000000) + 3) % 7 AS dow,
+         hour(bucket) AS hr
+  FROM hourly
+),
+prof AS (
+  SELECT event_type, dow, hr, COUNT(*) AS n_weeks,
+         {dec_sum_sql('x')} AS sx,
+         CAST(CAST(SUM(CAST(CAST(x AS DECIMAL(28,10)) * CAST(x AS DECIMAL(28,10)) AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS sxx
+  FROM keyed GROUP BY 1, 2, 3
+),
+z AS (
+  SELECT event_type, bucket, x,
+    CASE WHEN n_weeks >= 2
+          AND (sxx - sx * sx / CAST(n_weeks AS DOUBLE))
+              / (CAST(n_weeks AS DOUBLE) - 1) > 0
+         THEN (x - sx / CAST(n_weeks AS DOUBLE))
+              / sqrt((sxx - sx * sx / CAST(n_weeks AS DOUBLE))
+                     / (CAST(n_weeks AS DOUBLE) - 1))
+         END AS zval
+  FROM keyed JOIN prof USING (event_type, dow, hr)
+)
+SELECT event_type, bucket, {round_sql('x', 6)} AS x,
+       {round_sql('zval', 6)} AS z,
+       COALESCE(abs(zval) > {SEASONAL_Z_FENCE!r}, FALSE) AS is_anomaly
+FROM z
+"""
+
+
+# ----------------------------- funnel conversion-latency distribution
+
+def funnel_timing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution for the view -> purchase funnel:
+    per user, the gap from FIRST view to the first purchase AFTER it,
+    rolled up to conversion rate + exact latency percentiles.  The
+    timing companion of `events_funnel` (which counts who converts;
+    this measures how long conversion takes -- the metric an SLA or
+    campaign review actually asks for).
+
+    One aggregate per user collects both instants as conditional mins
+    (no view-to-purchase self-join, the `events_funnel` argument);
+    gaps are exact integer microseconds; the corpus-level rollup is a
+    second 1-row aggregate with exact percentiles (approx_percentile
+    is the 100 TB drop-in, the `agg_ship_latency_monthly` trade)."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", us)).alias("first_view")
+    )
+    with_purchase = (
+        ev.select("user_id", "event_type", us.alias("us"))
+        .join(per_user, "user_id")
+        .groupBy("user_id", "first_view")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("us") >= F.col("first_view")),
+                    F.col("us"),
+                )
+            ).alias("first_purchase")
+        )
+        .filter(F.col("first_view").isNotNull())
+    )
+    gap_s = (
+        (F.col("first_purchase") - F.col("first_view")) / F.lit(1_000_000.0)
+    )
+    return with_purchase.agg(
+        F.count(F.lit(1)).alias("n_viewers"),
+        F.count("first_purchase").alias("n_converted"),
+        F.round(
+            F.count("first_purchase") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("conversion_rate"),
+        F.round(F.expr(
+            "percentile(IF(first_purchase IS NOT NULL,"
+            " (first_purchase - first_view) / 1000000.0, NULL), 0.5)"
+        ), 6).alias("p50_seconds"),
+        F.round(F.expr(
+            "percentile(IF(first_purchase IS NOT NULL,"
+            " (first_purchase - first_view) / 1000000.0, NULL), 0.95)"
+        ), 6).alias("p95_seconds"),
+    )
+
+
+FUNNEL_TIMING_SQL = f"""
+WITH per_user AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
+           AS first_view
+  FROM events GROUP BY 1
+),
+conv AS (
+  SELECT e.user_id, p.first_view,
+         MIN(CASE WHEN e.event_type = 'purchase'
+                   AND epoch_us(e.ts) >= p.first_view
+                  THEN epoch_us(e.ts) END) AS first_purchase
+  FROM events e JOIN per_user p ON e.user_id = p.user_id
+  WHERE p.first_view IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT COUNT(*) AS n_viewers,
+       COUNT(first_purchase) AS n_converted,
+       {round_sql('COUNT(first_purchase) / CAST(COUNT(*) AS DOUBLE)', 6)}
+         AS conversion_rate,
+       {round_sql('quantile_cont((first_purchase - first_view) / 1000000.0, 0.5)', 6)}
+         AS p50_seconds,
+       {round_sql('quantile_cont((first_purchase - first_view) / 1000000.0, 0.95)', 6)}
+         AS p95_seconds
+FROM conv
+"""

@@ -1367,6 +1367,21 @@ register(
     "session_concurrency machinery re-applied to a second domain",
 )(windows.orders_backlog)
 register(
+    "events_funnel_timing",
+    timeseries.FUNNEL_TIMING_SQL,
+    doc="view->purchase time-to-convert: conditional-min instants per "
+    "user (no self-join), exact integer-microsecond gaps, corpus "
+    "conversion rate + exact latency percentiles in one final row",
+)(timeseries.funnel_timing)
+register(
+    "events_seasonal_anomaly",
+    timeseries.SEASONAL_ANOMALY_SQL,
+    doc="seasonal-naive anomaly detection: hourly buckets z-scored "
+    "against their same-hour-of-week profile (two bounded map-side-"
+    "combinable aggregates, profile broadcast back); explicit under-"
+    "history/zero-variance NULL guard, never engine 0/0",
+)(timeseries.seasonal_anomaly)
+register(
     "events_rolling_time_window",
     windows.ROLLING_TIME_WINDOW_SQL,
     doc="RANGE-frame trailing 30-minute per-user window (value-offset "
@@ -1646,6 +1661,8 @@ PENDING_WINDOW = [
     "text_zipf_fit",
     "pipeline_orders_ops_report",
     "events_rolling_time_window",
+    "events_seasonal_anomaly",
+    "events_funnel_timing",
 ]
 
 assert len(CORRECTNESS_WINDOW) == 50, len(CORRECTNESS_WINDOW)

@@ -788,3 +788,65 @@ def test_rolling_time_window_range_vs_rows(spark, tmp_path):
     # 40': 40 - 30 = 10 -> the 10' event sits exactly on the boundary
     # and IS included (inclusive frame): {10,20,29,31,40} = 5
     assert got[5] == 5
+
+
+def test_seasonal_anomaly_flags_outlier_week_only(spark, tmp_path):
+    """12 Mondays at 10:00 with value 10, one with 1000: only that
+    bucket flags (same-hour-of-week profile, outlier-inclusive std)."""
+    from datetime import date, timedelta
+
+    from streamprocessing_with_kafka_spark.operators.timeseries import (
+        seasonal_anomaly,
+    )
+
+    d0 = date(2024, 1, 1)  # a Monday
+    rows = []
+    for k in range(12):
+        day = d0 + timedelta(weeks=k)
+        rows.append((k, f"{day} 10:00:00", 1, "t", 1000.0 if k == 6 else 10.0))
+    d = str(tmp_path / "seas")
+    spark.createDataFrame(
+        [(e, ts, u, t, v, "{}") for (e, ts, u, t, v) in rows],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp")).write.parquet(
+        d + "/events.parquet"
+    )
+    got = {str(r.bucket)[:10]: r for r in seasonal_anomaly(spark, d).collect()}
+    outlier_day = str(d0 + timedelta(weeks=6))
+    assert got[outlier_day].is_anomaly is True
+    assert got[outlier_day].z > 3
+    for day, r in got.items():
+        if day != outlier_day:
+            assert r.is_anomaly is False
+
+
+def test_funnel_timing_boundaries(spark, tmp_path):
+    """Converted = first purchase AT-OR-AFTER first view; purchases
+    before the first view don't count; non-viewers aren't in the
+    denominator; gap percentiles interpolate over converters only."""
+    from streamprocessing_with_kafka_spark.operators.timeseries import (
+        funnel_timing,
+    )
+
+    t0 = "2024-01-01 10:00:"
+    rows = [
+        (1, t0 + "00", 1, "view"), (2, t0 + "10", 1, "purchase"),
+        (3, t0 + "00", 2, "view"),
+        (4, t0 + "20", 3, "view"), (5, t0 + "10", 3, "purchase"),
+        (6, t0 + "00", 4, "view"), (7, t0 + "30", 4, "purchase"),
+        (8, t0 + "05", 4, "purchase"),
+        (9, t0 + "00", 5, "purchase"),
+    ]
+    d = str(tmp_path / "ft")
+    spark.createDataFrame(
+        [(e, ts, u, t, 1.0, "{}") for (e, ts, u, t) in rows],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp")).write.parquet(
+        d + "/events.parquet"
+    )
+    r = funnel_timing(spark, d).collect()[0]
+    assert r.n_viewers == 4          # users 1-4; user 5 never viewed
+    assert r.n_converted == 2        # user 1 (+10s) and user 4 (+5s)
+    assert r.conversion_rate == 0.5
+    assert r.p50_seconds == 7.5      # interpolated between 5 and 10
+    assert r.p95_seconds == 9.75
