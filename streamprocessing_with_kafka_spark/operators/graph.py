@@ -51,7 +51,9 @@ def cooccurrence_edges(ev: DataFrame) -> DataFrame:
     )
 
 
-def triangle_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+def triangle_clustering(
+    spark: SparkSession, sf_dir: str, *, checkpoint: bool = True
+) -> DataFrame:
     """Per-user triangle count, degree, and local clustering coefficient.
 
     Triangles enumerate once each as ordered triples a<b<c via two
@@ -63,6 +65,12 @@ def triangle_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load_table(spark, sf_dir, "events")
     e = cooccurrence_edges(ev)
+    # the edge list feeds FOUR consumers (three triangle-join roles +
+    # degree); without truncation each re-runs the occ self-join and
+    # distincts (a 17-shuffle plan). Vocabulary-sized: cheap to
+    # materialize. checkpoint=False keeps lineage for the plan pin.
+    if checkpoint:
+        e = e.localCheckpoint()
     tri = (
         e.select(F.col("u").alias("a"), F.col("v").alias("b"))
         .join(e.select(F.col("u").alias("b"), F.col("v").alias("c")), "b")

@@ -1027,7 +1027,9 @@ ORDER BY shard
 """
 
 
-def source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+def source_divergence(
+    spark: SparkSession, sf_dir: str, *, checkpoint: bool = True
+) -> DataFrame:
     """Per-source unigram ENTROPY and KL divergence from the corpus
     distribution -- the mixture-monitoring row for curation ("is src7
     drifting into boilerplate? is its vocabulary collapsing?").
@@ -1047,6 +1049,11 @@ def source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "term")
         .agg(F.count(F.lit(1)).alias("c_st"))
     )
+    # st feeds FOUR consumers (term/source/corpus totals + the scoring
+    # join); truncation runs the corpus explode+count once instead of
+    # four times (9-shuffle plan otherwise). Vocab x sources rows.
+    if checkpoint:
+        st = st.localCheckpoint()
     term_tot = st.groupBy("term").agg(F.sum("c_st").alias("c_t"))
     src_tot = st.groupBy("source").agg(F.sum("c_st").alias("t_s"))
     corpus_tot = term_tot.agg(F.sum("c_t").alias("t"))
