@@ -1339,3 +1339,97 @@ FROM counts
 QUALIFY ROW_NUMBER() OVER (PARTITION BY c_nationkey
                            ORDER BY n DESC, c_mktsegment ASC) = 1
 """
+
+
+# ------------------------------------------------ cohort LTV triangle
+
+def cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-lifetime-value triangle: customers cohorted by FIRST-
+    order month, then each cohort's cumulative revenue per member at
+    0, 1, 2, ... months since acquisition -- the companion of
+    `events_cohort_retention` on the money axis (marketing reads the
+    diagonal to compare acquisition vintages at equal age).
+
+    Shape: orders collapse per customer (first-order month) in one
+    map-side-combinable pass, rejoin on custkey (the corpus' one
+    row-level shuffle), aggregate to the bounded (cohort, age) grid,
+    then ONE cohort-partitioned cumsum over <= |months| rows per
+    cohort.  Ages are exact integer month arithmetic; revenue sums are
+    exact decimals; cum_rev_per_member divides in fixed-order double."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_totalprice",
+        F.date_trunc("MONTH", F.col("o_orderdate")).alias("month"),
+    )
+    firsts = orders.groupBy("o_custkey").agg(F.min("month").alias("cohort"))
+    sized = firsts.groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    aged = orders.join(firsts, "o_custkey").select(
+        "cohort",
+        "o_totalprice",
+        (
+            (F.year("month") - F.year("cohort")) * 12
+            + (F.month("month") - F.month("cohort"))
+        ).alias("age_months"),
+    )
+    grid = aged.groupBy("cohort", "age_months").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dec_sum("o_totalprice").alias("rev"),
+    )
+    w = (
+        W.partitionBy("cohort")
+        .orderBy("age_months")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return (
+        grid.join(F.broadcast(sized), "cohort")
+        .select(
+            "cohort",
+            "age_months",
+            "cohort_size",
+            "n_orders",
+            F.round(F.col("rev"), 2).alias("revenue"),
+            F.round(
+                F.sum(F.col("rev").cast(DEC)).over(w).cast("double")
+                / F.col("cohort_size").cast("double"),
+                6,
+            ).alias("cum_rev_per_member"),
+        )
+    )
+
+
+COHORT_LTV_SQL = f"""
+WITH orders_m AS (
+  SELECT o_custkey, o_totalprice, date_trunc('month', o_orderdate) AS month
+  FROM orders
+),
+firsts AS (
+  SELECT o_custkey, MIN(month) AS cohort FROM orders_m GROUP BY 1
+),
+sized AS (
+  SELECT cohort, COUNT(*) AS cohort_size FROM firsts GROUP BY 1
+),
+aged AS (
+  SELECT f.cohort, o.o_totalprice,
+         (EXTRACT(year FROM o.month) - EXTRACT(year FROM f.cohort)) * 12
+         + (EXTRACT(month FROM o.month) - EXTRACT(month FROM f.cohort))
+           AS age_months
+  FROM orders_m o JOIN firsts f ON o.o_custkey = f.o_custkey
+),
+grid AS (
+  SELECT cohort, age_months, COUNT(*) AS n_orders,
+         {dec_sum_sql('o_totalprice')} AS rev
+  FROM aged GROUP BY 1, 2
+)
+SELECT CAST(g.cohort AS TIMESTAMP) AS cohort,
+       CAST(g.age_months AS BIGINT) AS age_months,
+       s.cohort_size, g.n_orders,
+       {round_sql('g.rev', 2)} AS revenue,
+       {round_sql(
+           "CAST(CAST(SUM(CAST(g.rev AS DECIMAL(28,10))) OVER "
+           "(PARTITION BY g.cohort ORDER BY g.age_months "
+           "ROWS UNBOUNDED PRECEDING) AS VARCHAR) AS DOUBLE)"
+           " / CAST(s.cohort_size AS DOUBLE)", 6)} AS cum_rev_per_member
+FROM grid g JOIN sized s ON g.cohort = s.cohort
+"""

@@ -109,3 +109,132 @@ def distinct_users_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("distinct_users"),
         F.sum("n").alias("n_events"),
     )
+
+
+# ------------------------------------------------ count-min sketch
+
+CM_DEPTH = 4
+CM_WIDTH = 1024
+#: fixed probe set: the engine's stopword list (frequent) + planted
+#: rare-ish tokens; a production deployment probes whatever it likes --
+#: the registered query needs a DETERMINISTIC probe set for the oracle
+CM_PROBES_FROM_STOPWORDS = True
+
+
+def count_min_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) over the token
+    stream, evaluated on a fixed probe set: per probe term, the true
+    count and the CM estimate = min over CM_DEPTH rows of the probed
+    counter.  The POINT-FREQUENCY member of the mergeable-sketch family
+    (KLL = quantiles, HLL = distincts): CM_DEPTH x CM_WIDTH integers
+    summarize an unbounded vocabulary, counters are additive so per-day
+    sketches merge by cell-wise sum, and estimates only ever OVERCOUNT
+    (collision noise adds, never subtracts) -- the one-sided guarantee
+    `test_sketches.py` pins.
+
+    Build shape: the corpus collapses to vocab-sized term counts FIRST
+    (one map-side-combinable shuffle); the CM_DEPTH-way expansion and
+    the (d, idx) cell sum run on the vocabulary, never the token
+    stream.  Hashes are the repo's Carter-Wegman md5 family
+    (`functions/hashing.py`) so the DuckDB oracle reproduces the sketch
+    CELL-FOR-CELL -- the parity check proves the whole construction,
+    not just the estimates."""
+    from streamprocessing_with_kafka_spark.functions.hashing import (
+        family_hashes_from_h,
+        md5_long,
+    )
+    from streamprocessing_with_kafka_spark.operators.text import (
+        EN_STOPWORDS,
+        _tokens,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(_tokens()).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    hashes = family_hashes_from_h(md5_long(F.col("term")), CM_DEPTH)
+    cells = (
+        counts.select(
+            "c",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(p).alias("d"),
+                            (h % CM_WIDTH).alias("idx"),
+                        )
+                        for p, h in enumerate(hashes)
+                    ]
+                )
+            ).alias("cell"),
+        )
+        .groupBy(F.col("cell.d").alias("d"), F.col("cell.idx").alias("idx"))
+        .agg(F.sum("c").alias("counter"))
+    )
+    probes = counts.filter(F.col("term").isin(*EN_STOPWORDS))
+    probe_cells = probes.select(
+        "term",
+        "c",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(p).alias("d"), (h % CM_WIDTH).alias("idx"))
+                    for p, h in enumerate(hashes)
+                ]
+            )
+        ).alias("cell"),
+    ).select("term", "c", F.col("cell.d").alias("d"), F.col("cell.idx").alias("idx"))
+    return (
+        probe_cells.join(F.broadcast(cells), ["d", "idx"])
+        .groupBy("term")
+        .agg(
+            F.first("c").alias("true_count"),
+            F.min("counter").alias("cm_estimate"),
+        )
+        .select(
+            "term",
+            "true_count",
+            "cm_estimate",
+            (F.col("cm_estimate") >= F.col("true_count")).alias("never_undercounts"),
+        )
+    )
+
+
+def _count_min_sql() -> str:
+    from streamprocessing_with_kafka_spark.functions.hashing import (
+        family_hashes_sql,
+        md5_long_sql,
+    )
+    from streamprocessing_with_kafka_spark.operators.text import _STOP_SQL
+
+    h = md5_long_sql("term")
+    hash_exprs = family_hashes_sql(h, CM_DEPTH)
+    cell_rows = " UNION ALL ".join(
+        f"SELECT term, c, {p} AS d, ({e}) % {CM_WIDTH} AS idx FROM counts"
+        for p, e in enumerate(hash_exprs)
+    )
+    return f"""
+WITH counts AS (
+  SELECT term, COUNT(*) AS c
+  FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+  GROUP BY term
+),
+cell_rows AS ({cell_rows}),
+cells AS (
+  SELECT d, idx, SUM(c) AS counter FROM cell_rows GROUP BY 1, 2
+),
+probe_cells AS (
+  SELECT term, c, d, idx FROM cell_rows
+  WHERE list_contains({_STOP_SQL}, term)
+)
+SELECT term, CAST(ANY_VALUE(c) AS BIGINT) AS true_count,
+       CAST(MIN(counter) AS BIGINT) AS cm_estimate,
+       MIN(counter) >= ANY_VALUE(c) AS never_undercounts
+FROM probe_cells JOIN cells USING (d, idx)
+GROUP BY term
+"""
+
+
+COUNT_MIN_SQL = _count_min_sql()

@@ -1367,6 +1367,22 @@ register(
     "session_concurrency machinery re-applied to a second domain",
 )(windows.orders_backlog)
 register(
+    "agg_cohort_ltv",
+    analytics.COHORT_LTV_SQL,
+    doc="cohort LTV triangle: first-order-month cohorts, exact integer "
+    "month ages, cumulative revenue per member via one cohort-"
+    "partitioned cumsum over the bounded (cohort, age) grid",
+)(analytics.cohort_ltv)
+register(
+    "sketch_count_min",
+    sketches.COUNT_MIN_SQL,
+    doc="count-min sketch (Cormode-Muthukrishnan 2005): additive "
+    "DEPTH x WIDTH counters from the Carter-Wegman md5 family, built "
+    "on the vocab-sized count frame (never the token stream); probe "
+    "estimates vs true counts, oracle reproduces the sketch "
+    "cell-for-cell",
+)(sketches.count_min_estimates)
+register(
     "events_funnel_timing",
     timeseries.FUNNEL_TIMING_SQL,
     doc="view->purchase time-to-convert: conditional-min instants per "
@@ -1663,6 +1679,8 @@ PENDING_WINDOW = [
     "events_rolling_time_window",
     "events_seasonal_anomaly",
     "events_funnel_timing",
+    "sketch_count_min",
+    "agg_cohort_ltv",
 ]
 
 assert len(CORRECTNESS_WINDOW) == 50, len(CORRECTNESS_WINDOW)

@@ -150,3 +150,38 @@ def test_mode_by_nation_deterministic_tiebreak(spark, tmp_path):
     assert got[1].modal_segment == "BUILDING" and got[1].n_customers == 2
     # nation 2 ties 2-2: lexicographically smaller segment wins
     assert got[2].modal_segment == "AUTOMOBILE" and got[2].n_customers == 2
+
+
+def test_cohort_ltv_triangle_hand_computed(spark, tmp_path):
+    """Two cohorts: Jan (custs 1, 2) and Feb (cust 3). Cust 1 orders
+    100 in Jan + 50 in Mar (age 2); cust 2 orders 20 in Jan. Jan cohort:
+    age 0 -> (100+20)/2 = 60, age 2 -> (170)/2 = 85 cumulative."""
+    from streamprocessing_with_kafka_spark.operators.analytics import cohort_ltv
+
+    orders = [
+        (1, 1, "2024-01-10", 100.0),
+        (2, 2, "2024-01-20", 20.0),
+        (3, 1, "2024-03-05", 50.0),
+        (4, 3, "2024-02-15", 70.0),
+    ]
+    d = str(tmp_path / "ltv")
+    spark.createDataFrame(
+        [(o, c, "O", p, ts) for (o, c, ts, p) in orders],
+        "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double, ts string",
+    ).selectExpr(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "CAST(ts AS TIMESTAMP) AS o_orderdate", "'1-URGENT' AS o_orderpriority",
+    ).write.parquet(d + "/orders.parquet")
+    got = {
+        (str(r.cohort)[:7], r.age_months): r
+        for r in cohort_ltv(spark, d).collect()
+    }
+    jan0 = got[("2024-01", 0)]
+    assert (jan0.cohort_size, jan0.n_orders, jan0.revenue) == (2, 2, 120.0)
+    assert jan0.cum_rev_per_member == 60.0
+    jan2 = got[("2024-01", 2)]
+    assert (jan2.n_orders, jan2.revenue) == (1, 50.0)
+    assert jan2.cum_rev_per_member == 85.0
+    feb0 = got[("2024-02", 0)]
+    assert (feb0.cohort_size, feb0.cum_rev_per_member) == (1, 70.0)
+    assert set(k[1] for k in got if k[0] == "2024-01") == {0, 2}

@@ -864,3 +864,31 @@ def test_zipf_head_extracts_via_take_ordered(spark, sf_dir):
 
     plan = _plan(spark, t.zipf_fit(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_count_min_expands_vocab_not_tokens(spark, sf_dir):
+    """The DEPTH-way cell expansion must sit ABOVE the term-count
+    aggregate (plan prints root-first: the aggregate and scan appear
+    after the last Generate), so the explode multiplies the
+    vocabulary, never the raw token stream."""
+    from streamprocessing_with_kafka_spark.operators import sketches as sk
+
+    plan = _plan(spark, sk.count_min_estimates(spark, sf_dir))
+    assert "Cartesian" not in plan, plan
+    # the raw-token explode feeding the count aggregate is the ONE
+    # allowed corpus-sized Generate; every CELL expansion (the
+    # array-of-(d, idx) structs) must instead take counted VOCABULARY
+    # rows as input -- its schema list carries the aggregated c#NL
+    cell_gens = re.findall(r"Generate explode\(array\(struct\(d,[^\n]*", plan)
+    assert cell_gens, plan
+    for g in cell_gens:
+        assert re.search(r"c#\d+L\]", g), g
+
+
+def test_cohort_ltv_cumsum_is_cohort_partitioned(spark, sf_dir):
+    from streamprocessing_with_kafka_spark.operators import analytics as an
+
+    plan = _plan(spark, an.cohort_ltv(spark, sf_dir))
+    for w in re.findall(r"Window \[[^\n]*", plan):
+        assert re.search(r"\], \[cohort#\d+\], \[", w), w
+    assert "Cartesian" not in plan, plan

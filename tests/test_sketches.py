@@ -92,3 +92,27 @@ def test_hll_rollup_dedupes_across_days(spark, sf_dir):
     )
     assert daily_sum > 1.5 * exact  # the fixture genuinely repeats users
     assert row["distinct_users"] < 1.1 * exact < daily_sum
+
+
+def test_count_min_never_undercounts_and_probes_covered(spark, sf_dir):
+    from streamprocessing_with_kafka_spark.operators.sketches import (
+        count_min_estimates,
+    )
+    from streamprocessing_with_kafka_spark.operators.text import EN_STOPWORDS
+    from streamprocessing_with_kafka_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    rows = count_min_estimates(spark, sf_dir).collect()
+    present = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("t"))
+        .filter(F.col("t").isin(*EN_STOPWORDS))
+        .select("t")
+        .distinct()
+        .count()
+    )
+    assert len(rows) == present and rows
+    for r in rows:
+        # the one-sided CM guarantee: collisions only ADD
+        assert r.cm_estimate >= r.true_count, r
+        assert r.never_undercounts is True
