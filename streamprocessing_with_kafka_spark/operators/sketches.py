@@ -238,3 +238,105 @@ GROUP BY term
 
 
 COUNT_MIN_SQL = _count_min_sql()
+
+
+# ------------------------------------------------ Bloom membership
+
+BLOOM_BITS = 8192
+BLOOM_K = 5
+
+
+def bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom filter (Bloom 1970) over the set of customer names, probed
+    with a mixed present/absent key set: per probe, the bit-test
+    verdict and the ground truth -- NO FALSE NEGATIVES is the
+    structural guarantee (a present key always claims present; an
+    absent key may rarely false-positive), the membership complement of
+    count-min's overcount-only bound.
+
+    Build: distinct keys -> BLOOM_K set-bit positions via the
+    Carter-Wegman md5 family -> the filter IS the distinct (bit) set
+    (<= BLOOM_BITS rows, mergeable by union -- the same additive-
+    summary argument as the other sketches).  Probes equi-join their
+    bit positions against the filter and claim membership iff ALL
+    BLOOM_K bits hit.  The DuckDB oracle reproduces the filter
+    BIT-FOR-BIT, so driver parity proves the construction."""
+    from streamprocessing_with_kafka_spark.functions.hashing import (
+        family_hashes_from_h,
+        md5_long,
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    keys = cust.select(F.col("c_name").alias("key")).distinct()
+    hashes = family_hashes_from_h(md5_long(F.col("key")), BLOOM_K)
+    bits = (
+        keys.select(
+            F.explode(F.array(*[(h % BLOOM_BITS) for h in hashes])).alias("bit")
+        )
+        .distinct()
+    )
+    # probe set: 10 real names + 10 synthetic absent keys, deterministic
+    present = keys.orderBy("key").limit(10)
+    absent = spark.range(10).select(
+        F.concat(F.lit("NotACustomer#"), F.col("id")).alias("key")
+    )
+    probes = present.unionByName(absent)
+    probe_bits = probes.select(
+        "key",
+        F.explode(F.array(*[(h % BLOOM_BITS) for h in hashes])).alias("bit"),
+    )
+    verdict = (
+        probe_bits.join(F.broadcast(bits.withColumn("hit", F.lit(1))), "bit", "left")
+        .groupBy("key")
+        .agg((F.count("hit") == BLOOM_K).alias("claims_member"))
+    )
+    truth = keys.withColumn("is_member", F.lit(True))
+    return (
+        verdict.join(truth, verdict.key == truth.key, "left")
+        .select(
+            verdict.key.alias("key"),
+            "claims_member",
+            F.coalesce("is_member", F.lit(False)).alias("is_member"),
+            # the structural guarantee: member -> claims_member
+            (F.coalesce("is_member", F.lit(False)) <= F.col("claims_member")).alias(
+                "no_false_negative"
+            ),
+        )
+    )
+
+
+def _bloom_sql() -> str:
+    from streamprocessing_with_kafka_spark.functions.hashing import (
+        family_hashes_sql,
+        md5_long_sql,
+    )
+
+    h = md5_long_sql("key")
+    exprs = family_hashes_sql(h, BLOOM_K)
+    key_bits = " UNION ALL ".join(
+        f"SELECT key, ({e}) % {BLOOM_BITS} AS bit FROM keys" for e in exprs
+    )
+    probe_bits = " UNION ALL ".join(
+        f"SELECT key, ({e}) % {BLOOM_BITS} AS bit FROM probes" for e in exprs
+    )
+    return f"""
+WITH keys AS (SELECT DISTINCT c_name AS key FROM customer),
+bits AS (SELECT DISTINCT bit FROM ({key_bits})),
+present AS (SELECT key FROM keys ORDER BY key LIMIT 10),
+absent AS (SELECT 'NotACustomer#' || CAST(range AS VARCHAR) AS key FROM range(10)),
+probes AS (SELECT key FROM present UNION ALL SELECT key FROM absent),
+pb AS ({probe_bits.replace('FROM probes', 'FROM probes')}),
+verdict AS (
+  SELECT pb.key, COUNT(bits.bit) = {BLOOM_K} AS claims_member
+  FROM pb LEFT JOIN bits ON pb.bit = bits.bit
+  GROUP BY pb.key
+)
+SELECT v.key, v.claims_member,
+       COALESCE(k.key IS NOT NULL, FALSE) AS is_member,
+       COALESCE(k.key IS NOT NULL, FALSE) <= v.claims_member
+         AS no_false_negative
+FROM verdict v LEFT JOIN keys k ON v.key = k.key
+"""
+
+
+BLOOM_MEMBERSHIP_SQL = _bloom_sql()

@@ -1367,6 +1367,14 @@ register(
     "session_concurrency machinery re-applied to a second domain",
 )(windows.orders_backlog)
 register(
+    "sketch_bloom_membership",
+    sketches.BLOOM_MEMBERSHIP_SQL,
+    doc="Bloom filter membership (Bloom 1970): BLOOM_K Carter-Wegman "
+    "bit positions per key, the filter = distinct bit set (mergeable "
+    "by union); mixed present/absent probes, NO-FALSE-NEGATIVE "
+    "structural guarantee; oracle reproduces the filter bit-for-bit",
+)(sketches.bloom_membership)
+register(
     "agg_cohort_ltv",
     analytics.COHORT_LTV_SQL,
     doc="cohort LTV triangle: first-order-month cohorts, exact integer "
@@ -1681,6 +1689,7 @@ PENDING_WINDOW = [
     "events_funnel_timing",
     "sketch_count_min",
     "agg_cohort_ltv",
+    "sketch_bloom_membership",
 ]
 
 assert len(CORRECTNESS_WINDOW) == 50, len(CORRECTNESS_WINDOW)

@@ -116,3 +116,22 @@ def test_count_min_never_undercounts_and_probes_covered(spark, sf_dir):
         # the one-sided CM guarantee: collisions only ADD
         assert r.cm_estimate >= r.true_count, r
         assert r.never_undercounts is True
+
+
+def test_bloom_membership_guarantees(spark, sf_dir):
+    from streamprocessing_with_kafka_spark.operators.sketches import (
+        bloom_membership,
+    )
+
+    rows = bloom_membership(spark, sf_dir).collect()
+    assert len(rows) == 20
+    present = [r for r in rows if r.is_member]
+    absent = [r for r in rows if not r.is_member]
+    assert len(present) == 10 and len(absent) == 10
+    # structural: NO false negatives, ever
+    for r in rows:
+        assert r.no_false_negative is True
+    for r in present:
+        assert r.claims_member is True
+    # false positives are possible but must be rare at this load factor
+    assert sum(r.claims_member for r in absent) <= 3
