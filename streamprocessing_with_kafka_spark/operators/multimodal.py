@@ -469,6 +469,11 @@ def _bmp_gray64(payload: bytes) -> list[int] | None:
     meta = _parse_bmp(payload)
     if meta is None:
         return None
+    # _parse_bmp guarantees only len >= 26; the pixel path reads header
+    # fields up to offset 34 -- a crafted short payload must fall back
+    # to the stub, not kill the Arrow task
+    if len(payload) < 34:
+        return None
     (data_off,) = struct.unpack_from("<I", payload, 10)
     (hdr_size,) = struct.unpack_from("<I", payload, 14)
     if hdr_size < 40:
@@ -583,6 +588,25 @@ def mm_phash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hashes.join(sizes, "ahash").select("doc_id", "ahash", "n_same_hash")
 
 
+def phash_band_structs(hash_col: str):
+    """The PHASH_BANDS (band, slice) structs for a 64-bit hash column
+    -- THE single banding definition: the pair join (`phash_pairs`) and
+    the streaming ingest gate (`streaming/phash_ingest.py`) must band
+    IDENTICALLY or the pigeonhole recall-1 guarantee silently breaks,
+    so the expression exists exactly once."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.expr(
+                    f"cast(({hash_col} >> {16 * b}) & 65535 as int)"
+                ).alias("slice"),
+            )
+            for b in range(PHASH_BANDS)
+        ]
+    )
+
+
 def phash_pairs(hashes: DataFrame) -> DataFrame:
     """Banded-candidate near-dup pairs over any (doc_id, ahash) frame --
     the join core of `mm_dedup_phash`, factored out so tests drive it
@@ -590,19 +614,7 @@ def phash_pairs(hashes: DataFrame) -> DataFrame:
     bands = hashes.select(
         "doc_id",
         "ahash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.expr(
-                            f"cast((ahash >> {16 * b}) & 65535 as int)"
-                        ).alias("slice"),
-                    )
-                    for b in range(PHASH_BANDS)
-                ]
-            )
-        ).alias("bk"),
+        F.explode(phash_band_structs("ahash")).alias("bk"),
     ).select("doc_id", "ahash", "bk.band", "bk.slice")
     a = bands.select(
         F.col("doc_id").alias("doc_a"),

@@ -121,6 +121,27 @@ CM_WIDTH = 1024
 CM_PROBES_FROM_STOPWORDS = True
 
 
+def cm_cell_structs(term_col):
+    """The CM_DEPTH (d, idx) cell structs for a term column -- THE
+    single definition of the sketch's cell addressing, shared by the
+    batch builder, the batch prober, and the streaming twin
+    (`streaming/count_min.py`): cell-for-cell parity between them is
+    the family's core invariant, so the hash/band expression exists
+    exactly once."""
+    from streamprocessing_with_kafka_spark.functions.hashing import (
+        family_hashes_from_h,
+        md5_long,
+    )
+
+    hashes = family_hashes_from_h(md5_long(term_col), CM_DEPTH)
+    return F.array(
+        *[
+            F.struct(F.lit(p).alias("d"), (h % CM_WIDTH).alias("idx"))
+            for p, h in enumerate(hashes)
+        ]
+    )
+
+
 def count_min_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch (Cormode & Muthukrishnan 2005) over the token
     stream, evaluated on a fixed probe set: per probe term, the true
@@ -139,10 +160,6 @@ def count_min_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`functions/hashing.py`) so the DuckDB oracle reproduces the sketch
     CELL-FOR-CELL -- the parity check proves the whole construction,
     not just the estimates."""
-    from streamprocessing_with_kafka_spark.functions.hashing import (
-        family_hashes_from_h,
-        md5_long,
-    )
     from streamprocessing_with_kafka_spark.operators.text import (
         EN_STOPWORDS,
         _tokens,
@@ -154,21 +171,9 @@ def count_min_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    hashes = family_hashes_from_h(md5_long(F.col("term")), CM_DEPTH)
     cells = (
         counts.select(
-            "c",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(p).alias("d"),
-                            (h % CM_WIDTH).alias("idx"),
-                        )
-                        for p, h in enumerate(hashes)
-                    ]
-                )
-            ).alias("cell"),
+            "c", F.explode(cm_cell_structs(F.col("term"))).alias("cell")
         )
         .groupBy(F.col("cell.d").alias("d"), F.col("cell.idx").alias("idx"))
         .agg(F.sum("c").alias("counter"))
@@ -177,14 +182,7 @@ def count_min_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe_cells = probes.select(
         "term",
         "c",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(p).alias("d"), (h % CM_WIDTH).alias("idx"))
-                    for p, h in enumerate(hashes)
-                ]
-            )
-        ).alias("cell"),
+        F.explode(cm_cell_structs(F.col("term"))).alias("cell"),
     ).select("term", "c", F.col("cell.d").alias("d"), F.col("cell.idx").alias("idx"))
     return (
         probe_cells.join(F.broadcast(cells), ["d", "idx"])
@@ -325,7 +323,7 @@ bits AS (SELECT DISTINCT bit FROM ({key_bits})),
 present AS (SELECT key FROM keys ORDER BY key LIMIT 10),
 absent AS (SELECT 'NotACustomer#' || CAST(range AS VARCHAR) AS key FROM range(10)),
 probes AS (SELECT key FROM present UNION ALL SELECT key FROM absent),
-pb AS ({probe_bits.replace('FROM probes', 'FROM probes')}),
+pb AS ({probe_bits}),
 verdict AS (
   SELECT pb.key, COUNT(bits.bit) = {BLOOM_K} AS claims_member
   FROM pb LEFT JOIN bits ON pb.bit = bits.bit

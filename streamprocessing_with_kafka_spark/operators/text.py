@@ -757,11 +757,14 @@ def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     is partition-order-independent and engine-exact."""
     d = load_table(spark, sf_dir, "documents")
     w = _tokens()
+    idx = F.when(
+        F.size(w) >= 2, F.sequence(F.lit(2), F.size(w))
+    ).otherwise(F.array().cast("array<int>"))
     pairs = d.select(
         "doc_id",
         F.explode(
             F.transform(
-                F.sequence(F.lit(2), F.size(w)),
+                idx,
                 lambda i: F.struct(
                     F.element_at(w, i - 1).alias("w_prev"),
                     F.element_at(w, i).alias("w"),
@@ -1122,10 +1125,16 @@ def collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     which is the honest plan."""
     d = load_table(spark, sf_dir, "documents")
     w = _tokens()
+    # guard: sequence(2, n) runs DESCENDING for n < 2 and would index
+    # element_at(w, 0) -- a runtime error on 1-token docs (the oracle's
+    # range(2, n+1) is just empty there)
+    idx = F.when(
+        F.size(w) >= 2, F.sequence(F.lit(2), F.size(w))
+    ).otherwise(F.array().cast("array<int>"))
     pairs = d.select(
         F.explode(
             F.transform(
-                F.sequence(F.lit(2), F.size(w)),
+                idx,
                 lambda i: F.struct(
                     F.element_at(w, i - 1).alias("w_prev"),
                     F.element_at(w, i).alias("w"),
@@ -1149,12 +1158,15 @@ def collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     p_b = F.col("c_b").cast("double") / F.col("t_tokens").cast("double")
     pmi = F.log(p_ab / (p_a * p_b))
     scored = (
+        # no broadcast HINT on the unigram sides: autoBroadcastJoinThreshold
+        # broadcasts them at test scale and degrades to the documented
+        # co-shuffle when the vocabulary outgrows broadcast range
         big.join(
-            F.broadcast(uni.select(F.col("term").alias("w_prev"), F.col("c1").alias("c_a"))),
+            uni.select(F.col("term").alias("w_prev"), F.col("c1").alias("c_a")),
             "w_prev",
         )
         .join(
-            F.broadcast(uni.select(F.col("term").alias("w"), F.col("c1").alias("c_b"))),
+            uni.select(F.col("term").alias("w"), F.col("c1").alias("c_b")),
             "w",
         )
         .crossJoin(F.broadcast(tot))

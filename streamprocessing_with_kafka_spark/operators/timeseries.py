@@ -1312,25 +1312,42 @@ def seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     and never flag -- an explicit guard, not engine 0/0 behavior.
     dow is the integer epoch-day arithmetic (engines disagree on
     dayofweek origin/range; documented on `seasonality_profile`)."""
-    ev = load_table(spark, sf_dir, "events")
+    keyed = seasonal_keyed_hourly(load_table(spark, sf_dir, "events"))
+    return seasonal_score(keyed, seasonal_profile_moments(keyed))
+
+
+def seasonal_keyed_hourly(ev: DataFrame) -> DataFrame:
+    """(event_type, bucket, x, dow, hr): the hourly rollup with its
+    profile cell key -- shared by the batch operator and the streaming
+    gate's offline profile build, so the two can never drift."""
     hourly = ev.groupBy(
         "event_type", F.date_trunc("hour", "ts").alias("bucket")
     ).agg(F.sum(F.col("value").cast(DEC)).cast("double").alias("x"))
+    return seasonal_cell_key(hourly)
+
+
+def seasonal_cell_key(buckets: DataFrame) -> DataFrame:
+    """Attach (dow, hr) to any (event_type, bucket, ...) frame -- the
+    integer epoch-day dow arithmetic, defined once."""
     dow = (
         F.expr("unix_micros(CAST(bucket AS TIMESTAMP)) div 86400000000")
         + F.lit(3)
     ) % F.lit(7)
-    keyed = hourly.select(
-        "event_type", "bucket", "x", dow.alias("dow"), F.hour("bucket").alias("hr")
+    return buckets.select(
+        "*", dow.alias("dow"), F.hour("bucket").alias("hr")
     )
-    prof = keyed.groupBy("event_type", "dow", "hr").agg(
+
+
+def seasonal_profile_moments(keyed: DataFrame) -> DataFrame:
+    """(event_type, dow, hr) -> (n_weeks, sx, sxx) decimal moments --
+    the profile artifact, defined once for batch and frozen-gate use."""
+    return keyed.groupBy("event_type", "dow", "hr").agg(
         F.count(F.lit(1)).alias("n_weeks"),
         F.sum(F.col("x").cast(DEC)).cast("double").alias("sx"),
         F.sum((F.col("x").cast(DEC) * F.col("x").cast(DEC)).cast("decimal(38,10)"))
         .cast("double")
         .alias("sxx"),
     )
-    return seasonal_score(keyed, prof)
 
 
 def seasonal_score(keyed: DataFrame, prof: DataFrame) -> DataFrame:
@@ -1427,9 +1444,6 @@ def funnel_timing(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("first_purchase")
         )
         .filter(F.col("first_view").isNotNull())
-    )
-    gap_s = (
-        (F.col("first_purchase") - F.col("first_view")) / F.lit(1_000_000.0)
     )
     return with_purchase.agg(
         F.count(F.lit(1)).alias("n_viewers"),

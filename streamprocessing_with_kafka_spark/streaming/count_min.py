@@ -22,32 +22,20 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from streamprocessing_with_kafka_spark.functions.hashing import (
-    family_hashes_from_h,
-    md5_long,
-)
 from streamprocessing_with_kafka_spark.operators.sketches import (
     CM_DEPTH,
     CM_WIDTH,
+    cm_cell_structs,
 )
 
 
 def token_cells(tokens: DataFrame) -> DataFrame:
     """(d, idx) cell rows for a (term) frame -- one row per depth per
-    token occurrence, pure expressions (shared hash family with the
-    batch builder)."""
-    hashes = family_hashes_from_h(md5_long(F.col("term")), CM_DEPTH)
+    token occurrence, via the batch builder's OWN cell-addressing
+    definition (`sketches.cm_cell_structs`): one expression, every
+    consumer."""
     return tokens.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(p).alias("d"), (h % CM_WIDTH).alias("idx")
-                    )
-                    for p, h in enumerate(hashes)
-                ]
-            )
-        ).alias("cell")
+        F.explode(cm_cell_structs(F.col("term"))).alias("cell")
     ).select("cell.d", "cell.idx")
 
 
@@ -72,17 +60,8 @@ def estimate_from_cells(cells: DataFrame, probes: DataFrame) -> DataFrame:
     frame (live streaming snapshot or batch rebuild): min over the
     probed depth cells -- the serving-side half of the sketch."""
     probe_cells = probes.select("term").distinct()
-    hashes = family_hashes_from_h(md5_long(F.col("term")), CM_DEPTH)
     keyed = probe_cells.select(
-        "term",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(p).alias("d"), (h % CM_WIDTH).alias("idx"))
-                    for p, h in enumerate(hashes)
-                ]
-            )
-        ).alias("cell"),
+        "term", F.explode(cm_cell_structs(F.col("term"))).alias("cell")
     ).select("term", "cell.d", "cell.idx")
     return (
         keyed.join(cells, ["d", "idx"], "left")

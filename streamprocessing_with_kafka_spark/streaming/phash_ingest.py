@@ -30,31 +30,20 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from streamprocessing_with_kafka_spark.operators.multimodal import (
-    PHASH_BANDS,
     PHASH_HAMMING_MAX,
     ahash_frame,
     mm_phash_index,
+    phash_band_structs,
 )
 
 
 def _banded(hashes: DataFrame, hash_col: str) -> DataFrame:
-    """Explode a (.., <hash_col>) frame into PHASH_BANDS (band, slice)
-    keys -- shared by the frozen index build and the arriving stream."""
+    """Explode a (.., <hash_col>) frame into (band, slice) keys via the
+    batch pair join's OWN banding definition
+    (`multimodal.phash_band_structs`) -- one expression, both sides of
+    the pigeonhole argument."""
     return hashes.select(
-        "*",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.expr(
-                            f"cast(({hash_col} >> {16 * b}) & 65535 as int)"
-                        ).alias("slice"),
-                    )
-                    for b in range(PHASH_BANDS)
-                ]
-            )
-        ).alias("bk"),
+        "*", F.explode(phash_band_structs(hash_col)).alias("bk")
     ).select("*", "bk.band", "bk.slice").drop("bk")
 
 

@@ -21,39 +21,22 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from streamprocessing_with_kafka_spark.functions.numeric import DEC
 from streamprocessing_with_kafka_spark.operators.timeseries import (
+    seasonal_cell_key,
+    seasonal_keyed_hourly,
+    seasonal_profile_moments,
     seasonal_score,
 )
 from streamprocessing_with_kafka_spark.sources.tables import load_table
 
 
 def seasonal_profile_model(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The frozen (event_type, dow, hr) profile moments, built with the
-    SAME hourly rollup + decimal moment sums as the batch operator."""
-    ev = load_table(spark, sf_dir, "events")
-    hourly = ev.groupBy(
-        "event_type", F.date_trunc("hour", "ts").alias("bucket")
-    ).agg(F.sum(F.col("value").cast(DEC)).cast("double").alias("x"))
-    keyed = _with_cell_key(hourly)
-    return keyed.groupBy("event_type", "dow", "hr").agg(
-        F.count(F.lit(1)).alias("n_weeks"),
-        F.sum(F.col("x").cast(DEC)).cast("double").alias("sx"),
-        F.sum(
-            (F.col("x").cast(DEC) * F.col("x").cast(DEC)).cast("decimal(38,10)")
-        )
-        .cast("double")
-        .alias("sxx"),
-    )
-
-
-def _with_cell_key(buckets: DataFrame) -> DataFrame:
-    dow = (
-        F.expr("unix_micros(CAST(bucket AS TIMESTAMP)) div 86400000000")
-        + F.lit(3)
-    ) % F.lit(7)
-    return buckets.select(
-        "*", dow.alias("dow"), F.hour("bucket").alias("hr")
+    """The frozen (event_type, dow, hr) profile moments -- built by the
+    batch operator's OWN rollup/key/moment helpers (shared functions,
+    not mirrored code), so online and nightly-audit profiles can never
+    drift."""
+    return seasonal_profile_moments(
+        seasonal_keyed_hourly(load_table(spark, sf_dir, "events"))
     )
 
 
@@ -61,4 +44,4 @@ def score_stream(buckets: DataFrame, profile: DataFrame) -> DataFrame:
     """(event_type, bucket, x, z, is_anomaly) for a streaming hourly-
     bucket frame against the frozen profile -- the batch operator's
     scorer applied verbatim (one code path, two execution modes)."""
-    return seasonal_score(_with_cell_key(buckets), profile)
+    return seasonal_score(seasonal_cell_key(buckets), profile)

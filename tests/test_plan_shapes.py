@@ -607,7 +607,12 @@ def test_triangle_joins_are_all_equi(spark, sf_dir):
     to avoid."""
     from streamprocessing_with_kafka_spark.operators import graph
 
-    plan = _plan(spark, graph.triangle_clustering(spark, sf_dir))
+    # checkpoint=False: the registered query truncates the edge-list
+    # lineage (shared-frame materialization), which would hide the
+    # cooccurrence self-join from this audit
+    plan = _plan(
+        spark, graph.triangle_clustering(spark, sf_dir, checkpoint=False)
+    )
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
 
@@ -736,11 +741,14 @@ def test_collocations_min_count_precedes_unigram_joins(spark, sf_dir):
     broadcast at test scale and the pair count is map-side combinable."""
     from streamprocessing_with_kafka_spark.operators import text as t
 
-    plan = _plan(spark, t.collocations(spark, sf_dir), "formatted")
+    plan = _plan(spark, t.collocations(spark, sf_dir))
     assert "CartesianProduct" not in plan, plan
-    # the min-count condition appears in an Aggregate/Filter, not after
-    # the BroadcastHashJoins
-    assert re.search(r"c_ab#\d+L >= 3", plan) or ">= 3" in plan, plan
+    # the plan prints root-first, so "filter BELOW the joins" means the
+    # min-count Filter's line appears AFTER the last join's line
+    m = re.search(r"Filter \(?[^\n]*c_ab#\d+L? >= 3", plan)
+    assert m, plan
+    join_positions = [x.start() for x in re.finditer(r"Join ", plan)]
+    assert join_positions and m.start() > max(join_positions), plan
 
 
 def test_vocab_growth_has_no_global_window(spark, sf_dir):

@@ -111,3 +111,20 @@ def test_zipf_fit_hand_computed(spark, tmp_path):
     assert abs(r.zipf_slope - slope) < 1e-6
     assert abs(r.zipf_c - math.exp((sy - slope * sx) / n)) < 1e-5
     assert r.top_rank_share == round(8 / 15, 6)
+
+
+def test_collocations_and_bigram_survive_one_token_docs(spark, tmp_path):
+    """sequence(2, n) runs DESCENDING for n < 2 and would index
+    element_at(w, 0) -- 1-token and empty docs must yield no pairs,
+    not a runtime error (the code-review crash finding)."""
+    from streamprocessing_with_kafka_spark.operators.text import (
+        bigram_logprob,
+        collocations,
+    )
+
+    d = str(tmp_path / "short")
+    _write_docs(spark, d, ["solo", "", "a b a b a b"])
+    assert collocations(spark, d).count() >= 1  # (a,b)/(b,a) only
+    rows = {r.doc_id: r.n_bigrams for r in bigram_logprob(spark, d).collect()}
+    assert 0 not in rows and 1 not in rows  # no pairs -> no row
+    assert rows[2] == 5
