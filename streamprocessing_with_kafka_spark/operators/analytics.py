@@ -1433,3 +1433,123 @@ SELECT CAST(g.cohort AS TIMESTAMP) AS cohort,
            " / CAST(s.cohort_size AS DOUBLE)", 6)} AS cum_rev_per_member
 FROM grid g JOIN sized s ON g.cohort = s.cohort
 """
+
+
+# -------------------------------------------- ABC revenue classification
+
+ABC_CUTS = (0.8, 0.95)  # A = first 80% of revenue, B = next 15%, C = tail
+ABC_BUCKETS = 32  # revenue-range buckets for the distributed cumsum
+
+
+def abc_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC classification of parts by cumulative revenue share (the
+    inventory-management classic: A-parts carry the first 80% of
+    revenue, B the next 15%, C the tail): per part, its revenue, rank,
+    cumulative share, and class.
+
+    The naive plan is a GLOBAL window cumsum over the ranked part
+    dimension -- a single-partition scan.  Here the `text_vocab_growth`
+    two-phase decomposition is applied to a VALUE ordering: exact
+    revenue percentiles pick ABC_BUCKETS-1 deterministic cutpoints,
+    each part assigns to its revenue-range bucket by comparison
+    (broadcast cutpoints, no shuffle), per-bucket decimal sums take a
+    tiny ordered cumsum for offsets, and each bucket's interior cumsum
+    runs under partitionBy(bucket) -- every window bounded.  Ranks
+    compose the same way (bucket row counts -> rank offsets).  The
+    DuckDB oracle runs the single-node global window, so parity proves
+    the decomposition on a value-ordered (not id-ordered) domain.
+    Ties order by (revenue DESC, partkey ASC) for a total order."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+    )
+    cuts = rev.agg(
+        F.expr(
+            "percentile(revenue, array({}))".format(
+                ", ".join(
+                    repr((b + 1) / ABC_BUCKETS) for b in range(ABC_BUCKETS - 1)
+                )
+            )
+        ).alias("cuts")
+    )
+    # bucket 0 = HIGHEST revenue range (descending order of the cumsum)
+    bucketed = rev.crossJoin(F.broadcast(cuts)).select(
+        "l_partkey",
+        "revenue",
+        F.size(
+            F.filter(F.col("cuts"), lambda c: c >= F.col("revenue"))
+        ).alias("bucket"),
+    )
+    wb = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, -1)
+    offs = (
+        bucketed.groupBy("bucket")
+        .agg(
+            F.sum(F.col("revenue").cast(DEC)).alias("brev"),
+            F.count(F.lit(1)).alias("bcnt"),
+        )
+        .select(
+            "bucket",
+            F.coalesce(F.sum("brev").over(wb), F.lit(0).cast(DEC)).alias("rev_off"),
+            F.coalesce(F.sum("bcnt").over(wb), F.lit(0)).alias("rank_off"),
+        )
+    )
+    total = rev.agg(F.sum(F.col("revenue").cast(DEC)).alias("total"))
+    wd = (
+        W.partitionBy("bucket")
+        .orderBy(F.col("revenue").desc(), F.col("l_partkey").asc())
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    cum = (
+        bucketed.join(F.broadcast(offs), "bucket")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "l_partkey",
+            "revenue",
+            (F.col("rank_off") + F.row_number().over(wd)).alias("rank"),
+            (
+                (F.col("rev_off") + F.sum(F.col("revenue").cast(DEC)).over(wd))
+                .cast("double")
+                / F.col("total").cast("double")
+            ).alias("cum_share"),
+        )
+    )
+    cls = (
+        F.when(F.col("cum_share") <= ABC_CUTS[0], F.lit("A"))
+        .when(F.col("cum_share") <= ABC_CUTS[1], F.lit("B"))
+        .otherwise(F.lit("C"))
+    )
+    return cum.select(
+        "l_partkey",
+        F.round(F.col("revenue"), 2).alias("revenue"),
+        "rank",
+        F.round(F.col("cum_share"), 6).alias("cum_share"),
+        cls.alias("abc_class"),
+    )
+
+
+ABC_PARTS_SQL = f"""
+WITH rev AS (
+  SELECT l_partkey,
+         {dec_sum_sql('l_extendedprice * (1 - l_discount)')} AS revenue
+  FROM lineitem GROUP BY 1
+),
+total AS (
+  SELECT CAST(CAST(SUM(CAST(revenue AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)
+    AS t FROM rev
+),
+cum AS (
+  SELECT l_partkey, revenue,
+    ROW_NUMBER() OVER w AS rank,
+    CAST(CAST(SUM(CAST(revenue AS DECIMAL(28,10))) OVER
+         (PARTITION BY 1 ORDER BY revenue DESC, l_partkey ASC
+          ROWS UNBOUNDED PRECEDING) AS VARCHAR) AS DOUBLE) AS cum_rev
+  FROM rev
+  WINDOW w AS (ORDER BY revenue DESC, l_partkey ASC)
+)
+SELECT l_partkey, {round_sql('revenue', 2)} AS revenue, rank,
+       {round_sql('cum_rev / t', 6)} AS cum_share,
+       CASE WHEN cum_rev / t <= {ABC_CUTS[0]!r} THEN 'A'
+            WHEN cum_rev / t <= {ABC_CUTS[1]!r} THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM cum, total
+"""

@@ -1367,6 +1367,14 @@ register(
     "session_concurrency machinery re-applied to a second domain",
 )(windows.orders_backlog)
 register(
+    "agg_abc_parts",
+    analytics.ABC_PARTS_SQL,
+    doc="ABC revenue classification of parts: the two-phase prefix-sum "
+    "decomposition applied to a VALUE ordering (exact-percentile "
+    "cutpoint buckets, per-bucket decimal cumsums + offsets, every "
+    "window bounded); oracle runs the single-node global window",
+)(analytics.abc_parts)
+register(
     "sketch_bloom_membership",
     sketches.BLOOM_MEMBERSHIP_SQL,
     doc="Bloom filter membership (Bloom 1970): BLOOM_K Carter-Wegman "
@@ -1690,6 +1698,7 @@ PENDING_WINDOW = [
     "sketch_count_min",
     "agg_cohort_ltv",
     "sketch_bloom_membership",
+    "agg_abc_parts",
 ]
 
 assert len(CORRECTNESS_WINDOW) == 50, len(CORRECTNESS_WINDOW)

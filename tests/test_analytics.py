@@ -185,3 +185,27 @@ def test_cohort_ltv_triangle_hand_computed(spark, tmp_path):
     feb0 = got[("2024-02", 0)]
     assert (feb0.cohort_size, feb0.cum_rev_per_member) == (1, 70.0)
     assert set(k[1] for k in got if k[0] == "2024-01") == {0, 2}
+
+
+def test_abc_parts_hand_computed_classes(spark, tmp_path):
+    """Revenues 50/30/15/5: cumulative shares .5/.8/.95/1.0 -> classes
+    A, A (<= .8 inclusive), B (<= .95 inclusive), C."""
+    from streamprocessing_with_kafka_spark.operators.analytics import abc_parts
+
+    rows = [(i, pk, price) for i, (pk, price) in enumerate(
+        [(1, 50.0), (2, 30.0), (3, 15.0), (4, 5.0)]
+    )]
+    d = str(tmp_path / "abc")
+    spark.createDataFrame(
+        [(o, pk, 1, 1, 1.0, pr, 0.0, 0.0, "N", "O") for (o, pk, pr) in rows],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string",
+    ).selectExpr("*", "CAST('2024-01-01' AS TIMESTAMP) AS l_shipdate").write.parquet(
+        d + "/lineitem.parquet"
+    )
+    got = {r.l_partkey: r for r in abc_parts(spark, d).collect()}
+    assert [got[k].rank for k in (1, 2, 3, 4)] == [1, 2, 3, 4]
+    assert [got[k].abc_class for k in (1, 2, 3, 4)] == ["A", "A", "B", "C"]
+    assert got[2].cum_share == 0.8
+    assert got[4].cum_share == 1.0

@@ -900,3 +900,26 @@ def test_cohort_ltv_cumsum_is_cohort_partitioned(spark, sf_dir):
     for w in re.findall(r"Window \[[^\n]*", plan):
         assert re.search(r"\], \[cohort#\d+\], \[", w), w
     assert "Cartesian" not in plan, plan
+
+
+def test_abc_parts_windows_are_bucket_partitioned(spark, sf_dir):
+    """The value-ordered cumsum decomposes like vocab_growth: per-part
+    windows carry the bucket partition spec; the only unpartitioned
+    windows are the ABC_BUCKETS-row offset cumsums."""
+    from streamprocessing_with_kafka_spark.operators import analytics as an
+
+    plan = _plan(spark, an.abc_parts(spark, sf_dir))
+    big = [
+        w
+        for w in re.findall(r"Window \[[^\n]*", plan)
+        if "revenue#" in w and "brev#" not in w
+    ]
+    assert big and all(
+        re.search(r"\], \[bucket#\d+\], \[", w) for w in big
+    ), plan
+    unpart = [
+        w
+        for w in re.findall(r"Window \[[^\n]*", plan)
+        if not re.search(r"\], \[[a-z_]+#\d+L?\], \[", w)
+    ]
+    assert unpart and all("brev#" in w for w in unpart), plan
