@@ -1553,3 +1553,237 @@ SELECT l_partkey, {round_sql('revenue', 2)} AS revenue, rank,
             ELSE 'C' END AS abc_class
 FROM cum, total
 """
+
+
+# ------------------------------------ Kaplan-Meier fulfillment survival
+
+KM_CENSOR_DAYS = 30  # orders first-shipping within the last window are
+#                      right-censored: their full latency is unobserved
+
+
+def fulfillment_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve (Kaplan & Meier 1958) for order
+    fulfillment: S(t) = P(order still unshipped after t days), with
+    RIGHT-CENSORING done properly -- orders whose first ship lands
+    inside the last KM_CENSOR_DAYS of the data are treated as 'still
+    open at the cutoff', contributing risk-time but no event, exactly
+    as a live operational dataset would.  Naive latency percentiles
+    (`agg_ship_latency_monthly`) silently drop the censored tail and
+    understate slow fulfillment; KM is the statistically honest
+    estimator, and the survival-analysis member of the statistical
+    operator family (chi2, Benford, CUSUM, ...).
+
+    S(t) = prod over event days t_i <= t of (1 - d_i / n_i), n_i = #
+    at risk (duration >= t_i).  The corpus collapses to per-day
+    (events, censored) counts first -- the duration domain is BOUNDED
+    (order-to-ship spans days, not corpus size), so the ordered
+    cumulative product runs on a <= |days| frame (the pareto/mode
+    argument); each ln(1 - d/n) term quantizes to DECIMAL before the
+    running sum, and S = exp of it, engine-exact at 6dp."""
+    first_ship = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.min("l_shipdate").alias("first_ship"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    cutoff = first_ship.agg(
+        F.date_sub(F.max(F.col("first_ship").cast("date")), KM_CENSOR_DAYS).alias(
+            "cutoff"
+        )
+    )
+    per_order = (
+        orders.join(first_ship, orders.o_orderkey == first_ship.l_orderkey)
+        .crossJoin(F.broadcast(cutoff))
+        .filter(F.col("o_orderdate").cast("date") <= F.col("cutoff"))
+        .select(
+            F.when(
+                F.col("first_ship").cast("date") <= F.col("cutoff"),
+                F.datediff(
+                    F.col("first_ship").cast("date"),
+                    F.col("o_orderdate").cast("date"),
+                ),
+            )
+            .otherwise(
+                F.datediff(F.col("cutoff"), F.col("o_orderdate").cast("date"))
+            )
+            .alias("t"),
+            (F.col("first_ship").cast("date") <= F.col("cutoff")).alias(
+                "is_event"
+            ),
+        )
+    )
+    daily = per_order.groupBy("t").agg(
+        F.sum(F.col("is_event").cast("long")).alias("d"),
+        F.sum((~F.col("is_event")).cast("long")).alias("c"),
+    )
+    from pyspark.sql import Window as W
+
+    # bounded global windows: the duration domain is <= a few hundred
+    # days at any corpus size -- NOT the corpus (documented above)
+    w_prev = W.orderBy("t").rowsBetween(W.unboundedPreceding, -1)
+    w_run = W.orderBy("t").rowsBetween(W.unboundedPreceding, 0)
+    total = per_order.agg(F.count(F.lit(1)).alias("n_total"))
+    risked = daily.crossJoin(F.broadcast(total)).select(
+        "t",
+        "d",
+        "c",
+        (
+            F.col("n_total")
+            - F.coalesce(F.sum(F.col("d") + F.col("c")).over(w_prev), F.lit(0))
+        ).alias("n_risk"),
+    )
+    # d == n_risk is the absorbing state (everyone at risk ships):
+    # S = 0 from that day on -- handled explicitly, because ln(0) is
+    # NULL in Spark but -inf in DuckDB
+    ln_term = F.when(
+        (F.col("d") > 0) & (F.col("d") < F.col("n_risk")),
+        F.log(
+            F.lit(1.0)
+            - F.col("d").cast("double") / F.col("n_risk").cast("double")
+        ),
+    ).otherwise(F.lit(0.0))
+    dead = F.max((F.col("d") == F.col("n_risk")).cast("int")).over(w_run)
+    return risked.select(
+        "t",
+        "n_risk",
+        "d",
+        "c",
+        F.when(dead == 1, F.lit(0.0))
+        .otherwise(
+            F.round(
+                F.exp(
+                    F.sum(ln_term.cast("decimal(28,10)"))
+                    .over(w_run)
+                    .cast("double")
+                ),
+                6,
+            )
+        )
+        .alias("survival"),
+    )
+
+
+FULFILLMENT_SURVIVAL_SQL = f"""
+WITH first_ship AS (
+  SELECT l_orderkey, MIN(l_shipdate) AS first_ship FROM lineitem GROUP BY 1
+),
+cutoff AS (
+  SELECT CAST(MAX(first_ship) AS DATE) - {KM_CENSOR_DAYS} AS cutoff
+  FROM first_ship
+),
+per_order AS (
+  SELECT CASE WHEN CAST(first_ship AS DATE) <= cutoff
+              THEN datediff('day', CAST(o_orderdate AS DATE),
+                            CAST(first_ship AS DATE))
+              ELSE datediff('day', CAST(o_orderdate AS DATE), cutoff)
+         END AS t,
+         CAST(first_ship AS DATE) <= cutoff AS is_event
+  FROM orders
+  JOIN first_ship ON o_orderkey = l_orderkey
+  CROSS JOIN cutoff
+  WHERE CAST(o_orderdate AS DATE) <= cutoff
+),
+daily AS (
+  SELECT t, COUNT(*) FILTER (WHERE is_event) AS d,
+         COUNT(*) FILTER (WHERE NOT is_event) AS c
+  FROM per_order GROUP BY 1
+),
+total AS (SELECT COUNT(*) AS n_total FROM per_order),
+risked AS (
+  SELECT t, d, c,
+         n_total - COALESCE(SUM(d + c) OVER
+           (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS n_risk
+  FROM daily, total
+)
+SELECT CAST(t AS BIGINT) AS t, CAST(n_risk AS BIGINT) AS n_risk,
+       CAST(d AS BIGINT) AS d, CAST(c AS BIGINT) AS c,
+       CASE WHEN MAX(CASE WHEN d = n_risk THEN 1 ELSE 0 END) OVER
+                 (ORDER BY t ROWS UNBOUNDED PRECEDING) = 1 THEN 0.0
+            ELSE {round_sql(
+           "exp(CAST(CAST(SUM(CAST(CASE WHEN d > 0 AND d < n_risk THEN"
+           " ln(1.0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE))"
+           " ELSE 0.0 END AS DECIMAL(28,10))) OVER"
+           " (ORDER BY t ROWS UNBOUNDED PRECEDING) AS VARCHAR) AS DOUBLE))",
+           6)} END AS survival
+FROM risked
+"""
+
+
+# ----------------------------------------- grouped OLS (discount lift)
+
+def discount_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand OLS regression of quantity on discount -- GROUPED
+    linear regression as a single aggregate: slope ("does discounting
+    move volume for this brand?"), intercept, and R^2 per p_brand.
+    The regression member of the statistical family: chi2 tests
+    association of categoricals, correlations measure pairwise linear
+    strength corpus-wide, this fits the actual response per group.
+
+    ONE map-side-combinable aggregate collects all five moments per
+    brand (DECIMAL-quantized sums, the `profile_correlations`
+    discipline -- no REGR_SLOPE UDAF, whose float merge order is
+    partition-dependent); lineitem joins part on partkey (the corpus'
+    one row-level shuffle; part broadcasts at test scale and co-
+    shuffles at 100 TB).  Slope/intercept/R^2 assemble in fixed-order
+    double arithmetic; zero-variance guards are explicit NULLs."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_discount"
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    j = li.join(part, li.l_partkey == part.p_partkey)
+    x, y = F.col("l_discount"), F.col("l_quantity")
+    m = j.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dec_sum(x).alias("sx"),
+        dec_sum(y).alias("sy"),
+        dec_sum(x * y).alias("sxy"),
+        dec_sum(x * x).alias("sxx"),
+        dec_sum(y * y).alias("syy"),
+    )
+    var_x = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    var_y = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    slope = cov / var_x
+    return m.select(
+        "p_brand",
+        F.col("n").cast("long").alias("n_lines"),
+        F.when(var_x > 0, F.round(slope, 6)).alias("slope"),
+        F.when(
+            var_x > 0,
+            F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6),
+        ).alias("intercept"),
+        F.when(
+            (var_x > 0) & (var_y > 0),
+            F.round(cov * cov / (var_x * var_y), 6),
+        ).alias("r2"),
+    )
+
+
+DISCOUNT_ELASTICITY_SQL = f"""
+WITH m AS (
+  SELECT p_brand, CAST(COUNT(*) AS DOUBLE) AS n,
+         {dec_sum_sql('l_discount')} AS sx,
+         {dec_sum_sql('l_quantity')} AS sy,
+         {dec_sum_sql('l_discount * l_quantity')} AS sxy,
+         {dec_sum_sql('l_discount * l_discount')} AS sxx,
+         {dec_sum_sql('l_quantity * l_quantity')} AS syy
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY 1
+)
+SELECT p_brand, CAST(n AS BIGINT) AS n_lines,
+  CASE WHEN n * sxx - sx * sx > 0
+       THEN {round_sql('(n * sxy - sx * sy) / (n * sxx - sx * sx)', 6)} END
+    AS slope,
+  CASE WHEN n * sxx - sx * sx > 0
+       THEN {round_sql(
+           '(sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n', 6)}
+       END AS intercept,
+  CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+       THEN {round_sql(
+           '(n * sxy - sx * sy) * (n * sxy - sx * sy)'
+           ' / ((n * sxx - sx * sx) * (n * syy - sy * sy))', 6)} END AS r2
+FROM m
+"""

@@ -1367,6 +1367,22 @@ register(
     "session_concurrency machinery re-applied to a second domain",
 )(windows.orders_backlog)
 register(
+    "agg_discount_elasticity",
+    analytics.DISCOUNT_ELASTICITY_SQL,
+    doc="grouped OLS (quantity ~ discount per brand): all five moments "
+    "in ONE map-side-combinable aggregate with DECIMAL-quantized sums "
+    "(no REGR_* UDAFs -- float merge order), slope/intercept/R^2 in "
+    "fixed-order doubles, explicit zero-variance NULLs",
+)(analytics.discount_elasticity)
+register(
+    "events_survival_km",
+    analytics.FULFILLMENT_SURVIVAL_SQL,
+    doc="Kaplan-Meier fulfillment survival with right-censoring "
+    "(orders first-shipping inside the last window contribute risk "
+    "time but no event): per-day at-risk/events/censored + S(t) via "
+    "DECIMAL-quantized ln cumsum over the BOUNDED duration domain",
+)(analytics.fulfillment_survival)
+register(
     "agg_abc_parts",
     analytics.ABC_PARTS_SQL,
     doc="ABC revenue classification of parts: the two-phase prefix-sum "
@@ -1699,6 +1715,8 @@ PENDING_WINDOW = [
     "agg_cohort_ltv",
     "sketch_bloom_membership",
     "agg_abc_parts",
+    "events_survival_km",
+    "agg_discount_elasticity",
 ]
 
 assert len(CORRECTNESS_WINDOW) == 50, len(CORRECTNESS_WINDOW)

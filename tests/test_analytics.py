@@ -209,3 +209,79 @@ def test_abc_parts_hand_computed_classes(spark, tmp_path):
     assert [got[k].abc_class for k in (1, 2, 3, 4)] == ["A", "A", "B", "C"]
     assert got[2].cum_share == 0.8
     assert got[4].cum_share == 1.0
+
+
+def test_km_survival_textbook_with_censoring(spark, tmp_path):
+    """Durations: event@1, censored@2, event@3 (n=3). S = 2/3 after
+    t=1, unchanged by the censoring at t=2 (risk set shrinks, no
+    event), 0 after the last event. A fourth order placed after the
+    cutoff is excluded from the study but sets max(first_ship)."""
+    from streamprocessing_with_kafka_spark.operators.analytics import (
+        fulfillment_survival,
+    )
+
+    # max first_ship = 2024-03-01 -> cutoff = 2024-01-31
+    orders = [(1, "2024-01-01"), (2, "2024-01-29"), (3, "2024-01-01"),
+              (4, "2024-02-05")]
+    ships = [(1, "2024-01-02"), (2, "2024-02-20"), (3, "2024-01-04"),
+             (4, "2024-03-01")]
+    d = str(tmp_path / "km")
+    spark.createDataFrame(
+        [(o, 1, "O", 10.0, ts) for (o, ts) in orders],
+        "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double, ts string",
+    ).selectExpr(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "CAST(ts AS TIMESTAMP) AS o_orderdate", "'1-URGENT' AS o_orderpriority",
+    ).write.parquet(d + "/orders.parquet")
+    spark.createDataFrame(
+        [(o, 1, 1, 1, 1.0, 10.0, 0.0, 0.0, "N", "O", ts) for (o, ts) in ships],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, l_tax double, "
+        "l_returnflag string, l_linestatus string, ts string",
+    ).selectExpr(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus",
+        "CAST(ts AS TIMESTAMP) AS l_shipdate",
+    ).write.parquet(d + "/lineitem.parquet")
+    got = {r.t: r for r in fulfillment_survival(spark, d).collect()}
+    assert set(got) == {1, 2, 3}
+    assert (got[1].n_risk, got[1].d, got[1].c) == (3, 1, 0)
+    assert got[1].survival == round(2 / 3, 6)
+    assert (got[2].n_risk, got[2].d, got[2].c) == (2, 0, 1)
+    assert got[2].survival == round(2 / 3, 6)  # censoring: no S drop
+    assert (got[3].n_risk, got[3].d) == (1, 1)
+    assert got[3].survival == 0.0
+
+
+def test_discount_elasticity_recovers_planted_line(spark, tmp_path):
+    """Brand X: quantity = 100*discount + 5 exactly -> slope 100,
+    intercept 5, r2 = 1; brand Y constant discount -> NULL slope."""
+    from streamprocessing_with_kafka_spark.operators.analytics import (
+        discount_elasticity,
+    )
+
+    d = str(tmp_path / "elas")
+    lines = []
+    for i, disc in enumerate([0.0, 0.02, 0.04, 0.06, 0.08]):
+        lines.append((i, 1, 100.0 * disc + 5.0, disc))
+    for i in range(3):
+        lines.append((100 + i, 2, float(i), 0.05))
+    spark.createDataFrame(
+        [(o, pk, 1, 1, q, 10.0, disc, 0.0, "N", "O") for (o, pk, q, disc) in lines],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string",
+    ).selectExpr("*", "CAST('2024-01-01' AS TIMESTAMP) AS l_shipdate").write.parquet(
+        d + "/lineitem.parquet"
+    )
+    spark.createDataFrame(
+        [(1, "part one", "BRAND#X", "t", 1, 10.0),
+         (2, "part two", "BRAND#Y", "t", 1, 10.0)],
+        "p_partkey long, p_name string, p_brand string, p_type string, "
+        "p_size int, p_retailprice double",
+    ).write.parquet(d + "/part.parquet")
+    got = {r.p_brand: r for r in discount_elasticity(spark, d).collect()}
+    x = got["BRAND#X"]
+    assert (x.n_lines, x.slope, x.intercept, x.r2) == (5, 100.0, 5.0, 1.0)
+    y = got["BRAND#Y"]
+    assert y.slope is None and y.intercept is None and y.r2 is None
