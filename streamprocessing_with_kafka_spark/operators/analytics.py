@@ -1787,3 +1787,192 @@ SELECT p_brand, CAST(n AS BIGINT) AS n_lines,
            ' / ((n * sxx - sx * sx) * (n * syy - sy * sy))', 6)} END AS r2
 FROM m
 """
+
+
+# -------------------------------------------------- log-rank test
+
+LOGRANK_FAST_PRIORITIES = ("1-URGENT", "2-HIGH")
+
+
+def fulfillment_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank test (Mantel 1966): do high-priority orders ship on a
+    DIFFERENT survival curve than the rest?  The censoring-correct way
+    to compare group latencies (a t-test on observed latencies is
+    biased the moment anything is censored) -- `events_survival_km`'s
+    inferential companion.
+
+    Same study construction as the KM operator (first-ship durations,
+    right-censored inside the trailing KM_CENSOR_DAYS window).  At each
+    event day: observed high-priority deaths d1, expected under H0
+    E1 = d * n1/n, hypergeometric variance; the statistic
+    (sum(d1 - E1))^2 / sum(V) is chi-squared with 1 df under H0 (4+
+    signals a real difference at p < .05).  All per-day terms quantize
+    to DECIMAL before the sums; the day domain is bounded, so the
+    ordered at-risk windows run on <= |days| x 2 rows."""
+    first_ship = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.min("l_shipdate").alias("first_ship"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    cutoff = first_ship.agg(
+        F.date_sub(
+            F.max(F.col("first_ship").cast("date")), KM_CENSOR_DAYS
+        ).alias("cutoff")
+    )
+    per_order = (
+        orders.join(first_ship, orders.o_orderkey == first_ship.l_orderkey)
+        .crossJoin(F.broadcast(cutoff))
+        .filter(F.col("o_orderdate").cast("date") <= F.col("cutoff"))
+        .select(
+            F.when(
+                F.col("first_ship").cast("date") <= F.col("cutoff"),
+                F.datediff(
+                    F.col("first_ship").cast("date"),
+                    F.col("o_orderdate").cast("date"),
+                ),
+            )
+            .otherwise(
+                F.datediff(F.col("cutoff"), F.col("o_orderdate").cast("date"))
+            )
+            .alias("t"),
+            (F.col("first_ship").cast("date") <= F.col("cutoff")).alias(
+                "is_event"
+            ),
+            F.col("o_orderpriority")
+            .isin(*LOGRANK_FAST_PRIORITIES)
+            .alias("g1"),
+        )
+    )
+    daily = per_order.groupBy("t").agg(
+        F.sum(F.col("is_event").cast("long")).alias("d"),
+        F.sum((F.col("is_event") & F.col("g1")).cast("long")).alias("d1"),
+        F.count(F.lit(1)).alias("leave"),
+        F.sum(F.col("g1").cast("long")).alias("leave1"),
+    )
+    from pyspark.sql import Window as W
+
+    w_prev = W.orderBy("t").rowsBetween(W.unboundedPreceding, -1)
+    tot = per_order.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.col("g1").cast("long")).alias("n1_total"),
+    )
+    risked = daily.crossJoin(F.broadcast(tot)).select(
+        "t",
+        "d",
+        "d1",
+        (
+            F.col("n_total")
+            - F.coalesce(F.sum("leave").over(w_prev), F.lit(0))
+        ).alias("n"),
+        (
+            F.col("n1_total")
+            - F.coalesce(F.sum("leave1").over(w_prev), F.lit(0))
+        ).alias("n1"),
+        "n_total",
+        "n1_total",
+    ).filter(F.col("d") > 0)
+    p1 = F.col("n1").cast("double") / F.col("n").cast("double")
+    e1 = F.col("d").cast("double") * p1
+    v = F.when(
+        F.col("n") > 1,
+        F.col("d").cast("double")
+        * p1
+        * (1 - p1)
+        * (F.col("n") - F.col("d")).cast("double")
+        / (F.col("n") - 1).cast("double"),
+    ).otherwise(F.lit(0.0))
+    agg = risked.agg(
+        F.max("n_total").alias("n_total"),
+        F.max("n1_total").alias("n1_total"),
+        F.sum("d1").alias("observed_g1"),
+        F.sum(e1.cast("decimal(28,10)")).cast("double").alias("expected_g1"),
+        F.sum(
+            (F.col("d1").cast("double") - e1).cast("decimal(28,10)")
+        ).cast("double").alias("o_minus_e"),
+        F.sum(v.cast("decimal(28,10)")).cast("double").alias("var_sum"),
+    )
+    return agg.select(
+        "n_total",
+        "n1_total",
+        "observed_g1",
+        F.round(F.col("expected_g1"), 6).alias("expected_g1"),
+        F.when(
+            F.col("var_sum") > 0,
+            F.round(
+                F.col("o_minus_e") * F.col("o_minus_e") / F.col("var_sum"), 6
+            ),
+        ).alias("logrank_chi2"),
+    )
+
+
+_LR_P1 = "CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE)"
+_LR_E1 = f"CAST(d AS DOUBLE) * ({_LR_P1})"
+_LR_V = (
+    f"CASE WHEN n > 1 THEN CAST(d AS DOUBLE) * ({_LR_P1}) * (1 - ({_LR_P1}))"
+    " * CAST(n - d AS DOUBLE) / CAST(n - 1 AS DOUBLE) ELSE 0.0 END"
+)
+
+FULFILLMENT_LOGRANK_SQL = f"""
+WITH first_ship AS (
+  SELECT l_orderkey, MIN(l_shipdate) AS first_ship FROM lineitem GROUP BY 1
+),
+cutoff AS (
+  SELECT CAST(MAX(first_ship) AS DATE) - {KM_CENSOR_DAYS} AS cutoff
+  FROM first_ship
+),
+per_order AS (
+  SELECT CASE WHEN CAST(first_ship AS DATE) <= cutoff
+              THEN datediff('day', CAST(o_orderdate AS DATE),
+                            CAST(first_ship AS DATE))
+              ELSE datediff('day', CAST(o_orderdate AS DATE), cutoff)
+         END AS t,
+         CAST(first_ship AS DATE) <= cutoff AS is_event,
+         o_orderpriority IN ('1-URGENT', '2-HIGH') AS g1
+  FROM orders JOIN first_ship ON o_orderkey = l_orderkey
+  CROSS JOIN cutoff
+  WHERE CAST(o_orderdate AS DATE) <= cutoff
+),
+daily AS (
+  SELECT t, COUNT(*) FILTER (WHERE is_event) AS d,
+         COUNT(*) FILTER (WHERE is_event AND g1) AS d1,
+         COUNT(*) AS leave, COUNT(*) FILTER (WHERE g1) AS leave1
+  FROM per_order GROUP BY 1
+),
+tot AS (
+  SELECT COUNT(*) AS n_total, COUNT(*) FILTER (WHERE g1) AS n1_total
+  FROM per_order
+),
+risked AS (
+  SELECT t, d, d1,
+         n_total - COALESCE(SUM(leave) OVER
+           (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS n,
+         n1_total - COALESCE(SUM(leave1) OVER
+           (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS n1,
+         n_total, n1_total
+  FROM daily, tot
+),
+ev AS (SELECT * FROM risked WHERE d > 0),
+agg AS (
+  SELECT CAST(MAX(n_total) AS BIGINT) AS n_total,
+         CAST(MAX(n1_total) AS BIGINT) AS n1_total,
+         CAST(SUM(d1) AS BIGINT) AS observed_g1,
+         CAST(CAST(SUM(CAST({_LR_E1} AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)
+           AS expected_g1,
+         CAST(CAST(SUM(CAST(CAST(d1 AS DOUBLE) - ({_LR_E1}) AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)
+           AS o_minus_e,
+         CAST(CAST(SUM(CAST({_LR_V} AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)
+           AS var_sum
+  FROM ev
+)
+SELECT n_total, n1_total, observed_g1,
+       {round_sql('expected_g1', 6)} AS expected_g1,
+       CASE WHEN var_sum > 0
+            THEN {round_sql('o_minus_e * o_minus_e / var_sum', 6)} END
+         AS logrank_chi2
+FROM agg
+"""

@@ -1367,6 +1367,14 @@ register(
     "session_concurrency machinery re-applied to a second domain",
 )(windows.orders_backlog)
 register(
+    "events_logrank",
+    analytics.FULFILLMENT_LOGRANK_SQL,
+    doc="log-rank test (Mantel 1966): censoring-correct comparison of "
+    "high-priority vs other fulfillment survival -- per-event-day "
+    "hypergeometric O-E/V terms quantized to DECIMAL, chi2(1df) "
+    "statistic; the KM operator's inferential companion",
+)(analytics.fulfillment_logrank)
+register(
     "agg_discount_elasticity",
     analytics.DISCOUNT_ELASTICITY_SQL,
     doc="grouped OLS (quantity ~ discount per brand): all five moments "
@@ -1717,6 +1725,7 @@ PENDING_WINDOW = [
     "agg_abc_parts",
     "events_survival_km",
     "agg_discount_elasticity",
+    "events_logrank",
 ]
 
 assert len(CORRECTNESS_WINDOW) == 50, len(CORRECTNESS_WINDOW)

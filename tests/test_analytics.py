@@ -285,3 +285,44 @@ def test_discount_elasticity_recovers_planted_line(spark, tmp_path):
     assert (x.n_lines, x.slope, x.intercept, x.r2) == (5, 100.0, 5.0, 1.0)
     y = got["BRAND#Y"]
     assert y.slope is None and y.intercept is None and y.r2 is None
+
+
+def test_logrank_hand_computed_separated_groups(spark, tmp_path):
+    """3 urgent orders all ship at t=1, 3 low all at t=10: O-E = 1.5,
+    V = 0.45 -> chi2 = 5.0 exactly (hand-worked hypergeometric)."""
+    from streamprocessing_with_kafka_spark.operators.analytics import (
+        fulfillment_logrank,
+    )
+
+    orders, ships = [], []
+    for i in range(3):
+        orders.append((i, "2024-01-01", "1-URGENT"))
+        ships.append((i, "2024-01-02"))
+    for i in range(3, 6):
+        orders.append((i, "2024-01-01", "5-LOW"))
+        ships.append((i, "2024-01-11"))
+    # sacrificial late shipper sets cutoff = 2024-03-01 (placed after it)
+    orders.append((9, "2024-03-05", "5-LOW"))
+    ships.append((9, "2024-03-31"))
+    d = str(tmp_path / "lr")
+    spark.createDataFrame(
+        [(o, 1, "O", 10.0, ts, pr) for (o, ts, pr) in orders],
+        "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double, ts string, pr string",
+    ).selectExpr(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "CAST(ts AS TIMESTAMP) AS o_orderdate", "pr AS o_orderpriority",
+    ).write.parquet(d + "/orders.parquet")
+    spark.createDataFrame(
+        [(o, 1, 1, 1, 1.0, 10.0, 0.0, 0.0, "N", "O", ts) for (o, ts) in ships],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, l_tax double, "
+        "l_returnflag string, l_linestatus string, ts string",
+    ).selectExpr(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus",
+        "CAST(ts AS TIMESTAMP) AS l_shipdate",
+    ).write.parquet(d + "/lineitem.parquet")
+    r = fulfillment_logrank(spark, d).collect()[0]
+    assert (r.n_total, r.n1_total, r.observed_g1) == (6, 3, 3)
+    assert r.expected_g1 == 1.5
+    assert r.logrank_chi2 == 5.0
