@@ -1462,3 +1462,108 @@ SELECT CAST(n AS BIGINT) AS n_terms_fit,
   {_round_sql("CAST(top_c AS DOUBLE) / CAST(head_tokens AS DOUBLE)", 6)} AS top_rank_share
 FROM fit
 """
+
+
+# --------------------------------- pairwise source JSD distance matrix
+
+def source_jsd(
+    spark: SparkSession, sf_dir: str, *, checkpoint: bool = True
+) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between every two sources'
+    unigram distributions -- the symmetric, bounded (<= ln 2) DISTANCE
+    MATRIX companion of `source_divergence` (which scores each source
+    against the corpus): which sources are interchangeable and which
+    bring genuinely different text, the number a mixture designer reads
+    before collapsing or re-weighting sources.  JSD needs no smoothing
+    (the mixture M covers both supports), unlike raw KL.
+
+    Shape: one corpus pass to the (source, term) counts; a DENSE
+    (term x source) probability grid (vocab x |sources| rows -- still
+    vocabulary-scale) self-joins on term under source_a < source_b, so
+    the pair frame is vocab x C(|sources|,2) rows, never corpus-sized;
+    per-term contributions quantize to DECIMAL before the per-pair
+    sums.  0 ln 0 terms are exact zero by the explicit p > 0 guards."""
+    d = load_table(spark, sf_dir, "documents")
+    st = (
+        d.select("source", F.explode(_tokens()).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # st feeds totals, the term list, AND the grid join; truncation
+    # runs the corpus explode+count once (checkpoint=False for pins)
+    if checkpoint:
+        st = st.localCheckpoint()
+    tot = st.groupBy("source").agg(F.sum("c").alias("t_s"))
+    terms = st.select("term").distinct()
+    sources = tot
+    grid = (
+        terms.crossJoin(F.broadcast(sources))
+        .join(st, ["source", "term"], "left")
+        .select(
+            "term",
+            "source",
+            (
+                F.coalesce(F.col("c"), F.lit(0)).cast("double")
+                / F.col("t_s").cast("double")
+            ).alias("p"),
+        )
+    )
+    a = grid.select(
+        "term", F.col("source").alias("source_a"), F.col("p").alias("pa")
+    )
+    b = grid.select(
+        "term", F.col("source").alias("source_b"), F.col("p").alias("pb")
+    )
+    pairs = a.join(b, "term").filter(F.col("source_a") < F.col("source_b"))
+    m = (F.col("pa") + F.col("pb")) / 2
+    term_contrib = (
+        F.when(F.col("pa") > 0, F.col("pa") * F.log(F.col("pa") / m)).otherwise(
+            F.lit(0.0)
+        )
+        + F.when(F.col("pb") > 0, F.col("pb") * F.log(F.col("pb") / m)).otherwise(
+            F.lit(0.0)
+        )
+    ) / 2
+    out = pairs.groupBy("source_a", "source_b").agg(
+        F.sum(term_contrib.cast("decimal(28,10)")).cast("double").alias("jsd")
+    )
+    return out.select(
+        "source_a",
+        "source_b",
+        F.round(F.col("jsd"), 6).alias("jsd"),
+        F.round(F.col("jsd") / F.lit(0.6931471805599453), 6).alias("jsd_norm"),
+    )
+
+
+SOURCE_JSD_SQL = f"""
+WITH st AS (
+  SELECT source, term, COUNT(*) AS c
+  FROM (SELECT source, unnest(string_split(text, ' ')) AS term
+        FROM documents)
+  GROUP BY 1, 2
+),
+tot AS (SELECT source, SUM(c) AS t_s FROM st GROUP BY 1),
+terms AS (SELECT DISTINCT term FROM st),
+grid AS (
+  SELECT terms.term, tot.source,
+         COALESCE(st.c, 0) / CAST(tot.t_s AS DOUBLE) AS p
+  FROM terms CROSS JOIN tot
+  LEFT JOIN st ON st.source = tot.source AND st.term = terms.term
+),
+pairs AS (
+  SELECT a.term, a.source AS source_a, b.source AS source_b,
+         a.p AS pa, b.p AS pb
+  FROM grid a JOIN grid b ON a.term = b.term AND a.source < b.source
+),
+agg AS (
+  SELECT source_a, source_b,
+    CAST(CAST(SUM(CAST((
+        CASE WHEN pa > 0 THEN pa * ln(pa / ((pa + pb) / 2)) ELSE 0.0 END
+      + CASE WHEN pb > 0 THEN pb * ln(pb / ((pa + pb) / 2)) ELSE 0.0 END
+    ) / 2 AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS jsd
+  FROM pairs GROUP BY 1, 2
+)
+SELECT source_a, source_b, {_round_sql('jsd', 6)} AS jsd,
+       {_round_sql('jsd / 0.6931471805599453', 6)} AS jsd_norm
+FROM agg
+"""

@@ -1488,3 +1488,149 @@ SELECT COUNT(*) AS n_viewers,
          AS p95_seconds
 FROM conv
 """
+
+
+# ------------------------------------ Markov entropy rate (plug-in)
+
+def markov_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy rate of the event-type process under the plug-in
+    first-order Markov estimate: H = -sum_ij (c_ij / N) ln(c_ij / c_i.)
+    nats per transition, with each state's conditional entropy
+    H(next | prev = s) alongside -- `events_markov`'s information-
+    theoretic rollup (how PREDICTABLE is the next event? 0 = a
+    deterministic funnel, ln(5) = uniform chaos; drift in H is a
+    behavior-mix change the transition matrix itself hides in 25
+    cells).  Also the conditional entropy's gap to the marginal
+    entropy = how much knowing the previous event type buys.
+
+    Same single corpus pass as `events_markov` (one user-sorted lag
+    window, 5x5 count aggregate); every ln term quantizes to DECIMAL
+    before the bounded sums -- all downstream frames are <= 25 rows.
+    Output: one row per prev state (cond_entropy, share) plus the
+    corpus row ('__rate__') carrying the entropy rate and the marginal
+    type entropy."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.lag("event_type").over(w).alias("prev_type"), "event_type"
+    ).filter(F.col("prev_type").isNotNull())
+    counts = pairs.groupBy("prev_type", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    row = counts.groupBy("prev_type").agg(
+        F.sum("c").alias("c_row"),
+        F.sum(
+            (
+                F.col("c").cast("double") * F.log(F.col("c").cast("double"))
+            ).cast("decimal(28,10)")
+        )
+        .cast("double")
+        .alias("s_clnc"),
+    )
+    # H(next | prev=s) = ln(c_row) - s_clnc / c_row  (the l-diversity trick)
+    cond = row.select(
+        "prev_type",
+        "c_row",
+        (
+            F.log(F.col("c_row").cast("double"))
+            - F.col("s_clnc") / F.col("c_row").cast("double")
+        ).alias("h_cond"),
+    )
+    tot = cond.agg(
+        F.sum("c_row").alias("n"),
+        F.sum(
+            (F.col("c_row").cast("double") * F.col("h_cond")).cast(
+                "decimal(28,10)"
+            )
+        )
+        .cast("double")
+        .alias("s_wh"),
+    )
+    # marginal next-type entropy from the column sums
+    marg = (
+        counts.groupBy("event_type")
+        .agg(F.sum("c").alias("c_col"))
+        .agg(
+            F.sum("c_col").alias("n2"),
+            F.sum(
+                (
+                    F.col("c_col").cast("double")
+                    * F.log(F.col("c_col").cast("double"))
+                ).cast("decimal(28,10)")
+            )
+            .cast("double")
+            .alias("s2"),
+        )
+        .select(
+            (F.log(F.col("n2").cast("double")) - F.col("s2") / F.col("n2").cast("double")).alias(
+                "h_marginal"
+            ),
+            "n2",
+        )
+    )
+    per_state = cond.crossJoin(F.broadcast(tot)).select(
+        "prev_type",
+        F.col("c_row").alias("n_transitions"),
+        F.round(F.col("h_cond"), 6).alias("entropy"),
+        F.round(
+            F.col("c_row").cast("double") / F.col("n").cast("double"), 6
+        ).alias("share"),
+    )
+    rate_row = (
+        tot.crossJoin(F.broadcast(marg))
+        .select(
+            F.lit("__rate__").alias("prev_type"),
+            F.col("n").alias("n_transitions"),
+            F.round(F.col("s_wh") / F.col("n").cast("double"), 6).alias(
+                "entropy"
+            ),
+            F.round(F.col("h_marginal"), 6).alias("share"),
+        )
+    )
+    return per_state.unionByName(rate_row)
+
+
+_ME_DEC = "CAST(CAST(SUM(CAST({} AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)"
+
+MARKOV_ENTROPY_SQL = f"""
+WITH pairs AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type,
+         event_type
+  FROM events
+),
+counts AS (
+  SELECT prev_type, event_type, COUNT(*) AS c
+  FROM pairs WHERE prev_type IS NOT NULL GROUP BY 1, 2
+),
+rowagg AS (
+  SELECT prev_type, SUM(c) AS c_row,
+         {_ME_DEC.format("CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))")} AS s_clnc
+  FROM counts GROUP BY 1
+),
+cond AS (
+  SELECT prev_type, c_row,
+         ln(CAST(c_row AS DOUBLE)) - s_clnc / CAST(c_row AS DOUBLE) AS h_cond
+  FROM rowagg
+),
+tot AS (
+  SELECT SUM(c_row) AS n,
+         {_ME_DEC.format("CAST(c_row AS DOUBLE) * h_cond")} AS s_wh
+  FROM cond
+),
+marg AS (
+  SELECT ln(CAST(SUM(c_col) AS DOUBLE))
+         - {_ME_DEC.format("CAST(c_col AS DOUBLE) * ln(CAST(c_col AS DOUBLE))")}
+           / CAST(SUM(c_col) AS DOUBLE) AS h_marginal
+  FROM (SELECT event_type, SUM(c) AS c_col FROM counts GROUP BY 1)
+)
+SELECT prev_type, CAST(c_row AS BIGINT) AS n_transitions,
+       {round_sql('h_cond', 6)} AS entropy,
+       {round_sql('CAST(c_row AS DOUBLE) / CAST(n AS DOUBLE)', 6)} AS share
+FROM cond, tot
+UNION ALL
+SELECT '__rate__', CAST(n AS BIGINT),
+       {round_sql('s_wh / CAST(n AS DOUBLE)', 6)},
+       {round_sql('h_marginal', 6)}
+FROM tot, marg
+"""

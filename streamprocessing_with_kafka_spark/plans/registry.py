@@ -1367,6 +1367,22 @@ register(
     "session_concurrency machinery re-applied to a second domain",
 )(windows.orders_backlog)
 register(
+    "text_source_jsd",
+    text.SOURCE_JSD_SQL,
+    doc="pairwise Jensen-Shannon divergence matrix between source "
+    "unigram distributions (symmetric, <= ln 2, no smoothing needed): "
+    "dense vocab x sources grid self-joined per pair, DECIMAL-"
+    "quantized contributions, explicit 0 ln 0 guards",
+)(text.source_jsd)
+register(
+    "events_markov_entropy",
+    timeseries.MARKOV_ENTROPY_SQL,
+    doc="Markov entropy rate (plug-in): per-state conditional entropy "
+    "of the next event type + the corpus rate and marginal entropy -- "
+    "the predictability rollup of events_markov, same single corpus "
+    "pass, all downstream frames <= 25 rows, DECIMAL-quantized ln sums",
+)(timeseries.markov_entropy)
+register(
     "events_logrank",
     analytics.FULFILLMENT_LOGRANK_SQL,
     doc="log-rank test (Mantel 1966): censoring-correct comparison of "
@@ -1726,6 +1742,8 @@ PENDING_WINDOW = [
     "events_survival_km",
     "agg_discount_elasticity",
     "events_logrank",
+    "events_markov_entropy",
+    "text_source_jsd",
 ]
 
 assert len(CORRECTNESS_WINDOW) == 50, len(CORRECTNESS_WINDOW)

@@ -128,3 +128,28 @@ def test_collocations_and_bigram_survive_one_token_docs(spark, tmp_path):
     rows = {r.doc_id: r.n_bigrams for r in bigram_logprob(spark, d).collect()}
     assert 0 not in rows and 1 not in rows  # no pairs -> no row
     assert rows[2] == 5
+
+
+def test_source_jsd_identical_zero_disjoint_ln2(spark, tmp_path):
+    """Identical distributions -> JSD 0; disjoint vocabularies -> the
+    ln 2 maximum (jsd_norm 1)."""
+    d = str(tmp_path / "jsd")
+    rows = [
+        (0, "A", "x y x"), (1, "A", "y x"),
+        (2, "B", "x y x"), (3, "B", "y x"),   # B identical to A
+        (4, "C", "q r q r q"),                # C disjoint from both
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    ).selectExpr(
+        "doc_id", "source", "'en' AS lang", "text",
+        "CAST('2024-01-01' AS TIMESTAMP) AS crawl_ts",
+    ).write.mode("overwrite").parquet(d + "/documents.parquet")
+    from streamprocessing_with_kafka_spark.operators.text import source_jsd
+
+    got = {
+        (r.source_a, r.source_b): r for r in source_jsd(spark, d).collect()
+    }
+    assert got[("A", "B")].jsd == 0.0
+    assert got[("A", "C")].jsd_norm == 1.0
+    assert got[("B", "C")].jsd_norm == 1.0

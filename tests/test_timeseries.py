@@ -850,3 +850,38 @@ def test_funnel_timing_boundaries(spark, tmp_path):
     assert r.conversion_rate == 0.5
     assert r.p50_seconds == 7.5      # interpolated between 5 and 10
     assert r.p95_seconds == 9.75
+
+
+def test_markov_entropy_deterministic_chain_is_zero(spark, tmp_path):
+    """Strictly alternating click/view: every transition is certain ->
+    per-state conditional entropy 0, entropy rate 0, while the
+    MARGINAL next-type entropy is ln 2 (the gap = what knowing the
+    previous event buys)."""
+    import math
+
+    from streamprocessing_with_kafka_spark.operators.timeseries import (
+        markov_entropy,
+    )
+
+    rows = []
+    for i in range(10):
+        t = "click" if i % 2 == 0 else "view"
+        rows.append((i, f"2024-01-01 10:{i:02d}:00", 1, t))
+    d = str(tmp_path / "me")
+    spark.createDataFrame(
+        [(e, ts, u, t, 1.0, "{}") for (e, ts, u, t) in rows],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp")).write.parquet(
+        d + "/events.parquet"
+    )
+    got = {r.prev_type: r for r in markov_entropy(spark, d).collect()}
+    assert got["click"].entropy == 0.0
+    assert got["view"].entropy == 0.0
+    rate = got["__rate__"]
+    assert rate.entropy == 0.0
+    # marginal next-type counts are 5 view / 4 click over 9 transitions
+    h_marg = math.log(9) - (5 * math.log(5) + 4 * math.log(4)) / 9
+    assert abs(rate.share - h_marg) < 1e-5
+    assert rate.n_transitions == 9
+    shares = [got[k].share for k in ("click", "view")]
+    assert abs(sum(shares) - 1.0) < 1e-6
