@@ -1567,3 +1567,63 @@ SELECT source_a, source_b, {_round_sql('jsd', 6)} AS jsd,
        {_round_sql('jsd / 0.6931471805599453', 6)} AS jsd_norm
 FROM agg
 """
+
+
+# ------------------------------- per-doc character entropy (zero-shuffle)
+
+def char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-level Shannon entropy in bits/char -- the
+    cheap compressibility proxy (low entropy = repetitive/boilerplate/
+    padding, high = encrypted/binary-ish junk; both tails are what a
+    quality filter wants flagged before paying for tokenization).
+
+    ZERO SHUFFLE: the per-doc distinct-char counts compute INSIDE one
+    row via array expressions -- distinct chars (bounded by the
+    alphabet), each counted with a size(filter()) pass over the char
+    array -- so the whole operator is a narrow codegen'd projection at
+    scan speed, the `text_stats` family shape.  O(alphabet x len) per
+    row beats a corpus-wide (doc, char) shuffle at any scale.  Entropy
+    terms are a fixed fold over the per-row counts array: DECIMAL-
+    quantized inside the aggregate expression, order-fixed by the
+    array itself."""
+    d = load_table(spark, sf_dir, "documents")
+    chars = F.split(F.col("text"), "")
+    uniq = F.array_distinct(chars)
+    counts = F.transform(
+        uniq, lambda ch: F.size(F.filter(chars, lambda c: c == ch))
+    )
+    n = F.length("text")
+    ent = F.aggregate(
+        counts,
+        F.lit(0).cast("decimal(28,10)"),
+        lambda acc, c: (
+            acc
+            + (
+                -(c.cast("double") / n.cast("double"))
+                * F.log2(c.cast("double") / n.cast("double"))
+            ).cast("decimal(28,10)")
+        ).cast("decimal(28,10)"),
+    ).cast("double")
+    return d.select(
+        "doc_id",
+        n.alias("n_chars"),
+        F.size(uniq).alias("n_distinct_chars"),
+        F.when(n > 0, F.round(ent, 6)).otherwise(F.lit(0.0)).alias(
+            "char_entropy_bits"
+        ),
+    )
+
+
+CHAR_ENTROPY_SQL = f"""
+SELECT doc_id,
+  length(text) AS n_chars,
+  len(list_distinct(string_split(text, ''))) AS n_distinct_chars,
+  CASE WHEN length(text) > 0 THEN {_round_sql(
+      "CAST(CAST(list_aggregate(list_transform(list_distinct(string_split(text, '')),"
+      " ch -> CAST(-(CAST(len(list_filter(string_split(text, ''), c -> c = ch)) AS DOUBLE)"
+      "   / CAST(length(text) AS DOUBLE))"
+      " * log2(CAST(len(list_filter(string_split(text, ''), c -> c = ch)) AS DOUBLE)"
+      "   / CAST(length(text) AS DOUBLE)) AS DECIMAL(28,10))), 'sum') AS VARCHAR) AS DOUBLE)",
+      6)} ELSE 0.0 END AS char_entropy_bits
+FROM documents
+"""

@@ -1367,6 +1367,14 @@ register(
     "session_concurrency machinery re-applied to a second domain",
 )(windows.orders_backlog)
 register(
+    "text_char_entropy",
+    text.CHAR_ENTROPY_SQL,
+    doc="per-doc character Shannon entropy (compressibility proxy, "
+    "both tails are junk): ZERO-shuffle narrow projection -- distinct "
+    "chars counted inside the row via array filter/size, entropy as a "
+    "DECIMAL-quantized in-row fold, scan speed at any corpus size",
+)(text.char_entropy)
+register(
     "text_source_jsd",
     text.SOURCE_JSD_SQL,
     doc="pairwise Jensen-Shannon divergence matrix between source "
@@ -1744,6 +1752,7 @@ PENDING_WINDOW = [
     "events_logrank",
     "events_markov_entropy",
     "text_source_jsd",
+    "text_char_entropy",
 ]
 
 assert len(CORRECTNESS_WINDOW) == 50, len(CORRECTNESS_WINDOW)

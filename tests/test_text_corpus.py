@@ -153,3 +153,22 @@ def test_source_jsd_identical_zero_disjoint_ln2(spark, tmp_path):
     assert got[("A", "B")].jsd == 0.0
     assert got[("A", "C")].jsd_norm == 1.0
     assert got[("B", "C")].jsd_norm == 1.0
+
+
+def test_char_entropy_known_distributions(spark, tmp_path):
+    """'aaaa' -> 0 bits; 'ab' -> 1 bit; 'abcd' -> 2 bits; empty -> 0;
+    plus the zero-shuffle plan pin."""
+    from streamprocessing_with_kafka_spark.operators.text import char_entropy
+
+    d = str(tmp_path / "ce")
+    _write_docs(spark, d, ["aaaa", "ab", "abcd", ""])
+    df = char_entropy(spark, d)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    assert "Exchange" not in plan, plan
+    got = {r.doc_id: r for r in df.collect()}
+    assert got[0].char_entropy_bits == 0.0
+    assert got[1].char_entropy_bits == 1.0
+    assert got[2].char_entropy_bits == 2.0
+    assert got[3].char_entropy_bits == 0.0 and got[3].n_chars == 0
