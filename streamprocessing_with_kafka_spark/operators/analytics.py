@@ -1462,7 +1462,7 @@ def abc_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     rev = li.groupBy("l_partkey").agg(
         dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
-    )
+    ).localCheckpoint()  # cuts/bucketed/total all consume this frame
     cuts = rev.agg(
         F.expr(
             "percentile(revenue, array({}))".format(
@@ -1559,69 +1559,129 @@ FROM cum, total
 
 KM_CENSOR_DAYS = 30  # orders first-shipping within the last window are
 #                      right-censored: their full latency is unobserved
+LOGRANK_FAST_PRIORITIES = ("1-URGENT", "2-HIGH")
 
 
-def fulfillment_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Kaplan-Meier survival curve (Kaplan & Meier 1958) for order
-    fulfillment: S(t) = P(order still unshipped after t days), with
-    RIGHT-CENSORING done properly -- orders whose first ship lands
-    inside the last KM_CENSOR_DAYS of the data are treated as 'still
-    open at the cutoff', contributing risk-time but no event, exactly
-    as a live operational dataset would.  Naive latency percentiles
-    (`agg_ship_latency_monthly`) silently drop the censored tail and
-    understate slow fulfillment; KM is the statistically honest
-    estimator, and the survival-analysis member of the statistical
-    operator family (chi2, Benford, CUSUM, ...).
+def _fulfillment_study(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared survival-study frame for `events_survival_km` and
+    `events_logrank`: per order in the study, (t, is_event, g1).
 
-    S(t) = prod over event days t_i <= t of (1 - d_i / n_i), n_i = #
-    at risk (duration >= t_i).  The corpus collapses to per-day
-    (events, censored) counts first -- the duration domain is BOUNDED
-    (order-to-ship spans days, not corpus size), so the ordered
-    cumulative product runs on a <= |days| frame (the pareto/mode
-    argument); each ln(1 - d/n) term quantizes to DECIMAL before the
-    running sum, and S = exp of it, engine-exact at 6dp."""
-    first_ship = (
-        load_table(spark, sf_dir, "lineitem")
-        .groupBy("l_orderkey")
-        .agg(F.min("l_shipdate").alias("first_ship"))
-    )
+    Fulfillment = the first lineitem shipping AT-OR-AFTER the order
+    date (the synthetic corpus contains ship dates before their order
+    date; those are data noise, not negative latencies, and must not
+    produce t < 0).  Orders with NO qualifying ship -- including
+    orders with no lineitems at all -- are right-CENSORED at the
+    cutoff, not dropped: they are exactly the long-latency tail the
+    estimator exists to count.  cutoff = max qualifying first-ship
+    minus KM_CENSOR_DAYS; orders placed after it leave the study
+    (their window is entirely unobserved).  t >= 0 by construction.
+    Checkpointed: the cutoff aggregate, daily rollup, and totals all
+    consume this frame."""
     orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_orderdate"
+        "o_orderkey", "o_orderdate", "o_orderpriority"
     )
-    cutoff = first_ship.agg(
-        F.date_sub(F.max(F.col("first_ship").cast("date")), KM_CENSOR_DAYS).alias(
-            "cutoff"
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    first_ship = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderkey")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("l_shipdate").cast("date")
+                    >= F.col("o_orderdate").cast("date"),
+                    F.col("l_shipdate").cast("date"),
+                )
+            ).alias("first_ship")
         )
     )
-    per_order = (
-        orders.join(first_ship, orders.o_orderkey == first_ship.l_orderkey)
-        .crossJoin(F.broadcast(cutoff))
+    joined = orders.join(first_ship, "o_orderkey", "left").localCheckpoint()
+    cutoff = joined.agg(
+        F.date_sub(F.max("first_ship"), KM_CENSOR_DAYS).alias("cutoff")
+    )
+    return (
+        joined.crossJoin(F.broadcast(cutoff))
         .filter(F.col("o_orderdate").cast("date") <= F.col("cutoff"))
         .select(
             F.when(
-                F.col("first_ship").cast("date") <= F.col("cutoff"),
+                F.col("first_ship") <= F.col("cutoff"),
                 F.datediff(
-                    F.col("first_ship").cast("date"),
-                    F.col("o_orderdate").cast("date"),
+                    F.col("first_ship"), F.col("o_orderdate").cast("date")
                 ),
             )
             .otherwise(
                 F.datediff(F.col("cutoff"), F.col("o_orderdate").cast("date"))
             )
             .alias("t"),
-            (F.col("first_ship").cast("date") <= F.col("cutoff")).alias(
-                "is_event"
-            ),
+            (
+                F.col("first_ship").isNotNull()
+                & (F.col("first_ship") <= F.col("cutoff"))
+            ).alias("is_event"),
+            F.col("o_orderpriority")
+            .isin(*LOGRANK_FAST_PRIORITIES)
+            .alias("g1"),
         )
+        .localCheckpoint()
     )
+
+
+#: shared oracle CTE prefix -- ONE SQL definition of the study,
+#: composed into both the KM and the log-rank oracles
+_FULFILLMENT_STUDY_CTES = """first_ship AS (
+  SELECT o_orderkey,
+         MIN(CASE WHEN CAST(l_shipdate AS DATE) >= CAST(o_orderdate AS DATE)
+                  THEN CAST(l_shipdate AS DATE) END) AS first_ship
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1
+),
+joined AS (
+  SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority, f.first_ship
+  FROM orders o LEFT JOIN first_ship f ON o.o_orderkey = f.o_orderkey
+),
+cutoff AS (
+  SELECT MAX(first_ship) - {KM_CENSOR_DAYS} AS cutoff FROM joined
+),
+per_order AS (
+  SELECT CASE WHEN first_ship <= cutoff
+              THEN datediff('day', CAST(o_orderdate AS DATE), first_ship)
+              ELSE datediff('day', CAST(o_orderdate AS DATE), cutoff)
+         END AS t,
+         first_ship IS NOT NULL AND first_ship <= cutoff AS is_event,
+         o_orderpriority IN ('1-URGENT', '2-HIGH') AS g1
+  FROM joined CROSS JOIN cutoff
+  WHERE CAST(o_orderdate AS DATE) <= cutoff
+)""".format(KM_CENSOR_DAYS=KM_CENSOR_DAYS)
+
+
+def fulfillment_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve (Kaplan & Meier 1958) for order
+    fulfillment: S(t) = P(order still unshipped after t days), with
+    RIGHT-CENSORING done properly -- orders with no qualifying ship by
+    the cutoff (including orders with no lineitems) contribute risk
+    time but no event, exactly as a live operational dataset would.
+    Naive latency percentiles (`agg_ship_latency_monthly`) silently
+    drop that censored tail and understate slow fulfillment; KM is the
+    statistically honest estimator.  Study definition (qualifying
+    first ship, cutoff, censoring) is `_fulfillment_study`, shared
+    verbatim with `events_logrank`.
+
+    S(t) = prod over event days t_i <= t of (1 - d_i / n_i), n_i = #
+    at risk (duration >= t_i).  The study collapses to per-day
+    (events, censored) counts first -- the duration domain is BOUNDED
+    (order-to-ship spans days, not corpus size), so the ordered
+    cumulative product runs on a <= |days| frame (the pareto/mode
+    argument); each ln(1 - d/n) term quantizes to DECIMAL before the
+    running sum, and S = exp of it, engine-exact at 6dp.  The
+    d == n_risk absorbing state is explicit: ln(0) is NULL in Spark
+    but -inf in DuckDB."""
+    per_order = _fulfillment_study(spark, sf_dir)
     daily = per_order.groupBy("t").agg(
         F.sum(F.col("is_event").cast("long")).alias("d"),
         F.sum((~F.col("is_event")).cast("long")).alias("c"),
     )
-    from pyspark.sql import Window as W
-
     # bounded global windows: the duration domain is <= a few hundred
-    # days at any corpus size -- NOT the corpus (documented above)
+    # days at any corpus size -- NOT the corpus
     w_prev = W.orderBy("t").rowsBetween(W.unboundedPreceding, -1)
     w_run = W.orderBy("t").rowsBetween(W.unboundedPreceding, 0)
     total = per_order.agg(F.count(F.lit(1)).alias("n_total"))
@@ -1634,9 +1694,6 @@ def fulfillment_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.coalesce(F.sum(F.col("d") + F.col("c")).over(w_prev), F.lit(0))
         ).alias("n_risk"),
     )
-    # d == n_risk is the absorbing state (everyone at risk ships):
-    # S = 0 from that day on -- handled explicitly, because ln(0) is
-    # NULL in Spark but -inf in DuckDB
     ln_term = F.when(
         (F.col("d") > 0) & (F.col("d") < F.col("n_risk")),
         F.log(
@@ -1666,25 +1723,7 @@ def fulfillment_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 FULFILLMENT_SURVIVAL_SQL = f"""
-WITH first_ship AS (
-  SELECT l_orderkey, MIN(l_shipdate) AS first_ship FROM lineitem GROUP BY 1
-),
-cutoff AS (
-  SELECT CAST(MAX(first_ship) AS DATE) - {KM_CENSOR_DAYS} AS cutoff
-  FROM first_ship
-),
-per_order AS (
-  SELECT CASE WHEN CAST(first_ship AS DATE) <= cutoff
-              THEN datediff('day', CAST(o_orderdate AS DATE),
-                            CAST(first_ship AS DATE))
-              ELSE datediff('day', CAST(o_orderdate AS DATE), cutoff)
-         END AS t,
-         CAST(first_ship AS DATE) <= cutoff AS is_event
-  FROM orders
-  JOIN first_ship ON o_orderkey = l_orderkey
-  CROSS JOIN cutoff
-  WHERE CAST(o_orderdate AS DATE) <= cutoff
-),
+WITH {_FULFILLMENT_STUDY_CTES},
 daily AS (
   SELECT t, COUNT(*) FILTER (WHERE is_event) AS d,
          COUNT(*) FILTER (WHERE NOT is_event) AS c
@@ -1709,6 +1748,134 @@ SELECT CAST(t AS BIGINT) AS t, CAST(n_risk AS BIGINT) AS n_risk,
            " (ORDER BY t ROWS UNBOUNDED PRECEDING) AS VARCHAR) AS DOUBLE))",
            6)} END AS survival
 FROM risked
+"""
+
+
+# -------------------------------------------------- log-rank test
+
+def fulfillment_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank test (Mantel 1966): do high-priority orders ship on a
+    DIFFERENT survival curve than the rest?  The censoring-correct way
+    to compare group latencies (a t-test on observed latencies is
+    biased the moment anything is censored) -- `events_survival_km`'s
+    inferential companion, over the SAME `_fulfillment_study` frame.
+
+    At each event day: observed high-priority deaths d1, expected
+    under H0 E1 = d * n1/n, hypergeometric variance; the statistic
+    (sum(d1 - E1))^2 / sum(V) is chi-squared with 1 df under H0 (4+
+    signals a real difference at p < .05).  All per-day terms quantize
+    to DECIMAL before the sums; the day domain is bounded, so the
+    ordered at-risk windows run on <= |days| x 2 rows."""
+    per_order = _fulfillment_study(spark, sf_dir)
+    daily = per_order.groupBy("t").agg(
+        F.sum(F.col("is_event").cast("long")).alias("d"),
+        F.sum((F.col("is_event") & F.col("g1")).cast("long")).alias("d1"),
+        F.count(F.lit(1)).alias("leave"),
+        F.sum(F.col("g1").cast("long")).alias("leave1"),
+    )
+    w_prev = W.orderBy("t").rowsBetween(W.unboundedPreceding, -1)
+    tot = per_order.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.col("g1").cast("long")).alias("n1_total"),
+    )
+    risked = daily.crossJoin(F.broadcast(tot)).select(
+        "t",
+        "d",
+        "d1",
+        (
+            F.col("n_total")
+            - F.coalesce(F.sum("leave").over(w_prev), F.lit(0))
+        ).alias("n"),
+        (
+            F.col("n1_total")
+            - F.coalesce(F.sum("leave1").over(w_prev), F.lit(0))
+        ).alias("n1"),
+        "n_total",
+        "n1_total",
+    ).filter(F.col("d") > 0)
+    p1 = F.col("n1").cast("double") / F.col("n").cast("double")
+    e1 = F.col("d").cast("double") * p1
+    v = F.when(
+        F.col("n") > 1,
+        F.col("d").cast("double")
+        * p1
+        * (1 - p1)
+        * (F.col("n") - F.col("d")).cast("double")
+        / (F.col("n") - 1).cast("double"),
+    ).otherwise(F.lit(0.0))
+    agg = risked.agg(
+        F.max("n_total").alias("n_total"),
+        F.max("n1_total").alias("n1_total"),
+        F.sum("d1").alias("observed_g1"),
+        F.sum(e1.cast("decimal(28,10)")).cast("double").alias("expected_g1"),
+        F.sum(
+            (F.col("d1").cast("double") - e1).cast("decimal(28,10)")
+        ).cast("double").alias("o_minus_e"),
+        F.sum(v.cast("decimal(28,10)")).cast("double").alias("var_sum"),
+    )
+    return agg.select(
+        "n_total",
+        "n1_total",
+        "observed_g1",
+        F.round(F.col("expected_g1"), 6).alias("expected_g1"),
+        F.when(
+            F.col("var_sum") > 0,
+            F.round(
+                F.col("o_minus_e") * F.col("o_minus_e") / F.col("var_sum"), 6
+            ),
+        ).alias("logrank_chi2"),
+    )
+
+
+_LR_P1 = "CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE)"
+_LR_E1 = f"CAST(d AS DOUBLE) * ({_LR_P1})"
+_LR_V = (
+    f"CASE WHEN n > 1 THEN CAST(d AS DOUBLE) * ({_LR_P1}) * (1 - ({_LR_P1}))"
+    " * CAST(n - d AS DOUBLE) / CAST(n - 1 AS DOUBLE) ELSE 0.0 END"
+)
+
+FULFILLMENT_LOGRANK_SQL = f"""
+WITH {_FULFILLMENT_STUDY_CTES},
+daily AS (
+  SELECT t, COUNT(*) FILTER (WHERE is_event) AS d,
+         COUNT(*) FILTER (WHERE is_event AND g1) AS d1,
+         COUNT(*) AS leave, COUNT(*) FILTER (WHERE g1) AS leave1
+  FROM per_order GROUP BY 1
+),
+tot AS (
+  SELECT COUNT(*) AS n_total, COUNT(*) FILTER (WHERE g1) AS n1_total
+  FROM per_order
+),
+risked AS (
+  SELECT t, d, d1,
+         n_total - COALESCE(SUM(leave) OVER
+           (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS n,
+         n1_total - COALESCE(SUM(leave1) OVER
+           (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS n1,
+         n_total, n1_total
+  FROM daily, tot
+),
+ev AS (SELECT * FROM risked WHERE d > 0),
+agg AS (
+  SELECT CAST(MAX(n_total) AS BIGINT) AS n_total,
+         CAST(MAX(n1_total) AS BIGINT) AS n1_total,
+         CAST(SUM(d1) AS BIGINT) AS observed_g1,
+         CAST(CAST(SUM(CAST({_LR_E1} AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)
+           AS expected_g1,
+         CAST(CAST(SUM(CAST(CAST(d1 AS DOUBLE) - ({_LR_E1}) AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)
+           AS o_minus_e,
+         CAST(CAST(SUM(CAST({_LR_V} AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)
+           AS var_sum
+  FROM ev
+)
+SELECT n_total, n1_total, observed_g1,
+       {round_sql('expected_g1', 6)} AS expected_g1,
+       CASE WHEN var_sum > 0
+            THEN {round_sql('o_minus_e * o_minus_e / var_sum', 6)} END
+         AS logrank_chi2
+FROM agg
 """
 
 
@@ -1786,193 +1953,4 @@ SELECT p_brand, CAST(n AS BIGINT) AS n_lines,
            '(n * sxy - sx * sy) * (n * sxy - sx * sy)'
            ' / ((n * sxx - sx * sx) * (n * syy - sy * sy))', 6)} END AS r2
 FROM m
-"""
-
-
-# -------------------------------------------------- log-rank test
-
-LOGRANK_FAST_PRIORITIES = ("1-URGENT", "2-HIGH")
-
-
-def fulfillment_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Log-rank test (Mantel 1966): do high-priority orders ship on a
-    DIFFERENT survival curve than the rest?  The censoring-correct way
-    to compare group latencies (a t-test on observed latencies is
-    biased the moment anything is censored) -- `events_survival_km`'s
-    inferential companion.
-
-    Same study construction as the KM operator (first-ship durations,
-    right-censored inside the trailing KM_CENSOR_DAYS window).  At each
-    event day: observed high-priority deaths d1, expected under H0
-    E1 = d * n1/n, hypergeometric variance; the statistic
-    (sum(d1 - E1))^2 / sum(V) is chi-squared with 1 df under H0 (4+
-    signals a real difference at p < .05).  All per-day terms quantize
-    to DECIMAL before the sums; the day domain is bounded, so the
-    ordered at-risk windows run on <= |days| x 2 rows."""
-    first_ship = (
-        load_table(spark, sf_dir, "lineitem")
-        .groupBy("l_orderkey")
-        .agg(F.min("l_shipdate").alias("first_ship"))
-    )
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_orderdate", "o_orderpriority"
-    )
-    cutoff = first_ship.agg(
-        F.date_sub(
-            F.max(F.col("first_ship").cast("date")), KM_CENSOR_DAYS
-        ).alias("cutoff")
-    )
-    per_order = (
-        orders.join(first_ship, orders.o_orderkey == first_ship.l_orderkey)
-        .crossJoin(F.broadcast(cutoff))
-        .filter(F.col("o_orderdate").cast("date") <= F.col("cutoff"))
-        .select(
-            F.when(
-                F.col("first_ship").cast("date") <= F.col("cutoff"),
-                F.datediff(
-                    F.col("first_ship").cast("date"),
-                    F.col("o_orderdate").cast("date"),
-                ),
-            )
-            .otherwise(
-                F.datediff(F.col("cutoff"), F.col("o_orderdate").cast("date"))
-            )
-            .alias("t"),
-            (F.col("first_ship").cast("date") <= F.col("cutoff")).alias(
-                "is_event"
-            ),
-            F.col("o_orderpriority")
-            .isin(*LOGRANK_FAST_PRIORITIES)
-            .alias("g1"),
-        )
-    )
-    daily = per_order.groupBy("t").agg(
-        F.sum(F.col("is_event").cast("long")).alias("d"),
-        F.sum((F.col("is_event") & F.col("g1")).cast("long")).alias("d1"),
-        F.count(F.lit(1)).alias("leave"),
-        F.sum(F.col("g1").cast("long")).alias("leave1"),
-    )
-    from pyspark.sql import Window as W
-
-    w_prev = W.orderBy("t").rowsBetween(W.unboundedPreceding, -1)
-    tot = per_order.agg(
-        F.count(F.lit(1)).alias("n_total"),
-        F.sum(F.col("g1").cast("long")).alias("n1_total"),
-    )
-    risked = daily.crossJoin(F.broadcast(tot)).select(
-        "t",
-        "d",
-        "d1",
-        (
-            F.col("n_total")
-            - F.coalesce(F.sum("leave").over(w_prev), F.lit(0))
-        ).alias("n"),
-        (
-            F.col("n1_total")
-            - F.coalesce(F.sum("leave1").over(w_prev), F.lit(0))
-        ).alias("n1"),
-        "n_total",
-        "n1_total",
-    ).filter(F.col("d") > 0)
-    p1 = F.col("n1").cast("double") / F.col("n").cast("double")
-    e1 = F.col("d").cast("double") * p1
-    v = F.when(
-        F.col("n") > 1,
-        F.col("d").cast("double")
-        * p1
-        * (1 - p1)
-        * (F.col("n") - F.col("d")).cast("double")
-        / (F.col("n") - 1).cast("double"),
-    ).otherwise(F.lit(0.0))
-    agg = risked.agg(
-        F.max("n_total").alias("n_total"),
-        F.max("n1_total").alias("n1_total"),
-        F.sum("d1").alias("observed_g1"),
-        F.sum(e1.cast("decimal(28,10)")).cast("double").alias("expected_g1"),
-        F.sum(
-            (F.col("d1").cast("double") - e1).cast("decimal(28,10)")
-        ).cast("double").alias("o_minus_e"),
-        F.sum(v.cast("decimal(28,10)")).cast("double").alias("var_sum"),
-    )
-    return agg.select(
-        "n_total",
-        "n1_total",
-        "observed_g1",
-        F.round(F.col("expected_g1"), 6).alias("expected_g1"),
-        F.when(
-            F.col("var_sum") > 0,
-            F.round(
-                F.col("o_minus_e") * F.col("o_minus_e") / F.col("var_sum"), 6
-            ),
-        ).alias("logrank_chi2"),
-    )
-
-
-_LR_P1 = "CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE)"
-_LR_E1 = f"CAST(d AS DOUBLE) * ({_LR_P1})"
-_LR_V = (
-    f"CASE WHEN n > 1 THEN CAST(d AS DOUBLE) * ({_LR_P1}) * (1 - ({_LR_P1}))"
-    " * CAST(n - d AS DOUBLE) / CAST(n - 1 AS DOUBLE) ELSE 0.0 END"
-)
-
-FULFILLMENT_LOGRANK_SQL = f"""
-WITH first_ship AS (
-  SELECT l_orderkey, MIN(l_shipdate) AS first_ship FROM lineitem GROUP BY 1
-),
-cutoff AS (
-  SELECT CAST(MAX(first_ship) AS DATE) - {KM_CENSOR_DAYS} AS cutoff
-  FROM first_ship
-),
-per_order AS (
-  SELECT CASE WHEN CAST(first_ship AS DATE) <= cutoff
-              THEN datediff('day', CAST(o_orderdate AS DATE),
-                            CAST(first_ship AS DATE))
-              ELSE datediff('day', CAST(o_orderdate AS DATE), cutoff)
-         END AS t,
-         CAST(first_ship AS DATE) <= cutoff AS is_event,
-         o_orderpriority IN ('1-URGENT', '2-HIGH') AS g1
-  FROM orders JOIN first_ship ON o_orderkey = l_orderkey
-  CROSS JOIN cutoff
-  WHERE CAST(o_orderdate AS DATE) <= cutoff
-),
-daily AS (
-  SELECT t, COUNT(*) FILTER (WHERE is_event) AS d,
-         COUNT(*) FILTER (WHERE is_event AND g1) AS d1,
-         COUNT(*) AS leave, COUNT(*) FILTER (WHERE g1) AS leave1
-  FROM per_order GROUP BY 1
-),
-tot AS (
-  SELECT COUNT(*) AS n_total, COUNT(*) FILTER (WHERE g1) AS n1_total
-  FROM per_order
-),
-risked AS (
-  SELECT t, d, d1,
-         n_total - COALESCE(SUM(leave) OVER
-           (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-           AS n,
-         n1_total - COALESCE(SUM(leave1) OVER
-           (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-           AS n1,
-         n_total, n1_total
-  FROM daily, tot
-),
-ev AS (SELECT * FROM risked WHERE d > 0),
-agg AS (
-  SELECT CAST(MAX(n_total) AS BIGINT) AS n_total,
-         CAST(MAX(n1_total) AS BIGINT) AS n1_total,
-         CAST(SUM(d1) AS BIGINT) AS observed_g1,
-         CAST(CAST(SUM(CAST({_LR_E1} AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)
-           AS expected_g1,
-         CAST(CAST(SUM(CAST(CAST(d1 AS DOUBLE) - ({_LR_E1}) AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)
-           AS o_minus_e,
-         CAST(CAST(SUM(CAST({_LR_V} AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)
-           AS var_sum
-  FROM ev
-)
-SELECT n_total, n1_total, observed_g1,
-       {round_sql('expected_g1', 6)} AS expected_g1,
-       CASE WHEN var_sum > 0
-            THEN {round_sql('o_minus_e * o_minus_e / var_sum', 6)} END
-         AS logrank_chi2
-FROM agg
 """

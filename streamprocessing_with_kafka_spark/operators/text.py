@@ -1607,7 +1607,11 @@ def char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         n.alias("n_chars"),
-        F.size(uniq).alias("n_distinct_chars"),
+        # split('', '') yields [''] in both engines: an empty doc must
+        # report 0 distinct chars, not a phantom one
+        F.when(n > 0, F.size(uniq)).otherwise(F.lit(0)).alias(
+            "n_distinct_chars"
+        ),
         F.when(n > 0, F.round(ent, 6)).otherwise(F.lit(0.0)).alias(
             "char_entropy_bits"
         ),
@@ -1617,7 +1621,9 @@ def char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 CHAR_ENTROPY_SQL = f"""
 SELECT doc_id,
   length(text) AS n_chars,
-  len(list_distinct(string_split(text, ''))) AS n_distinct_chars,
+  CASE WHEN length(text) > 0
+       THEN len(list_distinct(string_split(text, ''))) ELSE 0 END
+    AS n_distinct_chars,
   CASE WHEN length(text) > 0 THEN {_round_sql(
       "CAST(CAST(list_aggregate(list_transform(list_distinct(string_split(text, '')),"
       " ch -> CAST(-(CAST(len(list_filter(string_split(text, ''), c -> c = ch)) AS DOUBLE)"

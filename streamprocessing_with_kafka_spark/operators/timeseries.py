@@ -1516,7 +1516,7 @@ def markov_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("prev_type").isNotNull())
     counts = pairs.groupBy("prev_type", "event_type").agg(
         F.count(F.lit(1)).alias("c")
-    )
+    ).localCheckpoint()  # <= 25 rows; row/marginal branches both consume
     row = counts.groupBy("prev_type").agg(
         F.sum("c").alias("c_row"),
         F.sum(
