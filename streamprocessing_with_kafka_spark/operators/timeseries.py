@@ -1634,3 +1634,98 @@ SELECT '__rate__', CAST(n AS BIGINT),
        {round_sql('h_marginal', 6)}
 FROM tot, marg
 """
+
+
+# ---------------------------------------------- maximum drawdown
+
+def hourly_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of each event type's hourly value series: the
+    deepest peak-to-trough fall (absolute and as a fraction of the
+    peak), plus when it bottomed -- the quant-risk stress metric
+    applied to operational volume ("how bad did the worst slump get,
+    and from what high?").  A mean/variance monitor misses it: the
+    drawdown is a PATH property.
+
+    De-recursed like EWMA/CUSUM: running peak = one cumulative-max
+    window over the hourly rollup (per-type partitions, bounded by
+    hours not corpus), per-row drawdown = peak - x, and the argmax
+    resolves deterministically via min(bucket) over rows attaining the
+    maximum -- ties to the EARLIEST trough, engine-pinned (max_by tie
+    order is not)."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket")
+    ).agg(F.sum(F.col("value").cast(DEC)).cast("double").alias("x"))
+    w_run = (
+        W.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    with_dd = hourly.select(
+        "event_type",
+        "bucket",
+        "x",
+        F.max("x").over(w_run).alias("peak"),
+        (F.max("x").over(w_run) - F.col("x")).alias("dd"),
+    )
+    per_type = with_dd.groupBy("event_type").agg(
+        F.round(F.max("dd"), 6).alias("max_drawdown"),
+        F.max("dd").alias("_dd_raw"),
+    )
+    trough = (
+        with_dd.join(per_type, "event_type")
+        .filter(F.col("dd") == F.col("_dd_raw"))
+        .groupBy("event_type", "max_drawdown")
+        .agg(
+            F.min("bucket").alias("trough_bucket"),
+            F.round(F.min_by("peak", "bucket"), 6).alias("peak_value"),
+        )
+    )
+    return trough.select(
+        "event_type",
+        "peak_value",
+        "max_drawdown",
+        F.round(
+            F.when(
+                F.col("peak_value") > 0,
+                F.col("max_drawdown") / F.col("peak_value"),
+            ),
+            6,
+        ).alias("dd_frac"),
+        "trough_bucket",
+    )
+
+
+HOURLY_DRAWDOWN_SQL = f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket,
+         {dec_sum_sql('value')} AS x
+  FROM events GROUP BY 1, 2
+),
+with_dd AS (
+  SELECT event_type, bucket, x,
+         MAX(x) OVER w AS peak,
+         MAX(x) OVER w - x AS dd
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+               ROWS UNBOUNDED PRECEDING)
+),
+per_type AS (
+  SELECT event_type, MAX(dd) AS dd_raw FROM with_dd GROUP BY 1
+),
+trough AS (
+  SELECT w.event_type, MIN(w.bucket) AS trough_bucket, p.dd_raw
+  FROM with_dd w JOIN per_type p
+    ON w.event_type = p.event_type AND w.dd = p.dd_raw
+  GROUP BY 1, 3
+)
+SELECT t.event_type,
+       {round_sql('w.peak', 6)} AS peak_value,
+       {round_sql('t.dd_raw', 6)} AS max_drawdown,
+       CASE WHEN w.peak > 0
+            THEN {round_sql('round(t.dd_raw, 6) / round(w.peak, 6)', 6)} END
+         AS dd_frac,
+       t.trough_bucket
+FROM trough t
+JOIN with_dd w ON w.event_type = t.event_type AND w.bucket = t.trough_bucket
+"""

@@ -1367,6 +1367,13 @@ register(
     "session_concurrency machinery re-applied to a second domain",
 )(windows.orders_backlog)
 register(
+    "events_drawdown",
+    timeseries.HOURLY_DRAWDOWN_SQL,
+    doc="maximum drawdown per type over the hourly series (a PATH "
+    "property mean/variance monitors miss): cumulative-max window on "
+    "the bounded rollup, deterministic earliest-trough tie-break",
+)(timeseries.hourly_drawdown)
+register(
     "text_char_entropy",
     text.CHAR_ENTROPY_SQL,
     doc="per-doc character Shannon entropy (compressibility proxy, "
@@ -1753,6 +1760,7 @@ PENDING_WINDOW = [
     "events_markov_entropy",
     "text_source_jsd",
     "text_char_entropy",
+    "events_drawdown",
 ]
 
 assert len(CORRECTNESS_WINDOW) == 50, len(CORRECTNESS_WINDOW)

@@ -885,3 +885,30 @@ def test_markov_entropy_deterministic_chain_is_zero(spark, tmp_path):
     assert rate.n_transitions == 9
     shares = [got[k].share for k in ("click", "view")]
     assert abs(sum(shares) - 1.0) < 1e-6
+
+
+def test_drawdown_hand_computed_path(spark, tmp_path):
+    """Hourly sums 10, 8, 12, 5, 9: running peak 10,10,12,12,12 ->
+    max drawdown 7 at the 4th hour from peak 12 (frac 7/12); the
+    earlier 10->8 slump (dd 2) must not win."""
+    from streamprocessing_with_kafka_spark.operators.timeseries import (
+        hourly_drawdown,
+    )
+
+    vals = [10.0, 8.0, 12.0, 5.0, 9.0]
+    rows = [
+        (i, f"2024-01-01 {10+i:02d}:15:00", 1, "t", v)
+        for i, v in enumerate(vals)
+    ]
+    d = str(tmp_path / "dd")
+    spark.createDataFrame(
+        [(e, ts, u, t, v, "{}") for (e, ts, u, t, v) in rows],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp")).write.parquet(
+        d + "/events.parquet"
+    )
+    r = hourly_drawdown(spark, d).collect()[0]
+    assert r.max_drawdown == 7.0
+    assert r.peak_value == 12.0
+    assert r.dd_frac == round(7 / 12, 6)
+    assert str(r.trough_bucket)[11:13] == "13"  # the 5-valued hour
