@@ -1729,3 +1729,118 @@ SELECT t.event_type,
 FROM trough t
 JOIN with_dd w ON w.event_type = t.event_type AND w.bucket = t.trough_bucket
 """
+
+
+# ---------------------------------------------- runs test (randomness)
+
+def runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test per event type: is the hourly value
+    series RANDOM around its median, or does it trend/cluster?  Too
+    few runs of above/below-median hours = regimes (the CUSUM/drawdown
+    family's precondition); too many = oscillation.  z is closed-form
+    from integer counts -- mu = 2 n1 n2 / n + 1, sigma^2 =
+    (mu-1)(mu-2)/(n-1) -- so no float accumulation exists anywhere:
+    exact integers until the final fixed-order arithmetic.
+
+    Median-valued hours are excluded (the standard convention);
+    all-one-sided series have sigma = 0 and yield NULL z explicitly.
+    One corpus shuffle to the hourly rollup; the median broadcasts
+    back; runs count via one lag over the bounded per-type frame."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket")
+    ).agg(F.sum(F.col("value").cast(DEC)).cast("double").alias("x"))
+    med = hourly.groupBy("event_type").agg(
+        F.expr("percentile(x, 0.5)").alias("med")
+    )
+    signed = (
+        hourly.join(F.broadcast(med), "event_type")
+        .filter(F.col("x") != F.col("med"))
+        .select("event_type", "bucket", (F.col("x") > F.col("med")).alias("up"))
+    )
+    w = W.partitionBy("event_type").orderBy("bucket")
+    flips = signed.select(
+        "event_type",
+        "up",
+        F.when(
+            F.lag("up").over(w).isNull()
+            | (F.lag("up").over(w) != F.col("up")),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_run"),
+    )
+    agg = flips.groupBy("event_type").agg(
+        F.sum(F.col("up").cast("long")).alias("n1"),
+        F.sum((~F.col("up")).cast("long")).alias("n2"),
+        F.sum("new_run").alias("runs"),
+    )
+    n = (F.col("n1") + F.col("n2")).cast("double")
+    mu = 2.0 * F.col("n1").cast("double") * F.col("n2").cast("double") / n + 1.0
+    var = (mu - 1.0) * (mu - 2.0) / (n - 1.0)
+    z = F.when(
+        (F.col("n1") > 0) & (F.col("n2") > 0) & (n > 1) & (var > 0),
+        (F.col("runs").cast("double") - mu) / F.sqrt(var),
+    )
+    return agg.select(
+        "event_type",
+        "n1",
+        "n2",
+        "runs",
+        F.round(mu, 6).alias("expected_runs"),
+        F.round(z, 6).alias("z"),
+        F.coalesce(F.abs(z) > 1.96, F.lit(False)).alias("nonrandom"),
+    )
+
+
+RUNS_TEST_SQL = f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket,
+         {dec_sum_sql('value')} AS x
+  FROM events GROUP BY 1, 2
+),
+med AS (
+  SELECT event_type, quantile_cont(x, 0.5) AS med FROM hourly GROUP BY 1
+),
+signed AS (
+  SELECT h.event_type, bucket, x > med AS up
+  FROM hourly h JOIN med ON h.event_type = med.event_type
+  WHERE x <> med
+),
+flips AS (
+  SELECT event_type, up,
+         CASE WHEN lag(up) OVER w IS NULL OR lag(up) OVER w <> up
+              THEN 1 ELSE 0 END AS new_run
+  FROM signed
+  WINDOW w AS (PARTITION BY event_type ORDER BY bucket)
+),
+agg AS (
+  SELECT event_type,
+         COUNT(*) FILTER (WHERE up) AS n1,
+         COUNT(*) FILTER (WHERE NOT up) AS n2,
+         SUM(new_run) AS runs
+  FROM flips GROUP BY 1
+),
+calc AS (
+  SELECT event_type, n1, n2, runs,
+         2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+           / CAST(n1 + n2 AS DOUBLE) + 1.0 AS mu,
+         CAST(n1 + n2 AS DOUBLE) AS n
+  FROM agg
+)
+SELECT event_type, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+       CAST(runs AS BIGINT) AS runs,
+       {round_sql('mu', 6)} AS expected_runs,
+       CASE WHEN n1 > 0 AND n2 > 0 AND n > 1
+                 AND (mu - 1.0) * (mu - 2.0) / (n - 1.0) > 0
+            THEN {round_sql(
+           "(CAST(runs AS DOUBLE) - mu)"
+           " / sqrt((mu - 1.0) * (mu - 2.0) / (n - 1.0))", 6)} END AS z,
+       COALESCE(abs(CASE WHEN n1 > 0 AND n2 > 0 AND n > 1
+                 AND (mu - 1.0) * (mu - 2.0) / (n - 1.0) > 0
+            THEN {round_sql(
+           "(CAST(runs AS DOUBLE) - mu)"
+           " / sqrt((mu - 1.0) * (mu - 2.0) / (n - 1.0))", 6)} END) > 1.96,
+            FALSE) AS nonrandom
+FROM calc
+"""

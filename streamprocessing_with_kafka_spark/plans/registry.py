@@ -1367,6 +1367,14 @@ register(
     "session_concurrency machinery re-applied to a second domain",
 )(windows.orders_backlog)
 register(
+    "events_runs_test",
+    timeseries.RUNS_TEST_SQL,
+    doc="Wald-Wolfowitz runs test per type (random vs trending/"
+    "oscillating around the median): closed-form z from exact integer "
+    "counts, no float accumulation; median-valued hours excluded, "
+    "one-sided series NULL explicitly",
+)(timeseries.runs_test)
+register(
     "events_drawdown",
     timeseries.HOURLY_DRAWDOWN_SQL,
     doc="maximum drawdown per type over the hourly series (a PATH "
@@ -1761,6 +1769,7 @@ PENDING_WINDOW = [
     "text_source_jsd",
     "text_char_entropy",
     "events_drawdown",
+    "events_runs_test",
 ]
 
 assert len(CORRECTNESS_WINDOW) == 50, len(CORRECTNESS_WINDOW)

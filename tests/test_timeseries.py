@@ -912,3 +912,34 @@ def test_drawdown_hand_computed_path(spark, tmp_path):
     assert r.peak_value == 12.0
     assert r.dd_frac == round(7 / 12, 6)
     assert str(r.trough_bucket)[11:13] == "13"  # the 5-valued hour
+
+
+def test_runs_test_trending_vs_alternating(spark, tmp_path):
+    """Type 'trend': 6 lows then 6 highs -> R = 2, far below expected
+    (z strongly negative, nonrandom). Type 'alt': perfectly
+    alternating -> R = 12, far above (z positive, nonrandom)."""
+    from streamprocessing_with_kafka_spark.operators.timeseries import (
+        runs_test,
+    )
+
+    rows, eid = [], 0
+    trend_vals = [1.0] * 6 + [9.0] * 6
+    alt_vals = [1.0, 9.0] * 6
+    for h, v in enumerate(trend_vals):
+        rows.append((eid, f"2024-01-01 {h:02d}:10:00", 1, "trend", v)); eid += 1
+    for h, v in enumerate(alt_vals):
+        rows.append((eid, f"2024-01-01 {h:02d}:10:00", 1, "alt", v)); eid += 1
+    d = str(tmp_path / "runs")
+    spark.createDataFrame(
+        [(e, ts, u, t, v, "{}") for (e, ts, u, t, v) in rows],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp")).write.parquet(
+        d + "/events.parquet"
+    )
+    got = {r.event_type: r for r in runs_test(spark, d).collect()}
+    tr, al = got["trend"], got["alt"]
+    assert (tr.n1, tr.n2, tr.runs) == (6, 6, 2)
+    assert tr.expected_runs == 7.0  # 2*6*6/12 + 1
+    assert tr.z < -2 and tr.nonrandom is True
+    assert (al.n1, al.n2, al.runs) == (6, 6, 12)
+    assert al.z > 2 and al.nonrandom is True
