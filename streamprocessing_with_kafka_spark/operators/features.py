@@ -159,6 +159,27 @@ _W_SQL = (
     "* (ln((n_docs + 1) / CAST(df + 1 AS DOUBLE)) + 1) AS DECIMAL(28,10))"
 ).format(sign_h=md5_long_sql("term || '|s'"))
 
+#: Oracle for the SPARSE (doc_id, slot, wf) registered shape. The driver's
+#: pandas canonicalizer cannot sort array cells (r4 red row: "unhashable
+#: type: 'list'"), so the REGISTERED query is this flat frame; the dense
+#: array assembly stays an internal projection (hashed_tfidf_frame),
+#: plan-pinned in tests/test_plan_shapes.py. Zero-weight slots (full sign
+#: cancellation) are kept by both engines.
+SLOT_WEIGHTS_SQL = f"""
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+dfc AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+slots AS (
+  SELECT doc_id, {md5_long_sql('term')} % {HASH_DIM} AS slot, SUM({_W_SQL}) AS w
+  FROM tf JOIN dfc USING (term), nd
+  GROUP BY 1, 2
+)
+SELECT doc_id, slot,
+       CAST({_round_sql("CAST(CAST(w AS VARCHAR) AS DOUBLE)", 6)} AS FLOAT) AS wf
+FROM slots
+"""
+
 HASHED_TFIDF_SQL = f"""
 WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
 tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),

@@ -165,44 +165,32 @@ def mad_outlier_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     absolute deviation), and the count/extent of values outside the
     MAD_K fence.
 
-    Two aggregate passes over events (median needs to exist before
-    deviations do -- irreducible for exact MAD) with the 5-row medians
-    frame broadcast back, so events itself shuffles only into the two
-    type-keyed aggregates. The outlier flag compares raw doubles whose
-    inputs (median, MAD) are bit-identical across engines (exact
-    linear-interpolation percentile both sides), so the fence is
-    deterministic. At 100 TB swap `percentile` for `approx_percentile`
-    (mergeable sketch, same call shape, bounded error)."""
+    Median must exist before deviations do (irreducible for exact MAD),
+    but both passes ride ONE event_type partitioning: med is a
+    whole-partition window aggregate, abs_dev a narrow projection on the
+    same partitioning, mad a second window over it, and the final
+    per-type summary a groupBy that reuses the partitioning -- one
+    exchange total (was 6: the join-back formulation recompiled the
+    med/dev subtree per reference). Exact linear-interpolation percentile
+    both sides keeps the fence bit-deterministic vs the oracle. At
+    100 TB swap `percentile` for `approx_percentile` (mergeable sketch,
+    same call shape, bounded error); the exact percentile buffers a
+    value-counts map per type either way, so the window form costs no
+    more memory than the groupBy form did."""
     ev = load_table(spark, sf_dir, "events")
-    med = ev.groupBy("event_type").agg(
-        F.expr("percentile(value, 0.5)").alias("med"),
+    w = W.partitionBy("event_type")
+    dev = (
+        ev.withColumn("med", F.expr("percentile(value, 0.5)").over(w))
+        .withColumn("abs_dev", F.abs(F.col("value") - F.col("med")))
+        .withColumn("mad", F.expr("percentile(abs_dev, 0.5)").over(w))
+    )
+    is_out = F.col("abs_dev") > F.lit(MAD_K) * F.col("mad")
+    return dev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
-    )
-    dev = ev.join(F.broadcast(med), "event_type").withColumn(
-        "abs_dev", F.abs(F.col("value") - F.col("med"))
-    )
-    mad = dev.groupBy("event_type").agg(
-        F.first("med").alias("med"),
-        F.first("n_events").alias("n_events"),
-        F.expr("percentile(abs_dev, 0.5)").alias("mad"),
-    )
-    out = dev.join(
-        F.broadcast(mad.select("event_type", "mad")), "event_type"
-    ).filter(F.col("abs_dev") > F.lit(MAD_K) * F.col("mad"))
-    summary = out.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n_outliers"),
-        F.max("abs_dev").alias("max_abs_dev"),
-    )
-    return (
-        mad.join(summary, "event_type", "left")
-        .select(
-            "event_type",
-            "n_events",
-            F.round("med", 6).alias("med"),
-            F.round("mad", 6).alias("mad"),
-            F.coalesce("n_outliers", F.lit(0)).alias("n_outliers"),
-            F.round("max_abs_dev", 6).alias("max_abs_dev"),
-        )
+        F.round(F.first("med"), 6).alias("med"),
+        F.round(F.first("mad"), 6).alias("mad"),
+        F.sum(is_out.cast("long")).alias("n_outliers"),
+        F.round(F.max(F.when(is_out, F.col("abs_dev"))), 6).alias("max_abs_dev"),
     )
 
 

@@ -50,6 +50,18 @@ def _canon(v):
 #: counts` failure. Oracles must CAST these away (usually AS BIGINT).
 _LOSSY_DUCK_TYPES = ("HUGEINT", "UHUGEINT")
 
+#: Nested result columns (LIST/STRUCT/MAP) sort fine HERE (we canonicalize
+#: them into tuples) but crash the DRIVER's pandas canonicalizer with
+#: "unhashable type: 'list'" -- the exact r2 mm_feature_extract and r4
+#: text_hashed_tfidf failures. Registered queries must return flat
+#: columns; project nested shapes into (key, index, value) rows or
+#: to_json them before registering.
+
+
+def _is_nested_duck_type(t: str) -> bool:
+    t = t.upper()
+    return t.endswith("[]") or t.startswith(("STRUCT", "MAP", "LIST", "UNION"))
+
 
 def compare(spark_df, con, sql: str, name: str = "?") -> list[str]:
     """Return list of mismatch descriptions; empty == pass."""
@@ -64,6 +76,12 @@ def compare(spark_df, con, sql: str, name: str = "?") -> list[str]:
             errs.append(
                 f"{name}: oracle column {c} is {t} (lossy under pandas "
                 f"conversion -- cast it, e.g. AS BIGINT)"
+            )
+        if _is_nested_duck_type(str(t)):
+            errs.append(
+                f"{name}: oracle column {c} is nested ({t}) -- the driver's "
+                f"pandas canonicalizer cannot sort it; register a flat "
+                f"(key, index, value) projection instead"
             )
     if sorted(d_cols) != cols:
         errs.append(f"{name}: column mismatch spark={cols} duckdb={sorted(d_cols)}")
