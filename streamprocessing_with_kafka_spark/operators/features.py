@@ -159,6 +159,19 @@ _W_SQL = (
     "* (ln((n_docs + 1) / CAST(df + 1 AS DOUBLE)) + 1) AS DECIMAL(28,10))"
 ).format(sign_h=md5_long_sql("term || '|s'"))
 
+#: The toks/tf/dfc/nd/slots pipeline shared VERBATIM by all three oracle
+#: strings below (slot weights, dense assembly, text ANN) -- one constant
+#: so the three can never silently diverge (r5 advice).
+_SLOTS_CTE = f"""toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+dfc AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+slots AS (
+  SELECT doc_id, {md5_long_sql('term')} % {HASH_DIM} AS slot, SUM({_W_SQL}) AS w
+  FROM tf JOIN dfc USING (term), nd
+  GROUP BY 1, 2
+)"""
+
 #: Oracle for the SPARSE (doc_id, slot, wf) registered shape. The driver's
 #: pandas canonicalizer cannot sort array cells (r4 red row: "unhashable
 #: type: 'list'"), so the REGISTERED query is this flat frame; the dense
@@ -166,30 +179,17 @@ _W_SQL = (
 #: plan-pinned in tests/test_plan_shapes.py. Zero-weight slots (full sign
 #: cancellation) are kept by both engines.
 SLOT_WEIGHTS_SQL = f"""
-WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
-tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
-dfc AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
-nd AS (SELECT COUNT(*) AS n_docs FROM documents),
-slots AS (
-  SELECT doc_id, {md5_long_sql('term')} % {HASH_DIM} AS slot, SUM({_W_SQL}) AS w
-  FROM tf JOIN dfc USING (term), nd
-  GROUP BY 1, 2
-)
+WITH {_SLOTS_CTE}
 SELECT doc_id, slot,
        CAST({_round_sql("CAST(CAST(w AS VARCHAR) AS DOUBLE)", 6)} AS FLOAT) AS wf
 FROM slots
 """
 
+#: Dense-array oracle -- UNREGISTERED (array cells are driver-ineligible)
+#: but kept alive by tests/test_features.py::test_hashed_tfidf_dense_oracle
+#: so it cannot rot against the shared CTE prefix.
 HASHED_TFIDF_SQL = f"""
-WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
-tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
-dfc AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
-nd AS (SELECT COUNT(*) AS n_docs FROM documents),
-slots AS (
-  SELECT doc_id, {md5_long_sql('term')} % {HASH_DIM} AS slot, SUM({_W_SQL}) AS w
-  FROM tf JOIN dfc USING (term), nd
-  GROUP BY 1, 2
-),
+WITH {_SLOTS_CTE},
 dense AS (
   SELECT d.doc_id, spine.s, slots.w
   FROM (SELECT DISTINCT doc_id FROM slots) d
@@ -267,15 +267,7 @@ _PROD_SQL = dec_sum_sql("CAST(q.wf AS DOUBLE) * CAST(n.wf AS DOUBLE)")
 _COSINE_SQL = f"{_PROD_SQL} / (sqrt(any_value(q.n2)) * sqrt(any_value(n.n2)))"
 
 TEXT_ANN_TOPK_SQL = f"""
-WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
-tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
-dfc AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
-nd AS (SELECT COUNT(*) AS n_docs FROM documents),
-slots AS (
-  SELECT doc_id, {md5_long_sql('term')} % {HASH_DIM} AS slot, SUM({_W_SQL}) AS w
-  FROM tf JOIN dfc USING (term), nd
-  GROUP BY 1, 2
-),
+WITH {_SLOTS_CTE},
 sw0 AS (
   SELECT * FROM (
     SELECT doc_id, slot,

@@ -189,7 +189,7 @@ def mad_outlier_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.first("med"), 6).alias("med"),
         F.round(F.first("mad"), 6).alias("mad"),
-        F.sum(is_out.cast("long")).alias("n_outliers"),
+        F.coalesce(F.sum(is_out.cast("long")), F.lit(0)).alias("n_outliers"),
         F.round(F.max(F.when(is_out, F.col("abs_dev"))), 6).alias("max_abs_dev"),
     )
 

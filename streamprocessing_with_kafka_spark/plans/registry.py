@@ -1074,8 +1074,9 @@ register(
     "events_mad_outliers",
     timeseries.MAD_OUTLIER_SUMMARY_SQL,
     doc="robust per-type outlier audit: exact median + MAD with a 3*MAD "
-    "fence, medians broadcast back so events only shuffles into the two "
-    "type-keyed aggregates (approx_percentile drop-in at 100 TB)",
+    "fence as two window aggregates + one groupBy, all riding a single "
+    "event_type partitioning -- one exchange total "
+    "(approx_percentile drop-in at 100 TB)",
 )(timeseries.mad_outlier_summary)
 register(
     "ann_ivf_topk_trained",
@@ -1605,95 +1606,30 @@ register(
 # The driver correctness window: the FIRST 50 names registry() returns.
 # Hash-checked per round; budgeted per VERDICT.md r4 "Next round #2":
 # operator surface is FROZEN; the window burns down the never-driver-
-# checked backlog (85 after r4 -- 84 oracle-backed + mm_phash_index, which
-# is rows-only and therefore window-ineligible by the r1/r4 no_oracle
-# rule, enforced in tests/test_window_invariants.py).
+# checked backlog.
 #
 # ROTATION PLAN (written per VERDICT r4 item 2):
-#   r5 (this window): 12 parity-reserved rows + text_hashed_tfidf's fixed
-#       sparse re-check + 37 of the 84 never-checked, prioritized
-#       (i) composed pipeline_* flagships, (ii) trained ANN,
-#       (iii) oracle-backed sketches, (iv) crud_forget/csv_parse_orders,
-#       (v) the statistical events_* family. Union of ever-green rows
-#       after r5: 123 + 38 = 161 >= the 160 gate.
-#   r6: shrink the parity reserve to 3 (flagship_pipeline, route_invalid,
-#       crud_upsert -- the validate/route/upsert tripod; the other 9 stay
+#   r5 (done, 50/50 green): 12 parity-reserved rows + text_hashed_tfidf's
+#       fixed sparse re-check + 37 of the 84 never-checked. Union of
+#       ever-green driver rows after r5: 160.
+#   r6 (THIS window): parity reserve shrunk to 3 (flagship_pipeline,
+#       route_invalid, crud_upsert -- the validate/route/upsert tripod;
+#       the other 9 parity rows have 3+ green driver rounds each and stay
 #       in the local parity suite) + the REMAINING 47 never-checked
 #       queries = 50 slots exactly. After r6 every oracle-backed query
 #       (207/208) has a driver row; mm_phash_index stays local-only by
-#       design.
+#       design (rows-only, window-ineligible per the r1/r4 no_oracle
+#       rule enforced in tests/test_window_invariants.py).
+#   r7+: with the backlog at zero, the window becomes a regression-watch
+#       rotation: 12 parity rows + ~38 slots cycling through the
+#       registry oldest-green-first.
 # ==========================================================================
 CORRECTNESS_WINDOW = [
-    # 1-12: reference parity (SURVEY §2 contract, kept every round)
+    # 1-3: reference parity tripod (SURVEY §2 contract, kept every round)
     "flagship_pipeline",
-    "route_enriched",
     "route_invalid",
-    "schema_envelope",
-    "stream_counters",
-    "date_normalize",
-    "sql_enriched_orders",
-    "crud_scan",
-    "crud_filter",
-    "crud_append",
-    "crud_delete",
     "crud_upsert",
-    # 13: r4's red row, re-registered as the sparse (doc_id, slot, wf)
-    #     frame (operators/features.py SLOT_WEIGHTS_SQL) -- needs green
-    "text_hashed_tfidf",
-    # 14-18: the composed pipeline_* flagships (heaviest plans, zero
-    #        driver signal until now)
-    "pipeline_export_packed",
-    "pipeline_events_health",
-    "pipeline_corpus_report",
-    "pipeline_quality_gate",
-    "pipeline_orders_ops_report",
-    # 19-22: the trained-ANN path (iterative k-means / PQ codebooks)
-    "ann_kmeans_train",
-    "ann_pq_train",
-    "ann_topk_pq",
-    "ann_ivf_topk_trained",
-    # 23-24: sketches WITH oracles (HLL rollups stay local-only)
-    "sketch_bloom_membership",
-    "sketch_count_min",
-    # 25-26: §2-adjacent surface (GDPR forget path; CSV source flavor)
-    "crud_forget",
-    "csv_parse_orders",
-    # 27-50: the statistical events_* family, never driver-checked
-    "events_ewma",
-    "events_markov",
-    "events_mad_outliers",
-    "events_autocorr",
-    "events_cusum",
-    "events_attribution",
-    "events_type_overlap",
-    "events_histogram",
-    "events_histogram_equidepth",
-    "events_chi2_independence",
-    "events_concurrency",
-    "events_seasonality",
-    "events_rolling_wau",
-    "events_streaks",
-    "events_runs_test",
-    "events_drawdown",
-    "events_markov_entropy",
-    "events_logrank",
-    "events_survival_km",
-    "events_funnel_timing",
-    "events_seasonal_anomaly",
-    "events_rolling_time_window",
-    "events_sax_words",
-    "events_cep_match",
-]
-#: r4-green rows displaced from the window this round (regression watch
-#: moves to the local parity suite, which runs them every pytest): the
-#: events_* core block, the gen/json sources, mm_feature_extract, the
-#: ann_topk_* trio, the dedup caps, pipeline_curate_shard, and the
-#: r4 41-50 block. All have green driver rows on record.
-
-#: The 47 oracle-backed queries still without a driver row after r5 --
-#: this IS the r6 window tail (3 parity + these 47 = 50; see rotation
-#: plan above). Order: events leftovers, then dedup/text/agg/graph/etc.
-PENDING_WINDOW = [
+    # 4-26: events leftovers, dedup variants, text analysis tail
     "events_holt_forecast",
     "events_top_paths",
     "events_late_audit",
@@ -1717,6 +1653,8 @@ PENDING_WINDOW = [
     "profile_key_skew",
     "profile_correlations",
     "pack_efficiency",
+    # 27-50: profiling, formats, sampling, graph, windows, quality,
+    #        joins, privacy, aggregate analytics, backlog
     "orc_roundtrip_orders",
     "sample_dsir",
     "sample_budget_waterfill",
@@ -1742,6 +1680,15 @@ PENDING_WINDOW = [
     "agg_discount_elasticity",
     "orders_backlog",
 ]
+#: r5-green rows displaced from the window this round (regression watch
+#: moves to the local parity suite, which runs them every pytest): the
+#: 9 non-tripod parity rows, text_hashed_tfidf, the pipeline_* flagships,
+#: trained ANN, sketches, crud_forget/csv_parse_orders, and the r5
+#: events_* block. All have green driver rows on record.
+
+#: Oracle-backed queries still without a driver row after r6: none.
+#: (mm_phash_index is rows-only and window-ineligible by design.)
+PENDING_WINDOW = []
 
 assert len(CORRECTNESS_WINDOW) == 50, len(CORRECTNESS_WINDOW)
 assert len(set(CORRECTNESS_WINDOW)) == 50

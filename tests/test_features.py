@@ -6,9 +6,12 @@ from pyspark.sql import functions as F
 
 from streamprocessing_with_kafka_spark.operators.features import (
     HASH_DIM,
+    HASHED_TFIDF_SQL,
+    hashed_tfidf,
     hashed_tfidf_frame,
 )
 from streamprocessing_with_kafka_spark.sources.tables import load_table
+from tests.oracle_harness import duckdb_conn
 
 
 def test_hashed_tfidf_dim_and_duplicate_invariance(spark, sf_dir):
@@ -25,6 +28,22 @@ def test_hashed_tfidf_dim_and_duplicate_invariance(spark, sf_dir):
     assert vecs[10_000_000] == vecs[0]
     # and distinct documents do differ somewhere (hashing is not collapsing)
     assert any(vecs[i] != vecs[0] for i in vecs if i not in (0, 10_000_000))
+
+
+def test_hashed_tfidf_dense_oracle(spark, sf_dir):
+    """Keep the UNREGISTERED dense-array oracle (HASHED_TFIDF_SQL) alive:
+    it is driver-ineligible (array cells), so this local comparison is the
+    only thing exercising it -- without it the string would silently rot
+    against the shared _SLOTS_CTE prefix (r5 advice)."""
+    eng = {
+        r.doc_id: tuple(r.feature) for r in hashed_tfidf(spark, sf_dir).collect()
+    }
+    con = duckdb_conn(sf_dir)
+    orc = {
+        doc_id: tuple(feature)
+        for doc_id, feature in con.sql(HASHED_TFIDF_SQL).fetchall()
+    }
+    assert eng == orc
 
 
 def test_bm25_rewards_rare_terms_and_penalizes_length(spark):

@@ -8,10 +8,13 @@ has hit so far can never recur if these hold:
                                  schema (the driver's pandas canonicalizer
                                  cannot sort array/map/struct cells).
 
-Schema flatness is checked from the ANALYZED plan only (df.schema), so
-this costs no execution. PENDING_WINDOW names get the same flatness check
-so a nested shape is caught the round it is written, not the round it
-rotates into the window.
+Schema flatness is read from the ANALYZED plan (df.schema) -- no job is
+launched for the check itself, though a handful of registered fns do run
+Spark work at DataFrame-construction time (persist+count caches, k-means /
+PQ training iterations), so the parametrized sweep still costs a couple of
+minutes of real execution. PENDING_WINDOW names get the same flatness
+check so a nested shape is caught the round it is written, not the round
+it rotates into the window.
 """
 
 import pytest
