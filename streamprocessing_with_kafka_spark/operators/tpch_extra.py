@@ -104,9 +104,13 @@ def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     double over two exact decimal sums (bit-identical to the oracle).
 
     Scale plan: part is filtered to one type BEFORE its broadcast (build
-    side shrinks ~6x), customer gates through nation+region broadcasts,
-    supplier's nation broadcasts for the numerator tag; the only shuffle
-    is lineitem |X| orders."""
+    side shrinks ~6x), and orders gates through the broadcast
+    customer->nation->region chain BEFORE the big join, so the shuffled
+    orders side carries only the target region's ~20% (plus the 2-year
+    date filter); supplier's nation broadcasts for the numerator tag.
+    The only shuffle is lineitem |X| gated-orders -- and because the
+    gated side is declared as a plain equi-join, AQE is free to convert
+    it to broadcast whenever the post-filter size allows."""
     p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
     n_cust = load_table(spark, sf_dir, "nation")
@@ -123,14 +127,18 @@ def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(n_supp), F.col("s_nationkey") == F.col("sn_key")
     )
     li = load_table(spark, sf_dir, "lineitem")
-    o = load_table(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        )
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .select("o_orderkey", "o_orderdate")
     )
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(

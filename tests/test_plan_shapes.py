@@ -159,12 +159,22 @@ def test_volume_shipping_single_fact_shuffle(spark, sf_dir):
 
 
 def test_market_share_single_fact_shuffle(spark, sf_dir):
-    """Q8 shape: 7 relations, every dimension hop a broadcast, one
-    shuffle for the (year) aggregate."""
-    plan = _plan(spark, registry()["join_market_share"].fn(spark, sf_dir))
-    assert plan.count("BroadcastHashJoin") == 7, plan
-    assert "SortMergeJoin" not in plan, plan
-    assert _n_shuffles(plan) == 1, plan
+    """Q8 shape: 7 relations, every dimension hop a broadcast. Since the
+    r6 reorder, orders gates through the broadcast customer chain BEFORE
+    the lineitem join (pre-shuffle semi-reduction: the shuffled orders
+    side carries one region's ~20%), which leaves the static planner
+    without a size estimate for the gated side -- it conservatively plans
+    an SMJ that AQE converts back to broadcast at runtime. Pin the FINAL
+    adaptive plan: all 7 joins broadcast, no SMJ survives."""
+    df = registry()["join_market_share"].fn(spark, sf_dir)
+    df.collect()  # finalize the adaptive plan
+    final = _plan(spark, df).split("== Initial Plan ==")[0]
+    assert final.count("BroadcastHashJoin") == 7, final
+    assert "SortMergeJoin" not in final, final
+    # static pre-gate exchanges materialize (tiny: gated orders keys) but
+    # the fact side never sort-merges; the agg exchange remains the only
+    # reduce-side shuffle
+    assert _n_shuffles(final) <= 3, final
 
 
 def test_top_supplier_materializes_revenue_cte_once(spark, sf_dir):
