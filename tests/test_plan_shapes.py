@@ -933,3 +933,58 @@ def test_abc_parts_windows_are_bucket_partitioned(spark, sf_dir):
         if not re.search(r"\], \[[a-z_]+#\d+L?\], \[", w)
     ]
     assert unpart and all("brev#" in w for w in unpart), plan
+
+
+def _executed_final(spark, df) -> str:
+    """Finalized adaptive plan: what a cluster run actually schedules
+    (AQE join conversions applied, reused exchanges deduped,
+    localCheckpoint lineage truncated)."""
+    df.collect()
+    return _plan(spark, df).split("== Initial Plan ==")[0]
+
+
+def _distinct_exchanges(plan: str) -> int:
+    return len(
+        {
+            re.sub(r",?\s*\[plan_id=\d+\]", "", m.group(0))
+            for m in re.finditer(r"Exchange (?:hash|range|Single)[^\n]*", plan)
+        }
+    )
+
+
+def test_events_health_executed_shape(spark, sf_dir):
+    """VERDICT r4 item 4: the static audit bills this 12 shuffles, but
+    the constituents' identical hourly-bucket subplans dedupe via
+    ReusedExchange at runtime -- the executed plan carries <=6 distinct
+    exchanges over <=3 events scans, all joins broadcast (the glue
+    frames are |event_type|-sized)."""
+    final = _executed_final(
+        spark, registry()["pipeline_events_health"].fn(spark, sf_dir)
+    )
+    assert _distinct_exchanges(final) <= 6, final
+    assert final.count("FileScan") <= 3, final
+    assert "SortMergeJoin" not in final, final
+    assert "ReusedExchange" in final, final
+
+
+def test_export_packed_executed_shape(spark, sf_dir):
+    """The iterative CC stage localCheckpoints, so its label-propagation
+    exchanges never appear in the export query's own schedule: the
+    executed tail is the gate joins + the one shard-keyed packing
+    exchange (<=3 distinct), with no sort-merge join."""
+    final = _executed_final(
+        spark, registry()["pipeline_export_packed"].fn(spark, sf_dir)
+    )
+    assert _distinct_exchanges(final) <= 3, final
+    assert "SortMergeJoin" not in final, final
+
+
+def test_corpus_report_executed_shape(spark, sf_dir):
+    """Static audit shows 2 SMJ; at runtime AQE converts both to
+    broadcast (the per-source glue frames are |sources|-sized), so the
+    corpus is never sort-merged against anything."""
+    final = _executed_final(
+        spark, registry()["pipeline_corpus_report"].fn(spark, sf_dir)
+    )
+    assert "SortMergeJoin" not in final, final
+    assert _distinct_exchanges(final) <= 9, final
