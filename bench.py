@@ -19,6 +19,9 @@ from streamprocessing_with_kafka_spark.plans.registry import registry  # noqa: E
 from streamprocessing_with_kafka_spark.session import get_spark  # noqa: E402
 
 
+_LOAD_AT_LAUNCH = [round(x, 2) for x in os.getloadavg()]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -61,6 +64,15 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf),
+                # ambient host load (1/5/15-min) at launch and at finish:
+                # this machine is shared, and every cross-round comparison
+                # so far has had to adjudicate contention from side
+                # channels (BENCH_NOTES idle reruns). The bench's own 32
+                # threads contribute to the finish figure; a LAUNCH 1-min
+                # load well above ~1 means the totals above are inflated
+                # by external work, not plan changes.
+                "load_at_launch": _LOAD_AT_LAUNCH,
+                "load_at_finish": [round(x, 2) for x in os.getloadavg()],
             }
         )
     )
