@@ -68,3 +68,31 @@ def test_bm25_rewards_rare_terms_and_penalizes_length(spark):
     assert set(out) == {10, 11, 12}
     assert out[10].bm25 > out[11].bm25 > out[12].bm25
     assert out[10].rank == 1
+
+
+def test_slot_weights_plan_shape_invariant_in_hash_dim(spark, sf_dir, monkeypatch):
+    """The HASH_DIM=32 default is demo-scale; the docstring claims
+    production sizes (2^18-2^22) leave the plan unchanged. Pin it:
+    HASH_DIM only enters the sparse featurizer as a modulo constant, so
+    the compiled plan at 2^20 must have the identical operator skeleton
+    (exchanges, aggregates, joins) as at 32 -- no explode, sequence fill,
+    or anything else that scales with the dimension."""
+    import re
+
+    from streamprocessing_with_kafka_spark.operators import features
+
+    def skeleton(plan: str) -> list[str]:
+        ops = re.findall(
+            r"(Exchange hashpartitioning|HashAggregate|SortAggregate|"
+            r"BroadcastHashJoin|SortMergeJoin|BroadcastNestedLoopJoin|"
+            r"Generate|Expand)",
+            plan,
+        )
+        return ops
+
+    def plan_at(dim: int) -> list[str]:
+        monkeypatch.setattr(features, "HASH_DIM", dim)
+        df = features.slot_weights(spark, sf_dir)
+        return skeleton(df._jdf.queryExecution().executedPlan().toString())
+
+    assert plan_at(1 << 20) == plan_at(32)
