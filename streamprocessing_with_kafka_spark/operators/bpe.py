@@ -119,8 +119,13 @@ def _train(spark: SparkSession, sf_dir: str):
             )
             .localCheckpoint()
         )
+        # on an empty corpus (or a fully-merged vocabulary) `pairs` is
+        # empty and the global-min aggregate emits one all-NULL row;
+        # the oracle's ORDER BY ... LIMIT 1 emits nothing -- drop the
+        # phantom merge from the emitted table (the fold below keeps
+        # the unfiltered frame: folding with NULL pair matches nothing)
         merge_rows.append(
-            best.select(
+            best.filter(F.col("best_a").isNotNull()).select(
                 F.lit(rnd).alias("round"),
                 F.col("best_a").alias("pair_a"),
                 F.col("best_b").alias("pair_b"),

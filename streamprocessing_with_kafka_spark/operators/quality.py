@@ -46,8 +46,11 @@ ORDER_PRICE_MAX = 600_000.0
 
 def _ratio(num, den):
     # exact-int division; IEEE double division is bit-identical across
-    # engines, and 6dp rounding makes the rendered repr match too
-    return F.round(num.cast("double") / den.cast("double"), 6)
+    # engines, and 6dp rounding makes the rendered repr match too.
+    # try_divide: on an EMPTY audited table n = 0 and ANSI `/` would
+    # abort the whole audit job; NULL metric (= oracle's x/0) is the
+    # honest answer for "ratio over nothing".
+    return F.round(F.try_divide(num.cast("double"), den.cast("double")), 6)
 
 
 def _audit_row(table, constraint, metric, threshold):
@@ -488,8 +491,11 @@ def quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     constraints = quality_report(spark, sf_dir).select(
         F.lit("constraints").alias("audit"), "check_name", "metric", "passed"
     )
+    # try_divide on both summary ratios: an empty audited slice must
+    # yield NULL metric/passed rows (= the oracle's x/0), not an ANSI
+    # divide-by-zero that kills the release gate
     mad = F.round(
-        dec_sum("abs_dev") / F.count(F.lit(1)).cast("double"), 6
+        F.try_divide(dec_sum("abs_dev"), F.count(F.lit(1)).cast("double")), 6
     )
     benford = benford_audit(spark, sf_dir).agg(
         F.lit("benford").alias("audit"),
@@ -498,8 +504,10 @@ def quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         (mad <= BENFORD_MAD_MAX).alias("passed"),
     )
     share = F.round(
-        F.count(F.when(F.col("at_risk"), 1)).cast("double")
-        / F.count(F.lit(1)).cast("double"),
+        F.try_divide(
+            F.count(F.when(F.col("at_risk"), 1)).cast("double"),
+            F.count(F.lit(1)).cast("double"),
+        ),
         6,
     )
     kanon = k_anonymity_audit(spark, sf_dir).agg(

@@ -1436,8 +1436,13 @@ def funnel_timing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_purchase.agg(
         F.count(F.lit(1)).alias("n_viewers"),
         F.count("first_purchase").alias("n_converted"),
+        # try_divide: zero viewers (empty events slice) must report a
+        # NULL rate like the oracle's 0/0, not abort under ANSI
         F.round(
-            F.count("first_purchase") / F.count(F.lit(1)).cast("double"), 6
+            F.try_divide(
+                F.count("first_purchase"), F.count(F.lit(1)).cast("double")
+            ),
+            6,
         ).alias("conversion_rate"),
         F.round(F.expr(
             "percentile(IF(first_purchase IS NOT NULL,"

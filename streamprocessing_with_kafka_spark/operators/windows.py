@@ -301,11 +301,14 @@ WITH per_user AS (
   FROM events GROUP BY user_id
 )
 SELECT COUNT(*) AS n_users,
-  CAST(count_if(t_view IS NOT NULL) AS BIGINT) AS n_view,
-  CAST(count_if(t_view IS NOT NULL AND t_click >= t_view) AS BIGINT)
+  -- COUNT(CASE ...), not count_if: DuckDB's count_if is sum-shaped and
+  -- returns NULL over zero rows, where Spark's count_if returns 0
+  COUNT(CASE WHEN t_view IS NOT NULL THEN 1 END) AS n_view,
+  COUNT(CASE WHEN t_view IS NOT NULL AND t_click >= t_view THEN 1 END)
     AS n_click_after_view,
-  CAST(count_if(t_view IS NOT NULL AND t_click >= t_view AND t_purchase >= t_click)
-    AS BIGINT) AS n_purchase_after_click
+  COUNT(CASE WHEN t_view IS NOT NULL AND t_click >= t_view
+              AND t_purchase >= t_click THEN 1 END)
+    AS n_purchase_after_click
 FROM per_user
 """
 

@@ -1,0 +1,59 @@
+"""Degenerate-input guard: every oracle-backed query must agree with its
+oracle over ZERO-ROW tables (exact production arrow schemas, no rows).
+
+This is the failure class the r5 advisor flagged on mad_outlier_summary
+(NULL-vs-0 on an all-null partition) generalized: aggregates, windows,
+and ratios disagree between engines -- or crash under ANSI division --
+only when a group/partition/input is empty, and generated testdata never
+exercises that. The r6 sweep caught three ANSI divide-by-zero CRASHES
+(quality_report, pipeline_quality_gate, events_funnel_timing: at 100 TB
+an empty gate slice would abort the job), a phantom all-NULL merge row
+in text_bpe_train, and a count_if NULL-vs-0 oracle bug in events_funnel.
+
+Kept as one test over the full registry so a new operator cannot
+reintroduce the class.
+"""
+
+import pytest
+
+from streamprocessing_with_kafka_spark.plans.registry import registry
+from tests.oracle_harness import compare, duckdb_conn
+
+#: Engine-defined divergences on zero-row input ONLY (identical on any
+#: non-empty input): Spark evaluates the () grouping set of ROLLUP /
+#: CUBE / GROUPING SETS as a grouped aggregate -- 0 rows over an empty
+#: table, on both the DataFrame and SQL paths -- while the standard (and
+#: DuckDB) emit the grand-total row. Chasing the degenerate case would
+#: cost a second aggregate pass + union in the real plan.
+SPARK_GROUPING_SETS_SEMANTICS = {
+    "agg_grouping_sets",
+    "agg_order_cube",
+    "agg_order_rollup",
+}
+
+
+@pytest.fixture(scope="module")
+def empty_dir(tmp_path_factory):
+    import pyarrow.parquet as pq
+
+    from streamprocessing_with_kafka_spark.sources.tables import TABLES
+
+    d = tmp_path_factory.mktemp("sf_empty")
+    for t in TABLES:
+        schema = pq.read_schema(f"/root/testdata/sf0.001/{t}.parquet")
+        pq.write_table(schema.empty_table(), str(d / f"{t}.parquet"))
+    return str(d)
+
+
+def test_every_query_matches_oracle_on_empty_tables(spark, empty_dir):
+    con = duckdb_conn(empty_dir)
+    bad: list[str] = []
+    for name, q in sorted(registry().items()):
+        if q.sql is None or name in SPARK_GROUPING_SETS_SEMANTICS:
+            continue
+        try:
+            errs = compare(q.fn(spark, empty_dir), con, q.sql, name)
+        except Exception as e:
+            errs = [f"{name}: EXCEPTION {type(e).__name__}: {e}"]
+        bad.extend(errs)
+    assert not bad, "\n".join(bad)

@@ -110,7 +110,10 @@ def test_tws_counters_accumulate_across_batches(spark, tmp_path):
     if not HAS_TWS:
         import pytest
 
-        pytest.skip("transformWithState requires Spark >= 4.0")
+        pytest.skip(
+            "transformWithState unavailable: needs Spark >= 4.0 AND the "
+            "TWS runner's protobuf transport (absent in this container)"
+        )
 
     inp, ckpt = tmp_path / "in", tmp_path / "ckpt"
     inp.mkdir()
