@@ -49,26 +49,105 @@ def build_empty_dir() -> str:
     return EMPTY_DIR
 
 
+def build_single_dir() -> str:
+    """One-row tables (the first row of sf0.001): every per-group
+    statistic runs on a group of size 1 -- the n-1 = 0 regime where
+    sample-variance-family functions diverge across engines (Spark
+    stddev_samp -> NaN vs DuckDB -> NULL and friends)."""
+    d = EMPTY_DIR.replace("sf_empty", "sf_single")
+    os.makedirs(d, exist_ok=True)
+    for t in TABLES:
+        dst = f"{d}/{t}.parquet"
+        if not os.path.exists(dst):
+            tab = pq.read_table(f"{SRC_SF}/{t}.parquet").slice(0, 1)
+            pq.write_table(tab, dst)
+    return d
+
+
+def build_nulls_dir() -> str:
+    """Three real rows per table with every NULLABLE column nulled out:
+    the all-null-partition regime (the r5 mad_outlier advisory class)."""
+    d = EMPTY_DIR.replace("sf_empty", "sf_nulls")
+    os.makedirs(d, exist_ok=True)
+    for t in TABLES:
+        dst = f"{d}/{t}.parquet"
+        if os.path.exists(dst):
+            continue
+        tab = pq.read_table(f"{SRC_SF}/{t}.parquet").slice(0, 3)
+        cols = []
+        for field in tab.schema:
+            if field.nullable:
+                cols.append(pa.nulls(tab.num_rows, type=field.type))
+            else:
+                cols.append(tab.column(field.name))
+        pq.write_table(pa.table(cols, schema=tab.schema), dst)
+    return d
+
+
 #: Engine-defined divergences on ZERO-ROW input only (verified identical
 #: on any non-empty input): Spark evaluates the () grouping set of
 #: ROLLUP/CUBE/GROUPING SETS as a grouped aggregate (0 rows over an empty
 #: table, both DataFrame and SQL paths), while the standard -- and DuckDB
 #: -- emit the grand-total row. Not worth a second aggregate pass + union
 #: in the engine plan to chase a degenerate case.
-ALLOWED = {"agg_grouping_sets", "agg_order_cube", "agg_order_rollup"}
+GROUPING_SETS_SEMANTICS = {"agg_grouping_sets", "agg_order_cube", "agg_order_rollup"}
+
+#: nulls-variant allowlist (r6 audit of ALL-NULL nullable columns). Two
+#: documented classes; everything NOT listed here was fixed in r6
+#: (try_divide crashes, UDF null guards, element_at codegen workaround,
+#: oracle count_if/COALESCE/ln(0) bugs -- see the r6 commits).
+NULLS_ALLOWED = GROUPING_SETS_SEMANTICS | {
+    # (a) ORACLE limitation: DuckDB list_inner_product refuses lists
+    # containing NULL, so the oracle cannot run over NULL embeddings at
+    # all; the ENGINE side completes (NULL-safe dot products / explode
+    # drops) -- verified by running the Spark side alone.
+    "ann_topk_lsh",
+    "ann_topk_multiprobe",
+    "ann_topk_quantized",
+    "dedup_embedding_cosine",
+    "dedup_embedding_cosine_capped",
+    "embedding_stats",
+    # (b) NULL-group/window semantics, both defensible and documented:
+    # Spark's window()/posexplode DROP NULL event-times and NULL arrays
+    # (events_session/sliding/tumbling, embedding_pca_power,
+    # agg_abc_parts via its NULL-bucket window), while DuckDB's
+    # time_bucket/unnest keep a NULL group; conversely the engine keeps
+    # a NULL-key group the oracle's inner join drops (events_mad_outliers,
+    # dedup_semantic, ann_ivf_assignments). Aligning would mean
+    # contorting production plans for inputs whose key columns are
+    # entirely NULL.
+    "events_session",
+    "events_sliding",
+    "events_tumbling",
+    "events_mad_outliers",
+    "embedding_pca_power",
+    "agg_abc_parts",
+    "dedup_semantic",
+    "ann_ivf_assignments",
+}
+
+ALLOWED = GROUPING_SETS_SEMANTICS  # empty + single variants
 
 
 def main() -> None:
     only = None
     if "--only" in sys.argv:
         only = set(sys.argv[sys.argv.index("--only") + 1].split(","))
-    sf_dir = build_empty_dir()
+    variant = "empty"
+    if "--variant" in sys.argv:
+        variant = sys.argv[sys.argv.index("--variant") + 1]
+    sf_dir = {
+        "empty": build_empty_dir,
+        "single": build_single_dir,
+        "nulls": build_nulls_dir,
+    }[variant]()
+    allowed = NULLS_ALLOWED if variant == "nulls" else ALLOWED
     spark = get_spark("empty-sweep")
     con = duckdb_conn(sf_dir)
     bad: list[str] = []
     n = 0
     for name, q in sorted(registry().items()):
-        if q.sql is None or name in ALLOWED or (only and name not in only):
+        if q.sql is None or name in allowed or (only and name not in only):
             continue
         n += 1
         try:

@@ -1076,7 +1076,13 @@ rebuilt AS (
 SELECT doc_id,
        len(w) AS n_tokens,
        len(kept) AS n_tokens_kept,
-       COALESCE(array_to_string(kept, ' '), '') AS scrubbed_text
+       -- two edge cases pull apart here: a FULLY-SCRUBBED doc has
+       -- kept = [] and DuckDB's array_to_string([]) is NULL where the
+       -- engine's array_join([]) is '' (hence the COALESCE); a
+       -- NULL-TEXT doc has kept = NULL and must STAY NULL like the
+       -- engine's array_join(NULL) (hence the CASE guard)
+       CASE WHEN kept IS NULL THEN NULL
+            ELSE COALESCE(array_to_string(kept, ' '), '') END AS scrubbed_text
 FROM rebuilt
 """
 

@@ -40,12 +40,19 @@ def mm_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthesize the multimodal corpus from `documents`: utf-8 payload
     bytes + a deterministic modality tag (doc_id % 3)."""
     d = load_table(spark, sf_dir, "documents")
+    # CASE chain, not element_at(array, doc_id % 3 + 1): with a NULL
+    # doc_id the codegen path of element_at returns the LAST element
+    # instead of NULL (observed on the vectorized-scan path; the
+    # constant-folded interpreter path returns NULL correctly) -- a
+    # silent wrong answer. The CASE is NULL-safe by construction.
+    mm_type = F.col("doc_id") % 3
     return d.select(
         "doc_id",
         F.encode(F.col("text"), "UTF-8").alias("payload"),
-        F.element_at(F.array(*[F.lit(m) for m in MODALITIES]), (F.col("doc_id") % 3 + 1).cast("int")).alias(
-            "mm_type"
-        ),
+        F.when(mm_type == 0, MODALITIES[0])
+        .when(mm_type == 1, MODALITIES[1])
+        .when(mm_type == 2, MODALITIES[2])
+        .alias("mm_type"),
     )
 
 
@@ -177,14 +184,20 @@ def decode_frame(c: DataFrame) -> DataFrame:
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            meta = pdf["payload"].map(_decode)
+            # NULL payload -> NULL metadata: a missing/corrupt payload
+            # row must degrade to NULLs downstream can filter, never
+            # kill the job (at 100 TB one bad row would otherwise fail
+            # the whole decode stage)
+            meta = pdf["payload"].map(
+                lambda p: (None, None, None) if p is None else _decode(p)
+            )
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "mm_type": pdf["mm_type"],
-                    "width": meta.map(lambda t: t[0]).astype("int32"),
-                    "height": meta.map(lambda t: t[1]).astype("int32"),
-                    "n_frames": meta.map(lambda t: t[2]).astype("int32"),
+                    "width": meta.map(lambda t: t[0]).astype("Int32"),
+                    "height": meta.map(lambda t: t[1]).astype("Int32"),
+                    "n_frames": meta.map(lambda t: t[2]).astype("Int32"),
                 }
             )
 
@@ -222,7 +235,9 @@ def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = mm_corpus(spark, sf_dir)
 
     def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        def vec(payload: bytes) -> list[float]:
+        def vec(payload: bytes) -> list[float] | None:
+            if payload is None:  # missing payload -> NULL vector, not a crash
+                return None
             h = hashlib.md5(payload).hexdigest()
             h2 = hashlib.md5(payload + b"|f").hexdigest()
             hexstr = h + h2
@@ -286,7 +301,11 @@ SELECT d.doc_id,
                                   4 * i.range + 1, 4)) AS INTEGER) / 65535.0,
              6) AS FLOAT) AS value
 FROM documents d CROSS JOIN range(0, {EMB_DIM}) i
+WHERE d.text IS NOT NULL
 """
+# ^ NULL-payload docs are ABSENT from the feature table (the engine's
+# posexplode of the NULL vector emits no rows -- degrade-not-crash), so
+# the oracle filters them too rather than emitting EMB_DIM NULL dims.
 
 TARGET_BOX = 224
 
@@ -554,7 +573,12 @@ def ahash_frame(c: DataFrame) -> DataFrame:
             yield pd.DataFrame(
                 {
                     "doc_id": b["doc_id"],
-                    "ahash": [_ahash64(p) for p in b["payload"]],
+                    # NULL payload -> NULL hash (same degrade-not-crash
+                    # contract as decode_frame)
+                    "ahash": pd.array(
+                        [None if p is None else _ahash64(p) for p in b["payload"]],
+                        dtype="Int64",
+                    ),
                 }
             )
 

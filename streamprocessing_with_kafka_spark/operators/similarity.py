@@ -681,7 +681,12 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "label",
         F.round(scale, 6).alias("scale"),
-        F.concat_ws(",", F.transform(q, lambda x: x.cast("string"))).alias("q_codes"),
+        # concat_ws treats a NULL array as '' -- guard so a NULL embedding
+        # yields a NULL code string (= the oracle's array_to_string(NULL))
+        F.when(
+            v.isNotNull(),
+            F.concat_ws(",", F.transform(q, lambda x: x.cast("string"))),
+        ).alias("q_codes"),
         _int_dot(q, q).alias("q_norm2"),
     )
 
@@ -1512,7 +1517,13 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("i", "j")
         .agg(dec_sum("p").alias("s"))
         .crossJoin(F.broadcast(n_row))
-        .select("i", "j", F.round(F.col("s") / (F.col("n") - 1).cast("double"), 6).alias("c"))
+        .select(
+            "i",
+            "j",
+            # try_divide: a 1-row corpus has n-1 = 0; the oracle's s/0 is
+            # NULL, ANSI `/` would abort the whole diagnostic
+            F.round(F.try_divide(F.col("s"), (F.col("n") - 1).cast("double")), 6).alias("c"),
+        )
         .localCheckpoint()
     )
     vec = spark.range(DIM).select(
@@ -1528,7 +1539,7 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         norm = w.agg(F.sqrt(dec_sum(F.col("w") * F.col("w"))).alias("nrm"))
         vec = (
             w.crossJoin(F.broadcast(norm))
-            .select(F.col("i").alias("j"), F.round(F.col("w") / F.col("nrm"), 6).alias("x"))
+            .select(F.col("i").alias("j"), F.round(F.try_divide(F.col("w"), F.col("nrm")), 6).alias("x"))
             .localCheckpoint()
         )
         if prev is not None:
@@ -1548,7 +1559,7 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dim",
             "loading",
             "eigenvalue",
-            F.round(F.col("eigenvalue") / F.col("tr"), 6).alias("explained_frac"),
+            F.round(F.try_divide(F.col("eigenvalue"), F.col("tr")), 6).alias("explained_frac"),
         )
     )
 

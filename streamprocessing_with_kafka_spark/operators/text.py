@@ -1327,7 +1327,10 @@ _HEAPS_BETA_SQL = (
 
 VOCAB_GROWTH_SQL = f"""
 WITH per_doc AS (
+  -- NULL-text docs are absent from the engine's token explode; filter
+  -- them here too (otherwise cum_vocab pins at 0 and ln(0) aborts)
   SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+  WHERE text IS NOT NULL
 ),
 new_words AS (
   SELECT doc_id, COUNT(*) AS n_new FROM (

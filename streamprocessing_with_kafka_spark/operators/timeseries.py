@@ -929,13 +929,15 @@ def chi2_type_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("col_tot", F.sum("obs").over(w_hr))
         .crossJoin(F.broadcast(totals))
     )
-    exp = (
-        F.col("row_tot").cast("double")
-        * F.col("col_tot").cast("double")
-        / F.col("n").cast("double")
+    # try_divide twice: an all-NULL (event_type, hr) slice never rejoins
+    # the densify spine (NULL = NULL is not a match), leaving n = 0 --
+    # the oracle's 0/0 is NULL, ANSI `/` would abort the screen
+    exp = F.try_divide(
+        F.col("row_tot").cast("double") * F.col("col_tot").cast("double"),
+        F.col("n").cast("double"),
     )
     diff = F.col("obs").cast("double") - exp
-    term = (diff * diff / exp).cast(DEC)
+    term = F.try_divide(diff * diff, exp).cast(DEC)
     return (
         with_marg.groupBy("event_type", "n_types", "n_hours")
         .agg(

@@ -559,7 +559,10 @@ def rollup_cascade_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         h.groupBy(F.date_trunc("day", F.col("hour")).alias("day"), "event_type")
         .agg(
-            F.count(F.lit(1)).alias("n_hours"),
+            # count("hour") not count(1): a NULL-timestamp slice folds
+            # into a NULL-hour partial, which is not a distinct hour
+            # (matches the oracle's COUNT(DISTINCT date_trunc('hour', ts)))
+            F.count("hour").alias("n_hours"),
             F.sum("n_events").alias("n_events"),
             F.sum("value_dec").cast("double").alias("total_value"),
         )
