@@ -45,15 +45,41 @@ def empty_dir(tmp_path_factory):
     return str(d)
 
 
-def test_every_query_matches_oracle_on_empty_tables(spark, empty_dir):
-    con = duckdb_conn(empty_dir)
+@pytest.fixture(scope="module")
+def single_row_dir(tmp_path_factory):
+    import pyarrow.parquet as pq
+
+    from streamprocessing_with_kafka_spark.sources.tables import TABLES
+
+    d = tmp_path_factory.mktemp("sf_single")
+    for t in TABLES:
+        tab = pq.read_table(f"/root/testdata/sf0.001/{t}.parquet").slice(0, 1)
+        pq.write_table(tab, str(d / f"{t}.parquet"))
+    return str(d)
+
+
+def _sweep(spark, sf_dir: str) -> list[str]:
+    con = duckdb_conn(sf_dir)
     bad: list[str] = []
     for name, q in sorted(registry().items()):
         if q.sql is None or name in SPARK_GROUPING_SETS_SEMANTICS:
             continue
         try:
-            errs = compare(q.fn(spark, empty_dir), con, q.sql, name)
+            errs = compare(q.fn(spark, sf_dir), con, q.sql, name)
         except Exception as e:
             errs = [f"{name}: EXCEPTION {type(e).__name__}: {e}"]
         bad.extend(errs)
+    return bad
+
+
+def test_every_query_matches_oracle_on_empty_tables(spark, empty_dir):
+    bad = _sweep(spark, empty_dir)
+    assert not bad, "\n".join(bad)
+
+
+def test_every_query_matches_oracle_on_single_row_tables(spark, single_row_dir):
+    """One-row tables put every per-group statistic in the n-1 = 0
+    regime (sample variance, covariance, OLS denominators) -- the class
+    that crashed embedding_pca_power under ANSI division in r6."""
+    bad = _sweep(spark, single_row_dir)
     assert not bad, "\n".join(bad)
