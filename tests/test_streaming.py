@@ -91,3 +91,34 @@ def test_upsert_sink_idempotent_with_tombstones(spark, tmp_path):
     rows = {r["order_id"]: r["total_price"]
             for r in spark.read.parquet(f"{state}/data").collect()}
     assert rows == {"1": 11.0, "3": 30.0}  # 2 tombstoned away
+
+
+def test_degenerate_batches_route_to_dead_letter(spark, tmp_path):
+    """Degenerate-input streaming twin of tests/test_empty_inputs.py:
+    an empty batch file, an empty JSON object, and a record with every
+    field explicitly null must flow through the pipeline -- validator
+    -> router -> sinks -- without crashing, with the degenerate records
+    dead-lettered (T1/ST4 contract), never silently dropped."""
+    inp, out, ckpt = tmp_path / "in", tmp_path / "out", tmp_path / "ckpt"
+    inp.mkdir()
+    (inp / "empty.json").write_text("")  # zero-byte batch
+    _write_orders(
+        inp / "degenerate.json",
+        [
+            {},  # no fields at all
+            {"order_id": None, "product_name": None, "quantity": None,
+             "price": None, "order_date": None},  # explicit nulls
+            {"order_id": "77", "product_name": "ok", "quantity": "1",
+             "price": "2", "order_date": "2025-01-01"},  # control row
+        ],
+    )
+    q = start_file_pipeline(spark, str(inp), str(out), str(ckpt))
+    q.awaitTermination(120)
+
+    enriched = spark.read.parquet(str(out / "enriched_orders")).collect()
+    invalid = spark.read.parquet(str(out / "invalid_orders")).collect()
+    assert [r["order_id"] for r in enriched] == ["77"]
+    # both degenerate records are dead-lettered with a reason, not dropped
+    assert len(invalid) == 2
+    assert all(r["status_message"].startswith("Missing required fields")
+               for r in invalid)
