@@ -64,6 +64,20 @@ def build_single_dir() -> str:
     return d
 
 
+def build_constant_dir() -> str:
+    """The first row of every table replicated 4x: zero-variance value
+    distributions (stddev/OLS/correlation denominators hit 0), duplicate
+    primary keys, and a single distinct group everywhere."""
+    d = EMPTY_DIR.replace("sf_empty", "sf_constant")
+    os.makedirs(d, exist_ok=True)
+    for t in TABLES:
+        dst = f"{d}/{t}.parquet"
+        if not os.path.exists(dst):
+            one = pq.read_table(f"{SRC_SF}/{t}.parquet").slice(0, 1)
+            pq.write_table(pa.concat_tables([one] * 4), dst)
+    return d
+
+
 def build_nulls_dir() -> str:
     """Three real rows per table with every NULLABLE column nulled out:
     the all-null-partition regime (the r5 mad_outlier advisory class)."""
@@ -126,6 +140,20 @@ NULLS_ALLOWED = GROUPING_SETS_SEMANTICS | {
     "ann_ivf_assignments",
 }
 
+#: constant-variant allowlist: the 4x-replicated rows DUPLICATE every
+#: primary key, which the table contract forbids -- the divergences are
+#: row-wise vs collapse-per-key treatments of duplicate vec_ids/doc_ids
+#: (engine emits one row per physical row; the oracle's per-key window
+#: collapses), both internally consistent. The variant's real target --
+#: zero-variance denominators (z-score, OLS, correlation) -- swept clean
+#: with NO crashes and NO value divergences.
+CONSTANT_ALLOWED = GROUPING_SETS_SEMANTICS | {
+    "ann_kmeans_train",
+    "ann_pq_train",
+    "ann_ivf_assignments",
+    "dedup_semantic",
+}
+
 ALLOWED = GROUPING_SETS_SEMANTICS  # empty + single variants
 
 
@@ -140,8 +168,9 @@ def main() -> None:
         "empty": build_empty_dir,
         "single": build_single_dir,
         "nulls": build_nulls_dir,
+        "constant": build_constant_dir,
     }[variant]()
-    allowed = NULLS_ALLOWED if variant == "nulls" else ALLOWED
+    allowed = {"nulls": NULLS_ALLOWED, "constant": CONSTANT_ALLOWED}.get(variant, ALLOWED)
     spark = get_spark("empty-sweep")
     con = duckdb_conn(sf_dir)
     bad: list[str] = []
