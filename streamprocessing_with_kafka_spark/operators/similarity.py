@@ -156,7 +156,16 @@ def embedding_near_dup_lsh(
         )
         keys = keys.join(light, ["band", "band_key"])
     a, b = keys.alias("a"), keys.alias("b")
-    cand = (
+    # the bucket join emits BARE id pairs, deduped before any vector
+    # rides a shuffle: the old shape carried BOTH full embeddings on
+    # every raw candidate row through the dropDuplicates exchange
+    # (measured at sf0.1: 222 MB for a 0.8 MB table -- pair-replicated
+    # vectors, the kind of volume that breaks a 100 TB run), where the
+    # bare-pair exchange is 16 bytes/row. Vectors re-attach by vec_id
+    # AFTER the dedup -- two id-keyed joins bounded by the corpus size
+    # (broadcast at this SF; plain equi-joins for AQE to decide at
+    # scale) -- so the exact cosine is paid once per UNIQUE pair.
+    pairs = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -166,13 +175,15 @@ def embedding_near_dup_lsh(
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
-            F.col("a.embedding").alias("va"),
-            F.col("b.embedding").alias("vb"),
         )
         .dropDuplicates(["vec_a", "vec_b"])
     )
+    ea = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"))
+    eb = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"))
     return (
-        cand.select("vec_a", "vec_b", cosine(F.col("va"), F.col("vb")).alias("cosine"))
+        pairs.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select("vec_a", "vec_b", cosine(F.col("va"), F.col("vb")).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
 
