@@ -972,8 +972,18 @@ def daily_interval_peaks(intervals: DataFrame) -> DataFrame:
         ).alias("p"),
         "d_start_us",
     ).select("day", "s_us", "p.us", "p.delta", "d_start_us")
+    # slim the row BEFORE the day exchange: d_start_us only feeds this
+    # filter, and s_us only feeds the us == s_us start test -- folding
+    # that into a pre-shuffle boolean halves the bytes the sweep's one
+    # shuffle carries (the day-segment explode is the volume driver:
+    # ~days-open points per interval, SCALE.md's orders_backlog row)
     pts = pts.filter(
         (F.col("delta") == 1) | (F.col("us") < F.col("d_start_us") + _DAY_US)
+    ).select(
+        "day",
+        "us",
+        "delta",
+        ((F.col("delta") == 1) & (F.col("us") == F.col("s_us"))).alias("started"),
     )
     from pyspark.sql import Window as W
 
@@ -986,9 +996,7 @@ def daily_interval_peaks(intervals: DataFrame) -> DataFrame:
     return run.groupBy("day").agg(
         F.max("c").alias("peak_concurrency"),
         F.count(F.when(F.col("delta") == 1, 1)).alias("n_active_sessions"),
-        F.count(
-            F.when((F.col("delta") == 1) & (F.col("us") == F.col("s_us")), 1)
-        ).alias("n_sessions_started"),
+        F.count(F.when(F.col("started"), 1)).alias("n_sessions_started"),
     )
 
 
