@@ -972,18 +972,29 @@ def daily_interval_peaks(intervals: DataFrame) -> DataFrame:
         ).alias("p"),
         "d_start_us",
     ).select("day", "s_us", "p.us", "p.delta", "d_start_us")
-    # slim the row BEFORE the day exchange: d_start_us only feeds this
-    # filter, and s_us only feeds the us == s_us start test -- folding
-    # that into a pre-shuffle boolean halves the bytes the sweep's one
-    # shuffle carries (the day-segment explode is the volume driver:
-    # ~days-open points per interval, SCALE.md's orders_backlog row)
-    pts = pts.filter(
-        (F.col("delta") == 1) | (F.col("us") < F.col("d_start_us") + _DAY_US)
-    ).select(
-        "day",
-        "us",
-        "delta",
-        ((F.col("delta") == 1) & (F.col("us") == F.col("s_us"))).alias("started"),
+    # collapse coincident boundaries BEFORE the day exchange (the
+    # interval_stab_counts trick): every interval carried INTO a day
+    # injects +1 at the same instant (the day start), so grouping on
+    # (day, us, sign) with summed weights shrinks the sweep's frame
+    # from O(intervals x days-open) to O(intervals + days), and the
+    # groupBy's map-side partial combine does the big collapse before
+    # any bytes move. The per-day counts survive as weighted sums:
+    # actives = sum of positive collapsed deltas, starts = summed
+    # started flags; the running max is unchanged because coincident
+    # +1s raised the peak only at their shared instant anyway.
+    pts = (
+        pts.filter(
+            (F.col("delta") == 1) | (F.col("us") < F.col("d_start_us") + _DAY_US)
+        )
+        .groupBy("day", "us", F.col("delta").alias("sign"))
+        .agg(
+            F.sum("delta").alias("delta"),
+            F.sum(
+                ((F.col("delta") == 1) & (F.col("us") == F.col("s_us"))).cast(
+                    "long"
+                )
+            ).alias("n_started"),
+        )
     )
     from pyspark.sql import Window as W
 
@@ -995,8 +1006,10 @@ def daily_interval_peaks(intervals: DataFrame) -> DataFrame:
     run = pts.withColumn("c", F.sum("delta").over(w))
     return run.groupBy("day").agg(
         F.max("c").alias("peak_concurrency"),
-        F.count(F.when(F.col("delta") == 1, 1)).alias("n_active_sessions"),
-        F.count(F.when(F.col("started"), 1)).alias("n_sessions_started"),
+        F.sum(F.when(F.col("sign") == 1, F.col("delta")).otherwise(0)).alias(
+            "n_active_sessions"
+        ),
+        F.sum("n_started").alias("n_sessions_started"),
     )
 
 
@@ -1234,14 +1247,27 @@ def interval_stab_counts(intervals: DataFrame) -> DataFrame:
         ).alias("p"),
         "d_start_us",
     ).select("day", "p.us", "p.pri", "p.delta", "d_start_us")
-    deltas = deltas.filter(
-        (F.col("pri") == 1) | (F.col("us") < F.col("d_start_us") + _DAY_US)
-    ).select("day", "us", "pri", "delta", F.lit(None).cast("long").alias("iid"))
+    # collapse coincident boundaries before the sweep: every interval
+    # carried INTO a day injects +1 at the SAME instant (the day start,
+    # same (day, us, pri)), so summing deltas per instant shrinks the
+    # frame from O(intervals x days-open) to O(intervals + days) -- and
+    # the groupBy's map-side partial combine means the big collapse
+    # happens BEFORE any exchange. The running sum the probes read is
+    # unchanged: probes (pri=2) order after all same-instant deltas, so
+    # only the pre-summed total is ever observed.
+    deltas = (
+        deltas.filter(
+            (F.col("pri") == 1) | (F.col("us") < F.col("d_start_us") + _DAY_US)
+        )
+        .groupBy("day", "us", "pri")
+        .agg(F.sum("delta").alias("delta"))
+        .withColumn("iid", F.lit(None).cast("long"))
+    )
     probes = intervals.select(
         F.date_trunc("DAY", F.timestamp_micros(F.col("s_us"))).alias("day"),
         F.col("s_us").alias("us"),
         F.lit(2).alias("pri"),
-        F.lit(0).alias("delta"),
+        F.lit(0).cast("long").alias("delta"),
         F.col("iid"),
     )
     from pyspark.sql import Window as W

@@ -671,11 +671,16 @@ def test_runtime_bloom_filter_prunes_shuffle_join_fact_side(spark, sf_dir):
 def test_concurrency_sweep_partitions_by_day(spark, sf_dir):
     """The sweep must never be a single global sort: the running-sum
     window partitions by day, and the final day aggregate reuses that
-    partitioning (2 shuffles total: sessionize + day)."""
+    partitioning. 3 shuffles total since the r6 boundary collapse:
+    sessionize, the coincident-boundary aggregate (whose map-side
+    combine shrinks the frame from O(intervals x days-open) to
+    O(intervals + days) BEFORE any bytes move -- orders_backlog's
+    exchange went 141MB -> 280KB at sf0.01 for one small extra
+    exchange), then day."""
     from streamprocessing_with_kafka_spark.operators import windows
 
     plan = _plan(spark, windows.session_concurrency(spark, sf_dir))
-    assert _n_shuffles(plan) == 2, plan
+    assert _n_shuffles(plan) == 3, plan
     assert "Exchange SinglePartition" not in plan, plan
     assert "Join" not in plan, plan
 
