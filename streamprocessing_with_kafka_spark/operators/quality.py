@@ -145,7 +145,14 @@ def quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     documented gate for soft ones).  Orders constraints: completeness,
     PK uniqueness, status-domain membership, price bounds, FK
     containment in customer.  Documents constraints: PK uniqueness,
-    n_chars/text consistency, min-length curation gate."""
+    n_chars/text consistency, min-length curation gate.
+
+    NULL-passed contract (consumer boundary): over an EMPTY audited
+    slice the ratios are 0/0, try_divide yields NULL metric and
+    therefore NULL passed -- deliberately neither pass nor fail.  A
+    release gate consuming this frame MUST gate on `passed IS TRUE`
+    (fail-closed); filtering `passed == false` would silently treat an
+    empty audited slice as passing."""
     return orders_audit_frame(
         load_table(spark, sf_dir, "orders"),
         load_table(spark, sf_dir, "customer"),
@@ -485,7 +492,12 @@ def quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     |QI classes|), so the gate adds no corpus work beyond its parts.
 
     On the synthetic tables the Benford row FAILS by design -- uniform
-    synthetic prices are exactly what the screen exists to flag."""
+    synthetic prices are exactly what the screen exists to flag.
+
+    NULL-passed contract: an EMPTY audited slice yields NULL metric AND
+    NULL passed (try_divide's 0/0), deliberately neither pass nor fail.
+    Consumers MUST gate fail-closed on `passed IS TRUE`; a filter on
+    `passed == false` would let an empty slice through as passing."""
     from streamprocessing_with_kafka_spark.functions.numeric import dec_sum
 
     constraints = quality_report(spark, sf_dir).select(

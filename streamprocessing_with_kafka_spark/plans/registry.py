@@ -883,7 +883,11 @@ register(
     tpch_extra.MARKET_SHARE_SQL,
     bench=True,
     doc="TPC-H Q8 shape: conditional-aggregate market-share ratio across "
-    "a 7-relation join; every dim broadcast, one lineitem|X|orders shuffle",
+    "a 7-relation join; every dim broadcast, orders gated through the "
+    "customer chain BEFORE the lineitem join; the STATIC plan also emits "
+    "up to 3 small pre-gate exchanges and an SMJ that AQE converts back "
+    "to broadcast (executed plan: 7 BHJ / 0 SMJ, see PLANS.md) -- the "
+    "big lineitem|X|gated-orders exchange is the only one that scales",
 )(tpch_extra.market_share)
 register(
     "join_product_profit",

@@ -17,6 +17,7 @@ reintroduce the class.
 import pytest
 
 from streamprocessing_with_kafka_spark.plans.registry import registry
+from tests.conftest import SF_DIR
 from tests.oracle_harness import compare, duckdb_conn
 
 #: Engine-defined divergences on zero-row input ONLY (identical on any
@@ -40,7 +41,7 @@ def empty_dir(tmp_path_factory):
 
     d = tmp_path_factory.mktemp("sf_empty")
     for t in TABLES:
-        schema = pq.read_schema(f"/root/testdata/sf0.001/{t}.parquet")
+        schema = pq.read_schema(f"{SF_DIR}/{t}.parquet")
         pq.write_table(schema.empty_table(), str(d / f"{t}.parquet"))
     return str(d)
 
@@ -53,7 +54,7 @@ def single_row_dir(tmp_path_factory):
 
     d = tmp_path_factory.mktemp("sf_single")
     for t in TABLES:
-        tab = pq.read_table(f"/root/testdata/sf0.001/{t}.parquet").slice(0, 1)
+        tab = pq.read_table(f"{SF_DIR}/{t}.parquet").slice(0, 1)
         pq.write_table(tab, str(d / f"{t}.parquet"))
     return str(d)
 
