@@ -10,11 +10,20 @@ exact answer would need a full shuffle of the key space:
   - `approx_value_quantiles`: Greenwald-Khanna (`percentile_approx`) --
     mergeable per-partition summaries, no global sort.
 
-No DuckDB oracle SQL: both engines implement DIFFERENT sketch algorithms
-(DuckDB's approx_count_distinct is its own HLL variant), so hash equality
-is impossible by construction -- the driver records a rows-only check,
-and tests/test_sketches.py bounds the error against the exact answers
-instead (the correct correctness statement for an approximate operator).
+Value-level oracle parity is impossible by construction: both engines
+implement DIFFERENT sketch algorithms (DuckDB's approx_count_distinct is
+its own HLL variant), so the raw estimates can never hash-equal.  The
+REGISTERED queries are therefore *verdict frames* (r6 verdict item 3):
+the engine computes BOTH the sketch estimate and the exact answer, and
+emits the bounded-error verdict AS DATA -- exact-derived columns plus a
+boolean per estimate -- which the DuckDB oracle states literally (exact
+aggregates + literal TRUE).  A sketch whose error leaves its published
+bound flips the boolean and the driver's hash check goes red: the
+correct correctness statement for an approximate operator, now as a
+hard driver signal instead of a local-only pytest bound.  The raw
+estimate frames remain the composition surface (approx_distinct_users,
+approx_value_quantiles, value_quantile_rollup, distinct_users_rollup)
+and keep their error-bound tests in tests/test_sketches.py.
 """
 
 from __future__ import annotations
@@ -109,6 +118,165 @@ def distinct_users_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("distinct_users"),
         F.sum("n").alias("n_events"),
     )
+
+
+# --------------------------------------------- verdict frames (driver)
+#
+# The driver-registered surface for the four approximate queries above:
+# estimate + exact computed in ONE engine pass, verdict emitted as data.
+# Bounds are deliberately LOOSER than the sketches' published guarantees
+# (2.5-3x sigma) so the verdict is deterministic-true for a correct
+# implementation at any SF, while any real defect (wrong hash family,
+# broken merge, dropped partition) blows far past them.
+
+#: HLL verdict bound: rsd=0.02 -> 2.5 sigma = 5%, plus a small absolute
+#: slack so near-empty groups can never flap on integer rounding.
+HLL_REL_BOUND = 0.05
+HLL_ABS_SLACK = 4
+
+#: rank-error verdict bound for percentile_approx(accuracy=10_000)
+#: (guarantee: 1e-4) -- 50x slack absorbs duplicate-heavy columns.
+GK_RANK_EPS = 0.005
+
+#: rank-error verdict bound for merged KLL (k=200 -> ~1.65% at 99%
+#: confidence; merge preserves the bound) -- ~3x slack.
+KLL_RANK_EPS = 0.05
+
+
+def _hll_within(approx_col, exact_col):
+    """|approx - exact| <= max(rel * exact, abs slack), as a Column.
+    NULL estimate (sketch union over ZERO days) is within-bound iff the
+    exact count is also 0 -- keeps the empty-table degenerate sweep
+    green without masking a real NULL-on-data defect."""
+    within = F.abs(
+        approx_col.cast("double") - exact_col.cast("double")
+    ) <= F.greatest(
+        exact_col.cast("double") * HLL_REL_BOUND, F.lit(float(HLL_ABS_SLACK))
+    )
+    return F.coalesce(within, exact_col.cast("double") == 0.0)
+
+
+def distinct_users_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver verdict frame for `sketch_distinct_users`: per event type,
+    the exact event count plus `within_bound` = the HLL++ estimate lies
+    within HLL_REL_BOUND of the exact distinct count.  One grouped
+    aggregate computes estimate and exact side by side (the exact
+    distinct is the verification cost, not the production query --
+    production reads approx_distinct_users)."""
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=RSD).alias("approx_users"),
+        F.count_distinct("user_id").alias("exact_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return agg.select(
+        "event_type",
+        "n_events",
+        _hll_within(F.col("approx_users"), F.col("exact_users")).alias(
+            "within_bound"
+        ),
+    )
+
+
+DISTINCT_USERS_VERDICT_SQL = """
+SELECT event_type, COUNT(*) AS n_events, TRUE AS within_bound
+FROM events GROUP BY event_type
+"""
+
+
+def _rank_ok(value_col, approx_col, q: float, eps: float, n_col):
+    """Exact rank check: the approx quantile's rank window
+    [count(<), count(<=)] must intersect [(q-eps)n, (q+eps)n].
+    NULL-safe: an all-NULL (or empty) slice yields 0 counts and a
+    vacuously-true verdict on both engines."""
+    cnt_lt = F.count(F.when(value_col < approx_col, 1)).cast("double")
+    cnt_le = F.count(F.when(value_col <= approx_col, 1)).cast("double")
+    n = n_col.cast("double")
+    return (cnt_lt <= (q + eps) * n) & (cnt_le >= (q - eps) * n)
+
+
+def value_quantiles_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver verdict frame for `sketch_value_quantiles`: per event
+    type, exact row count plus one rank-check boolean per approximate
+    quantile (p50/p95/p99).  Two passes over events: the sketch
+    aggregate, then a broadcast-join rank verification -- the exact
+    counts are the verification harness, never the production path."""
+    ev = load_table(spark, sf_dir, "events")
+    q = F.percentile_approx("value", [0.5, 0.95, 0.99], 10_000)
+    approx = ev.groupBy(F.col("event_type").alias("et")).agg(
+        q.getItem(0).alias("a50"),
+        q.getItem(1).alias("a95"),
+        q.getItem(2).alias("a99"),
+    )
+    # null-safe equi-join keeps the NULL event_type group (a plain
+    # equi-join would silently drop it from the verdict)
+    joined = ev.join(
+        F.broadcast(approx), F.col("event_type").eqNullSafe(F.col("et"))
+    ).select("event_type", "value", "a50", "a95", "a99")
+    nn = F.count("value")
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        _rank_ok(F.col("value"), F.col("a50"), 0.5, GK_RANK_EPS, nn).alias("p50_ok"),
+        _rank_ok(F.col("value"), F.col("a95"), 0.95, GK_RANK_EPS, nn).alias("p95_ok"),
+        _rank_ok(F.col("value"), F.col("a99"), 0.99, GK_RANK_EPS, nn).alias("p99_ok"),
+    )
+
+
+VALUE_QUANTILES_VERDICT_SQL = """
+SELECT event_type, COUNT(*) AS n_events,
+       TRUE AS p50_ok, TRUE AS p95_ok, TRUE AS p99_ok
+FROM events GROUP BY event_type
+"""
+
+
+def quantile_rollup_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver verdict frame for `sketch_quantile_rollup`: ONE row --
+    exact global row count plus a rank-check boolean per KLL-merged
+    quantile.  The merged sketch's p50/p95/p99 ride a 1-row broadcast
+    into the exact rank aggregate (the in-plan scalar pattern), so the
+    verdict proves the whole per-day-sketch -> merge -> query chain."""
+    ev = load_table(spark, sf_dir, "events")
+    rolled = value_quantile_rollup(spark, sf_dir)
+    joined = ev.crossJoin(F.broadcast(rolled))
+    nn = F.count("value")
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_events"),
+        _rank_ok(F.col("value"), F.col("p50"), 0.5, KLL_RANK_EPS, nn).alias("p50_ok"),
+        _rank_ok(F.col("value"), F.col("p95"), 0.95, KLL_RANK_EPS, nn).alias("p95_ok"),
+        _rank_ok(F.col("value"), F.col("p99"), 0.99, KLL_RANK_EPS, nn).alias("p99_ok"),
+    )
+
+
+QUANTILE_ROLLUP_VERDICT_SQL = """
+SELECT COUNT(*) AS n_events, TRUE AS p50_ok, TRUE AS p95_ok, TRUE AS p99_ok
+FROM events
+"""
+
+
+def distinct_rollup_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver verdict frame for `sketch_distinct_rollup`: ONE row --
+    exact global event count plus `within_bound` = the union of per-day
+    HLL sketches estimates global distinct users within HLL_REL_BOUND
+    of the exact answer.  Proves the union actually DEDUPLICATES users
+    across days (the failure mode of summing daily distincts would land
+    ~|days|x over the exact count, far outside any bound)."""
+    ev = load_table(spark, sf_dir, "events")
+    rolled = distinct_users_rollup(spark, sf_dir).select("distinct_users")
+    exact = ev.agg(
+        F.count_distinct("user_id").alias("exact_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return exact.crossJoin(F.broadcast(rolled)).select(
+        "n_events",
+        _hll_within(F.col("distinct_users"), F.col("exact_users")).alias(
+            "within_bound"
+        ),
+    )
+
+
+DISTINCT_ROLLUP_VERDICT_SQL = """
+SELECT COUNT(*) AS n_events, TRUE AS within_bound FROM events
+"""
 
 
 # ------------------------------------------------ count-min sketch

@@ -548,10 +548,13 @@ register("mm_frame_sample", multimodal.MM_FRAME_SAMPLE_SQL, doc="per-frame fan-o
 register(
     "mm_feature_extract",
     multimodal.MM_FEATURE_ROWS_SQL,
-    doc="binary -> array<float> featurization via Arrow-batched mapInPandas "
-    "(stub model; batch shape is the GPU-featurizer contract); registered "
-    "as the posexploded (doc_id, mm_type, dim, value) projection so the "
-    "driver can canonicalize it (r2's one red row was the raw array shape)",
+    doc="binary -> array<float> featurization via Arrow-batched mapInPandas: "
+    "seeded integer random projection of the decoded 8x8 luma grid (real "
+    "pixels on the BMP/PIL path, hex-md5-chain stub grid otherwise -- r6 "
+    "item 4; recall pinned on noisy-duplicate BMPs in tests); batch shape "
+    "is the GPU-featurizer contract; registered as the posexploded "
+    "(doc_id, mm_type, dim, value) projection so the driver can "
+    "canonicalize it (r2's one red row was the raw array shape)",
 )(multimodal.mm_feature_rows)
 register(
     "mm_ann_topk",
@@ -945,29 +948,39 @@ register(
 )(profile.profile_drift)
 register(
     "sketch_distinct_users",
-    None,
-    doc="HLL++ approx distinct (rows-only: sketch algorithms differ across "
-    "engines; error bounded vs exact in tests/test_sketches.py)",
-)(sketches.approx_distinct_users)
+    sketches.DISTINCT_USERS_VERDICT_SQL,
+    doc="HLL++ approx distinct as a VERDICT FRAME (r6 item 3): estimate "
+    "and exact computed side by side in one grouped aggregate, bounded-"
+    "error boolean emitted as data; oracle states exact counts + literal "
+    "TRUE (sketch algorithms differ across engines, so the verdict -- "
+    "not the estimate -- is the hash-checkable surface); raw estimate "
+    "frame = sketches.approx_distinct_users",
+)(sketches.distinct_users_verdict)
 register(
     "sketch_value_quantiles",
-    None,
-    doc="Greenwald-Khanna approx quantiles (rows-only; error bounded in tests)",
-)(sketches.approx_value_quantiles)
+    sketches.VALUE_QUANTILES_VERDICT_SQL,
+    doc="Greenwald-Khanna approx quantiles as a VERDICT FRAME: exact "
+    "rank-window check per quantile (count(<), count(<=) bracket "
+    "(q+-eps)n), verdict booleans as data, oracle literal TRUE; raw "
+    "estimate frame = sketches.approx_value_quantiles",
+)(sketches.value_quantiles_verdict)
 register(
     "sketch_quantile_rollup",
-    None,
-    doc="mergeable-summary rollup: global quantiles folded from per-day "
-    "KLL sketches (DataSketches; merge preserves the rank-error bound) -- "
-    "rows-only, error bounded in tests/test_sketches.py",
-)(sketches.value_quantile_rollup)
+    sketches.QUANTILE_ROLLUP_VERDICT_SQL,
+    doc="mergeable-summary rollup VERDICT FRAME: per-day KLL sketches "
+    "merged (merge preserves the rank-error bound), merged p50/p95/p99 "
+    "rank-checked exactly via a 1-row broadcast -- proves the whole "
+    "sketch->merge->query chain; raw frame = "
+    "sketches.value_quantile_rollup",
+)(sketches.quantile_rollup_verdict)
 register(
     "sketch_distinct_rollup",
-    None,
-    doc="mergeable-summary distinct rollup: per-day HLL sketches union-"
-    "aggregated at query time (dedupes users across days, unlike summing "
-    "daily distincts) -- rows-only, error bounded in tests",
-)(sketches.distinct_users_rollup)
+    sketches.DISTINCT_ROLLUP_VERDICT_SQL,
+    doc="mergeable-summary distinct rollup VERDICT FRAME: per-day HLL "
+    "union estimate vs exact global distinct (union must DEDUPE users "
+    "across days; a sum-of-dailies defect lands ~|days|x out of bound); "
+    "raw frame = sketches.distinct_users_rollup",
+)(sketches.distinct_rollup_verdict)
 
 # --------------------------------------------------------------------------
 # Generators + JSON sources (S3/S4/S5)
@@ -1526,13 +1539,15 @@ register(
 )(profile.numeric_correlations)
 register(
     "mm_phash_index",
-    None,
+    multimodal.MM_PHASH_INDEX_SQL,
     doc="perceptual-hash (aHash) index of the image corpus: real pixel "
-    "path for BMP/PIL, labeled md5 stub otherwise; per-doc 64-bit hash "
+    "path for BMP/PIL, hex-md5-chain stub otherwise; per-doc 64-bit hash "
     "+ Hamming-0 cluster size (never vacuously empty); the banded "
     "pigeonhole pair join (recall 1 at Hamming <= 3, JVM bit_count "
-    "verify) is phash_pairs, pinned on genuine BMPs in tests; "
-    "rows-only (decode is not SQL-expressible)",
+    "verify) is phash_pairs, pinned on genuine BMPs in tests; oracle "
+    "rebuilds the stub-branch hash BIT-FOR-BIT in SQL (r6 item 3 -- the "
+    "registered corpus is all-stub; real-pixel branches stay "
+    "fixture-pinned)",
 )(multimodal.mm_phash_index)
 register(
     "join_asof_nearest",

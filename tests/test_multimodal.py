@@ -229,3 +229,64 @@ def test_phash_pairs_noisy_duplicate_caught_distinct_not(spark):
     }
     assert (0, 1) in pairs and pairs[(0, 1)] <= 3
     assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_feature_ann_ranks_noisy_duplicate_source_first(spark):
+    """r6 verdict item 4's recall check: with the REAL featurizer (seeded
+    random projection over decoded BMP luma), the noisy duplicate's
+    nearest neighbor by cosine must be its source image, ranked above
+    visually-unrelated images -- and the inverted image must land at
+    strongly NEGATIVE cosine to its source (mean-centered projection is
+    sign-flipped by inversion)."""
+    from pyspark.sql import functions as F
+
+    from streamprocessing_with_kafka_spark.operators.multimodal import (
+        feature_frame,
+    )
+    from streamprocessing_with_kafka_spark.operators.similarity import cosine
+
+    def base(x, y):
+        return (255, 255, 255) if (x // 2 + y // 2) % 2 else (0, 0, 0)
+
+    def noisy(x, y):
+        if y < 2 and x < 4:  # flip two top-left grid cells' blocks
+            r, g, b = base(x, y)
+            return (255 - r, 255 - g, 255 - b)
+        return base(x, y)
+
+    def inverted(x, y):
+        r, g, b = base(x, y)
+        return (255 - r, 255 - g, 255 - b)
+
+    def stripes(x, y):
+        return (255, 255, 255) if y % 4 < 2 else (0, 0, 0)
+
+    def gradient(x, y):
+        v = x * 16
+        return (v, v, v)
+
+    imgs = [
+        (0, make_bmp_pattern(16, 16, base), "image"),
+        (1, make_bmp_pattern(16, 16, noisy), "image"),
+        (2, make_bmp_pattern(16, 16, inverted), "image"),
+        (3, make_bmp_pattern(16, 16, stripes), "image"),
+        (4, make_bmp_pattern(16, 16, gradient), "image"),
+    ]
+    frame = spark.createDataFrame(
+        imgs, "doc_id long, payload binary, mm_type string"
+    )
+    feats = feature_frame(frame)
+    q = feats.filter(F.col("doc_id") == 1).select(
+        F.col("feature").alias("qv")
+    )
+    scored = {
+        r.doc_id: r.cos
+        for r in feats.filter(F.col("doc_id") != 1)
+        .crossJoin(F.broadcast(q))
+        .select("doc_id", cosine(F.col("qv"), F.col("feature")).alias("cos"))
+        .collect()
+    }
+    ranked = sorted(scored, key=scored.get, reverse=True)
+    assert ranked[0] == 0, f"source not ranked first: {scored}"
+    assert scored[0] > 0.9  # near-duplicate: high positive cosine
+    assert scored[2] < -0.9  # inversion flips the centered projection
