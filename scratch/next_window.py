@@ -5,8 +5,11 @@ never-checked backlog at zero, the 50-slot window becomes
   - the 12-row reference-parity block (SURVEY §2 contract, every round), then
   - 38 slots cycling through the rest of the registry OLDEST-GREEN-FIRST
     (the query whose most recent green driver row is furthest in the past
-    rotates in first), oracle-backed queries only (sql=None rows are
-    window-ineligible -- the r1/r4 no_oracle rule).
+    rotates in first).  As of r7 every registry entry carries oracle SQL,
+    so the old sql=None ineligibility rule (r1/r4 no_oracle) is vacuous --
+    the filter stays as a guard should a rows-only query ever reappear.
+    When code changed AFTER a query's last green (check git against the
+    round boundary), move those names to the front (r6 verdict item 1).
 
 Run from the repo root AFTER the driver writes the round's
 CORRECTNESS_r*.json: python scratch/next_window.py

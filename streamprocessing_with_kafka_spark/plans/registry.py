@@ -1639,74 +1639,85 @@ register(
 #       (207/208) has a driver row; mm_phash_index stays local-only by
 #       design (rows-only, window-ineligible per the r1/r4 no_oracle
 #       rule enforced in tests/test_window_invariants.py).
-#   r7+: with the backlog at zero, the window becomes a regression-watch
-#       rotation: 12 parity rows + ~38 slots cycling through the
-#       registry oldest-green-first.
+#   r7+ (THIS window): with the backlog at zero, the window becomes a
+#       regression-watch rotation -- STALE-GREEN-FIRST per the r6 verdict
+#       item 1: the full 12-row parity block returns, then every slot
+#       goes to queries whose BACKING CODE changed after their last green
+#       driver row, oldest green first:
+#         - slots 13-17: the five formerly-rows-only queries, oracle-
+#           backed THIS round (sketch verdict frames + the phash SQL
+#           oracle) -- never driver-green under any oracle;
+#         - slots 18-30: the verdict's explicit stale list
+#           (join_market_share rewritten since its r1 green; the r6
+#           shuffle-slimmed dedup_embedding/minhash family; the mm_*
+#           family, re-changed r7 by the featurizer; events_mad_outliers;
+#           text_hashed_tfidf);
+#         - slots 31-50: oldest-green names in the other r6-changed
+#           modules (dedup/similarity/windows/timeseries/text/
+#           tpch_extra), including the three perf-watch queries
+#           (events_session, dedup_minhash_lsh, ann_topk_bruteforce) so
+#           their r7 timings land with a fresh correctness row attached.
 # ==========================================================================
 CORRECTNESS_WINDOW = [
-    # 1-3: reference parity tripod (SURVEY §2 contract, kept every round)
+    # 1-12: reference parity block (SURVEY §2 contract, every round)
     "flagship_pipeline",
+    "route_enriched",
     "route_invalid",
+    "schema_envelope",
+    "stream_counters",
+    "date_normalize",
+    "sql_enriched_orders",
+    "crud_scan",
+    "crud_filter",
+    "crud_append",
+    "crud_delete",
     "crud_upsert",
-    # 4-26: events leftovers, dedup variants, text analysis tail
-    "events_holt_forecast",
-    "events_top_paths",
-    "events_late_audit",
-    "dedup_incremental",
-    "dedup_semantic",
-    "dedup_containment",
-    "dedup_stats_by_source",
-    "text_dup_span_scrub",
-    "text_decontaminate_fuzzy",
-    "text_bm25_topk",
-    "text_source_divergence",
-    "text_collocations",
-    "text_vocab_growth",
-    "text_bpe_train",
-    "text_bpe_encode",
-    "text_char_entropy",
-    "text_source_jsd",
-    "text_zipf_fit",
-    "snapshot_diff",
-    "profile_drift",
-    "profile_key_skew",
-    "profile_correlations",
-    "pack_efficiency",
-    # 27-50: profiling, formats, sampling, graph, windows, quality,
-    #        joins, privacy, aggregate analytics, backlog
-    "orc_roundtrip_orders",
-    "sample_dsir",
-    "sample_budget_waterfill",
-    "graph_triangles",
-    "graph_pagerank",
-    "embedding_pca_power",
-    "window_customer_quartiles",
-    "window_pareto_frontier",
-    "basket_part_pairs",
-    "quality_report",
-    "quality_benford",
-    "join_fuzzy_names",
-    "join_interval_stab",
-    "join_asof_nearest",
-    "privacy_k_anonymity",
-    "privacy_l_diversity",
-    "agg_rfm_segments",
-    "agg_revenue_concentration",
-    "agg_ship_latency_monthly",
-    "agg_mode_by_nation",
-    "agg_cohort_ltv",
-    "agg_abc_parts",
-    "agg_discount_elasticity",
-    "orders_backlog",
+    # 13-17: newly oracle-backed (r7): verdict frames + phash SQL oracle
+    "sketch_distinct_users",
+    "sketch_value_quantiles",
+    "sketch_quantile_rollup",
+    "sketch_distinct_rollup",
+    "mm_phash_index",
+    # 18-30: r6 verdict's explicit stale-green list
+    "join_market_share",
+    "dedup_embedding_cosine",
+    "dedup_embedding_cosine_capped",
+    "dedup_minhash_lsh",
+    "dedup_cluster_keepers",
+    "mm_decode",
+    "mm_ann_topk",
+    "mm_resize",
+    "mm_frame_sample",
+    "mm_binary_meta",
+    "mm_feature_extract",
+    "events_mad_outliers",
+    "text_hashed_tfidf",
+    # 31-50: oldest-green in the other r6-changed modules
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_ngram_jaccard_capped",
+    "dedup_dup_spans",
+    "split_leakage_safe",
+    "ann_topk_bruteforce",
+    "embedding_stats",
+    "ann_ivf_topk",
+    "ann_topk_lsh",
+    "events_session",
+    "events_concurrency",
+    "events_gapfill",
+    "events_funnel",
+    "events_cusum",
+    "events_ewma",
+    "text_stats",
+    "text_lang_id",
+    "text_curation_pipeline",
+    "join_volume_shipping",
 ]
-#: r5-green rows displaced from the window this round (regression watch
-#: moves to the local parity suite, which runs them every pytest): the
-#: 9 non-tripod parity rows, text_hashed_tfidf, the pipeline_* flagships,
-#: trained ANN, sketches, crud_forget/csv_parse_orders, and the r5
-#: events_* block. All have green driver rows on record.
 
-#: Oracle-backed queries still without a driver row after r6: none.
-#: (mm_phash_index is rows-only and window-ineligible by design.)
+#: Oracle-backed queries still without a driver row: none -- as of r7
+#: every one of the 208 registry entries carries oracle SQL and is
+#: window-eligible.
 PENDING_WINDOW = []
 
 assert len(CORRECTNESS_WINDOW) == 50, len(CORRECTNESS_WINDOW)
