@@ -52,14 +52,24 @@ def test_driver_correctness_window_matches_budget():
 
     window = list(registry())[:50]
     assert window == CORRECTNESS_WINDOW
-    # r6 window: 3-row parity tripod + the final 47-query backlog (the
-    # full 12-row parity block is green r4/r5 and rotates back in r7+)
-    assert window[:3] == ["flagship_pipeline", "route_invalid", "crud_upsert"]
-    for name in (  # backlog families that must get their first driver row
-        "text_bpe_train",
-        "graph_pagerank",
-        "sample_dsir",
-        "privacy_k_anonymity",
+    # r7 window: the full 12-row parity block heads the rotation again
+    assert window[0] == "flagship_pipeline"
+    assert {"route_invalid", "crud_upsert", "sql_enriched_orders"} <= set(
+        window[:12]
+    )
+    for name in (
+        # the five newly oracle-backed queries (r6 verdict item 3) must
+        # get their first driver row this round
+        "sketch_distinct_users",
+        "sketch_value_quantiles",
+        "sketch_quantile_rollup",
+        "sketch_distinct_rollup",
+        "mm_phash_index",
+        # stale-green head of the r6 verdict's item 1 list
+        "join_market_share",
+        "dedup_minhash_lsh",
+        "mm_feature_extract",
+        "events_session",
     ):
         assert name in window, name
 

@@ -135,3 +135,65 @@ def test_bloom_membership_guarantees(spark, sf_dir):
         assert r.claims_member is True
     # false positives are possible but must be rare at this load factor
     assert sum(r.claims_member for r in absent) <= 3
+
+
+# ------------------------- verdict-frame falsifiability (r7)
+#
+# The driver-registered surface for the four approximate queries is a
+# VERDICT FRAME (sketches module doc): booleans the DuckDB oracle states
+# literally. A verdict that cannot go red would be vacuous, so these
+# mutation tests drive the verdict expressions with DELIBERATELY broken
+# estimates and pin that the boolean flips.
+
+
+def test_hll_verdict_flips_on_broken_estimate(spark):
+    from streamprocessing_with_kafka_spark.operators.sketches import (
+        HLL_ABS_SLACK,
+        _hll_within,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1000, 1000),  # exact match -> True
+            (1049, 1000),  # inside 5% -> True
+            (1056, 1000),  # outside 5% (and > abs slack) -> False
+            (2000, 1000),  # sum-of-dailies-style blowup -> False
+            (0, 0),        # empty bucket -> True (0 within slack of 0)
+            (HLL_ABS_SLACK, 1),  # tiny exact, inside abs slack -> True
+            (None, 0),     # NULL estimate over empty input -> True
+            (None, 7),     # NULL estimate with real data -> False
+        ],
+        "approx int, exact int",
+    )
+    got = [
+        r.ok
+        for r in df.select(
+            _hll_within(F.col("approx"), F.col("exact")).alias("ok")
+        ).collect()
+    ]
+    assert got == [True, True, False, False, True, True, True, False]
+
+
+def test_rank_verdict_flips_on_displaced_quantile(spark):
+    from streamprocessing_with_kafka_spark.operators.sketches import (
+        GK_RANK_EPS,
+        _rank_ok,
+    )
+
+    # 1000 distinct values 0..999: rank arithmetic is exact
+    vals = spark.range(1000).selectExpr("CAST(id AS DOUBLE) AS v")
+    cases = [
+        (499.0, 0.5, True),   # the true median
+        (520.0, 0.5, False),  # displaced by 2% of rank -> out at eps=0.5%
+        (949.0, 0.95, True),
+        (990.0, 0.95, False),
+        (989.0, 0.99, True),
+        (940.0, 0.99, False),  # UNDER-estimate also caught
+    ]
+    for a, q, want in cases:
+        got = vals.agg(
+            _rank_ok(
+                F.col("v"), F.lit(a), q, GK_RANK_EPS, F.count("v")
+            ).alias("ok")
+        ).collect()[0].ok
+        assert got is want, (a, q, got)
