@@ -239,3 +239,138 @@ def test_cusum_running_sums_survive_restart(spark, tmp_path):
     ramp = [by_bucket[h].cusum_up for h in range(12, 20)]
     assert all(b > a for a, b in zip(ramp, ramp[1:]))
     assert by_bucket[19].is_alarm
+
+
+# ------------------------------------------------------------- minhash
+
+
+def test_minhash_bucket_membership_survives_restart(spark, tmp_path):
+    from streamprocessing_with_kafka_spark.streaming.curation import (
+        file_document_stream,
+    )
+    from streamprocessing_with_kafka_spark.streaming.minhash_dedup import (
+        streaming_minhash_candidates,
+    )
+
+    def doc(i, text):
+        return {
+            "doc_id": i,
+            "text": text,
+            "lang": "en",
+            "source": "s",
+            "n_chars": len(text),
+        }
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog tonight",
+        "pack my box with five dozen liquor jugs again today",
+        "sphinx of black quartz judge my vow every single time",
+        "how vexingly quick daft zebras jump around the garden",
+        "bright vixens jump while dozy fowl quack in the yard",
+    ]
+    originals = [doc(i, t) for i, t in enumerate(texts)]
+    # post-restart EXACT COPIES of pre-restart docs: their candidate
+    # pairs exist only if the (band, band_key) membership lists written
+    # before the kill are still in the restored state store
+    copies = [doc(100 + i, t) for i, t in enumerate(texts)]
+    fresh = [
+        doc(200 + j, f"completely unrelated fresh document number {j} here")
+        for j in range(3)
+    ]
+
+    def build(spark_, path):
+        return streaming_minhash_candidates(file_document_stream(spark_, path))
+
+    flat, resumed = _run_both(
+        spark,
+        tmp_path,
+        build,
+        [originals, copies + fresh],
+        split=1,
+        key=lambda r: (r.band, r.doc_a, r.doc_b),
+    )
+    assert [r.asDict() for r in flat] == [r.asDict() for r in resumed]
+    pairs = {(r.doc_a, r.doc_b) for r in resumed}
+    # state proof: every copy pairs with its pre-restart original (exact
+    # copies share ALL bands; one surviving bucket suffices per pair)
+    assert all((i, 100 + i) in pairs for i in range(5))
+
+
+# ----------------------------------------------------------- count-min
+
+
+def test_count_min_counters_survive_restart(spark, tmp_path):
+    """The CM twin's state is the cell counters themselves (groupBy
+    aggregation state).  Complete-mode snapshots land in a durable sink
+    via foreachBatch (the recoverable path for non-append sinks); the
+    final snapshot after a mid-stream restart must carry counts from
+    BOTH sides of the boundary -- a reset store would serve post-restart
+    token counts only."""
+    from streamprocessing_with_kafka_spark.streaming.count_min import (
+        estimate_from_cells,
+        streaming_cm_cells,
+    )
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    b1 = [
+        {"doc_id": 0, "text": "drift drift drift common"},
+        {"doc_id": 1, "text": "drift drift drift common common common"},
+    ]
+    b2 = [
+        {"doc_id": 2, "text": "drift drift common common"},
+        {"doc_id": 3, "text": "common common common fresh fresh fresh"},
+    ]
+    exact = {"drift": 8, "common": 9, "fresh": 3}
+
+    def drain_snapshots(inp, ckpt, snap):
+        def write_snap(df, _epoch):
+            df.write.mode("overwrite").parquet(str(snap))
+
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(inp))
+        )
+        q = (
+            streaming_cm_cells(stream)
+            .writeStream.foreachBatch(write_snap)
+            .option("checkpointLocation", str(ckpt))
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(180), "stream did not drain"
+
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    _write(flat / "b0.json", b1)
+    time.sleep(1.1)
+    _write(flat / "b1.json", b2)
+    drain_snapshots(flat, tmp_path / "ckpt_flat", tmp_path / "snap_flat")
+
+    staged = tmp_path / "staged"
+    staged.mkdir()
+    ckpt, snap = tmp_path / "ckpt_staged", tmp_path / "snap_staged"
+    _write(staged / "b0.json", b1)
+    drain_snapshots(staged, ckpt, snap)  # stage 1, then the "kill"
+    time.sleep(1.1)
+    _write(staged / "b1.json", b2)
+    drain_snapshots(staged, ckpt, snap)  # NEW query, same checkpoint
+
+    cells = lambda p: {  # noqa: E731
+        (r.d, r.idx): r.counter for r in spark.read.parquet(str(p)).collect()
+    }
+    assert cells(tmp_path / "snap_flat") == cells(snap)
+
+    probes = spark.createDataFrame([(t,) for t in exact], "term string")
+    est = {
+        r.term: r.cm_estimate
+        for r in estimate_from_cells(
+            spark.read.parquet(str(snap)), probes
+        ).collect()
+    }
+    # tiny vocab in 4096 cells: no collisions, estimates are exact --
+    # drift=8 spans the restart (6 pre + 2 post); 2 would mean reset state
+    assert est == exact
