@@ -15,12 +15,24 @@ Scale: the co-occurrence pair explosion is quadratic in the
 per-(type, hour) cell size -- the same hot-block hazard as the shingle
 blocks in `dedup.ngram_jaccard_pairs`, controlled the same way (cap or
 sub-bucket hot cells; the registered query runs uncapped for oracle
-exactness, and the sf cells top out at ~10 users). The triangle join's
-cost is the wedge count; production would orient edges from
-lower-degree to higher-degree endpoints first (compact-forward,
-Latapy 2008), bounding wedges by the graph arboricity instead of the
-max degree -- plan shape (two equi-joins) is unchanged, so the sf plan
-IS the 100 TB plan.
+exactness). The triangle join's cost is the wedge count, so edges are
+ORIENTED from the (degree, id)-smaller endpoint to the larger one
+before the two equi-joins (compact-forward, Latapy 2008): every
+triangle survives as exactly one directed path a->b->c closed by a->c,
+and the wedge stream is bounded by sum(outdeg^2) <= O(m^1.5) REGARDLESS
+of max degree -- on a skewed graph the previous id-ordered edge list
+degenerates to deg_max * m wedges through any hub. (On the synthetic
+sf corpus degrees are near-uniform per cell, so id-order was already
+near-optimal: 277.8M -> 277.2M wedges at sf0.1 -- the orientation is
+worst-case insurance, not a win on this data.) The plan shape (two
+equi-joins) is unchanged, so the sf plan IS the 100 TB plan. What DID
+move at sf0.1 is the wedge exchange: the oriented edge list is slim
+enough that AQE's runtime broadcast conversion (session.py threshold
+note) builds both join sides as 6 MB hash tables and streams the
+wedges through them -- 1.88 GB of shuffled+sorted wedge rows dropped
+to zero, wall 72 s -> 35 s. Past broadcastable edge lists, the shuffle
+moves oriented-wedge rows -- the textbook MapReduce triangle-count
+cost, minimized by the orientation.
 """
 
 from __future__ import annotations
@@ -56,35 +68,56 @@ def triangle_clustering(
 ) -> DataFrame:
     """Per-user triangle count, degree, and local clustering coefficient.
 
-    Triangles enumerate once each as ordered triples a<b<c via two
-    equi-joins over the (u < v) edge list; each triangle then credits
-    its three corners through one explode. Degree is a per-endpoint
-    count over the same edge list. The final frame is user-sized --
-    joins after the corpus scan touch only vocabulary-scale data.
+    Triangles enumerate once each via two equi-joins over the DEGREE-
+    ORIENTED edge list (each undirected edge directed from its
+    (degree, id)-smaller endpoint -- a strict total order, so a triangle
+    whose corners sort a<b<c in it carries exactly the directed edges
+    a->b, b->c, a->c and is found exactly once as the a->b->c path
+    closed by a->c); each triangle then credits its three corners
+    through one explode. Degree is a per-endpoint count over the
+    undirected edge list, computed FIRST and reused for the orientation.
+    The final frame is user-sized -- joins after the corpus scan touch
+    only vocabulary-scale data, and the wedge stream between the two
+    joins is bounded by sum(outdeg^2) <= O(|E|^1.5).
     `lcc = 2*tri / (deg*(deg-1))` in fixed-order double, 6dp.
     """
     ev = load_table(spark, sf_dir, "events")
     e = cooccurrence_edges(ev)
-    # the edge list feeds FOUR consumers (three triangle-join roles +
-    # degree); without truncation each re-runs the occ self-join and
-    # distincts (a 17-shuffle plan). Vocabulary-sized: cheap to
-    # materialize. checkpoint=False keeps lineage for the plan pin.
+    # the edge list feeds FIVE consumers (degree + orientation + three
+    # triangle-join roles); without truncation each re-runs the occ
+    # self-join and distincts (a 17-shuffle plan). Vocabulary-sized:
+    # cheap to materialize. checkpoint=False keeps lineage for plan pins.
     if checkpoint:
         e = e.localCheckpoint()
+    degree = (
+        e.select(F.explode(F.array("u", "v")).alias("user_id"))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    if checkpoint:
+        degree = degree.localCheckpoint()
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    d = (
+        e.join(degree.select(F.col("user_id").alias("u"), F.col("degree").alias("du")), "u")
+        .join(degree.select(F.col("user_id").alias("v"), F.col("degree").alias("dv")), "v")
+        .select(
+            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("t"),
+        )
+    )
+    if checkpoint:
+        d = d.localCheckpoint()
     tri = (
-        e.select(F.col("u").alias("a"), F.col("v").alias("b"))
-        .join(e.select(F.col("u").alias("b"), F.col("v").alias("c")), "b")
-        .join(e.select(F.col("u").alias("a"), F.col("v").alias("c")), ["a", "c"])
+        d.select(F.col("s").alias("a"), F.col("t").alias("b"))
+        .join(d.select(F.col("s").alias("b"), F.col("t").alias("c")), "b")
+        .join(d.select(F.col("s").alias("a"), F.col("t").alias("c")), ["a", "c"])
     )
     tri_per_user = (
         tri.select(F.explode(F.array("a", "b", "c")).alias("user_id"))
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
-    )
-    degree = (
-        e.select(F.explode(F.array("u", "v")).alias("user_id"))
-        .groupBy("user_id")
-        .agg(F.count(F.lit(1)).alias("degree"))
     )
     lcc = F.when(
         F.col("degree") >= 2,

@@ -25,6 +25,15 @@ _RUNTIME_CONFS = {
     # AQE: runtime shuffle-partition coalescing + skew-join handling.
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    # Runtime-only broadcast threshold (static planning keeps the 10 MB
+    # default): once a join side's TRUE materialized size is known, a
+    # 64 MB hash build is cheap on any executor sized for real work, and
+    # converting the join erases the other side's exchange+sort -- e.g.
+    # the triangle wedge stream (operators/graph.py) rides through
+    # broadcast joins instead of shuffling O(wedges) rows whenever the
+    # edge list fits. Estimate-based (static) decisions stay
+    # conservative; only measured post-shuffle sizes use this bound.
+    "spark.sql.adaptive.autoBroadcastJoinThreshold": "64MB",
     # Spark still defaults parquet timestamps to legacy INT96, which gets
     # NO min/max statistics -- every time-range predicate on a lake we
     # wrote would scan all row groups. Micros timestamps carry stats (and
