@@ -1144,20 +1144,32 @@ def _pq_subspaces(e: DataFrame) -> DataFrame:
 
 
 def _pq_codebook_row(cb: DataFrame) -> DataFrame:
-    """The codebook as ONE broadcastable row: sorted (m, code, cv)
-    structs -- the frozen-model form `centroid_row` uses for IVF."""
-    return cb.select(F.struct("m", "code", "cv").alias("c")).agg(
-        F.sort_array(F.collect_list("c")).alias("cb")
+    """The codebook as ONE broadcastable row, INDEXED BY SUBSPACE:
+    cbm[m+1] = subspace m's (code, cv) entries sorted by code -- the
+    frozen-model form `centroid_row` uses for IVF. The per-row argmin
+    fold reads exactly its PQ_K entries by position instead of
+    re-filtering all M*K structs on every (vector, subspace) row (a
+    32x constant factor at PQ_M=32, paid once per corpus row per
+    training round AND per encode)."""
+    per_m = cb.groupBy("m").agg(
+        F.sort_array(F.collect_list(F.struct("code", "cv"))).alias("entries")
+    )
+    return per_m.agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("m", "entries"))),
+            lambda s: s["entries"],
+        ).alias("cbm")
     )
 
 
 def _pq_best_code(sub: Column, m: Column) -> Column:
-    """Per-row argmin over the broadcast codebook's subspace-m entries:
-    score every entry once into (-d2, -code) structs and take the struct
-    max = smallest distance, ties to the smallest code -- the zero-
-    shuffle fold `nearest_cell` uses, in L2."""
+    """Per-row argmin over the broadcast codebook's subspace-m entries
+    (positional lookup into the m-indexed `cbm` row): score every entry
+    once into (-d2, -code) structs and take the struct max = smallest
+    distance, ties to the smallest code -- the zero-shuffle fold
+    `nearest_cell` uses, in L2."""
     scored = F.transform(
-        F.filter(F.col("cb"), lambda c: c["m"] == m),
+        F.element_at(F.col("cbm"), m + F.lit(1)),
         lambda c: F.struct(
             (-_d2(sub, c["cv"])).alias("negd"), (-c["code"]).alias("negcode")
         ),
@@ -1285,7 +1297,9 @@ def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("q_id"),
             "m",
             "sub",
-            F.explode(F.filter(F.col("cb"), lambda c: c["m"] == F.col("m"))).alias("c"),
+            F.explode(
+                F.element_at(F.col("cbm"), F.col("m") + F.lit(1))
+            ).alias("c"),
         )
         .select(
             "q_id",
