@@ -1488,10 +1488,14 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The corpus-side work is exactly TWO map-side-combinable aggregates:
     the per-dim decimal mean (64 combined rows) and the centered
-    covariance -- each row emits its DIM x DIM outer product through one
-    nested-transform explode (no corpus self-join on vec_id, which
-    would shuffle the whole table to rebuild rows it already had), and
-    the shuffle carries only the 4096-key combined partials.  Everything
+    covariance -- each row emits the UPPER TRIANGLE (i <= j) of its
+    outer product through one nested-transform explode (no corpus
+    self-join on vec_id, which would shuffle the whole table to rebuild
+    rows it already had); symmetry supplies the lower half as a
+    model-frame mirror union after the aggregate, bit-identical because
+    xi*xj == xj*xi exactly in doubles and decimal addition is
+    order-free. The shuffle carries only the DIM*(DIM+1)/2-key combined
+    partials.  Everything
     after that is model-sized: power iteration is a (DIM^2 x DIM)
     equi-join per round, unrolled PCA_ITERS times with 6dp rounding and
     `localCheckpoint` (the `kmeans_train` de-recursion pattern -- both
@@ -1522,22 +1526,29 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     centered = e.crossJoin(F.broadcast(mu_row)).select(
         F.zip_with("v", "mu", lambda x, m: x - m).alias("c")
     )
+    # upper triangle only (i <= j): the covariance matrix is symmetric,
+    # so each row emits DIM*(DIM+1)/2 products instead of DIM^2 and the
+    # corpus-scale aggregate halves; the mirror is a model-frame union.
+    # Mirrored values are BIT-identical to computing both halves: the
+    # double product xi*xj == xj*xi exactly, and dec_sum is exact
+    # decimal addition (order-free), so cov(j,i) == cov(i,j) digit for
+    # digit in both engines.
     outer = centered.select(
         F.explode(
             F.flatten(
                 F.transform(
                     F.col("c"),
                     lambda xi, i: F.transform(
-                        F.col("c"),
-                        lambda xj, j: F.struct(
-                            i.alias("i"), j.alias("j"), (xi * xj).alias("p")
+                        F.slice(F.col("c"), i + F.lit(1), F.lit(DIM)),
+                        lambda xj, jj: F.struct(
+                            i.alias("i"), (i + jj).alias("j"), (xi * xj).alias("p")
                         ),
                     ),
                 )
             )
         ).alias("o")
     )
-    cov = (
+    cov_ut = (
         outer.select(F.col("o.i").alias("i"), F.col("o.j").alias("j"), F.col("o.p").alias("p"))
         .groupBy("i", "j")
         .agg(dec_sum("p").alias("s"))
@@ -1549,7 +1560,14 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             # NULL, ANSI `/` would abort the whole diagnostic
             F.round(F.try_divide(F.col("s"), (F.col("n") - 1).cast("double")), 6).alias("c"),
         )
+        # checkpoint the TRIANGLE, before the mirror: the union's second
+        # branch would otherwise re-run the corpus aggregate
         .localCheckpoint()
+    )
+    cov = cov_ut.union(
+        cov_ut.filter(F.col("i") < F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "c"
+        )
     )
     vec = spark.range(DIM).select(
         F.col("id").cast("int").alias("j"), F.lit(0.125).alias("x")
