@@ -71,6 +71,37 @@ def test_triangles_on_planted_graph(spark, tmp_path):
     assert got[4].clustering_coeff == 0.0
 
 
+def test_triangles_hub_and_tied_clique(spark, tmp_path):
+    """Orientation stress (r7, compact-forward edges): a hub whose
+    degree dwarfs every neighbor's -- all hub edges must orient
+    leaf -> hub -- and a 4-clique whose degrees all TIE, so orientation
+    falls back to the id tiebreak. Counts and lcc are hand-computed;
+    guards the (degree, id) total order against direction and tie bugs
+    the near-uniform planted graph cannot see (a wrong orientation
+    double-counts or drops triangles touching the hub or the clique)."""
+    cells = [("t0", 0, [100, 1, 2])]  # triangle {100, 1, 2} through the hub
+    cells += [(f"t{k}", k, [100, k]) for k in range(3, 13)]  # 10 hub spokes
+    cells += [("cl", 20, [20, 21, 22, 23])]  # 4-clique, all degrees tie at 3
+    ev = _planted_events(spark, cells)
+    d = str(tmp_path / "sf")
+    ev.write.parquet(d + "/events.parquet")
+    got = {r.user_id: r for r in triangle_clustering(spark, d).collect()}
+
+    exp_degree = {100: 12, 1: 2, 2: 2, **{k: 1 for k in range(3, 13)},
+                  **{u: 3 for u in (20, 21, 22, 23)}}
+    exp_tri = {100: 1, 1: 1, 2: 1, **{k: 0 for k in range(3, 13)},
+               **{u: 3 for u in (20, 21, 22, 23)}}  # C(3,2) per clique corner
+    assert {u: r.degree for u, r in got.items()} == exp_degree
+    assert {u: r.n_triangles for u, r in got.items()} == exp_tri
+    assert math.isclose(
+        got[100].clustering_coeff, round(2 * 1 / (12 * 11), 6), abs_tol=1e-9
+    )
+    for u in (1, 2, 20, 21, 22, 23):
+        assert got[u].clustering_coeff == 1.0
+    for k in range(3, 13):
+        assert got[k].clustering_coeff == 0.0
+
+
 def test_pagerank_conserves_mass_and_ranks_by_connectivity(spark, sf_dir):
     """Total PageRank mass stays ~1 through the teleport+spread rounds
     (no dangling nodes in a co-occurrence graph), and higher-degree
