@@ -1639,24 +1639,26 @@ register(
 #       (207/208) has a driver row; mm_phash_index stays local-only by
 #       design (rows-only, window-ineligible per the r1/r4 no_oracle
 #       rule enforced in tests/test_window_invariants.py).
-#   r7+ (THIS window): with the backlog at zero, the window becomes a
-#       regression-watch rotation -- STALE-GREEN-FIRST per the r6 verdict
-#       item 1: the full 12-row parity block returns, then every slot
-#       goes to queries whose BACKING CODE changed after their last green
-#       driver row, oldest green first:
-#         - slots 13-17: the five formerly-rows-only queries, oracle-
-#           backed THIS round (sketch verdict frames + the phash SQL
-#           oracle) -- never driver-green under any oracle;
-#         - slots 18-30: the verdict's explicit stale list
-#           (join_market_share rewritten since its r1 green; the r6
-#           shuffle-slimmed dedup_embedding/minhash family; the mm_*
-#           family, re-changed r7 by the featurizer; events_mad_outliers;
-#           text_hashed_tfidf);
-#         - slots 31-50: oldest-green names in the other r6-changed
-#           modules (dedup/similarity/windows/timeseries/text/
-#           tpch_extra), including the three perf-watch queries
-#           (events_session, dedup_minhash_lsh, ann_topk_bruteforce) so
-#           their r7 timings land with a fresh correctness row attached.
+#   r7: backlog at zero -> regression-watch rotation, STALE-GREEN-FIRST
+#       (12-row parity block + the five newly oracle-backed sketch/phash
+#       queries + the r6 verdict's explicit stale list + oldest greens in
+#       the r6-changed modules). 50/50 green.
+#   r8 (THIS window): r7 verdict item 1 -- graph.py, similarity.py
+#       (PQ codebook indexing, PCA triangle symmetry) and session.py (the
+#       global runtime 64MB AQE broadcast threshold) were rewritten AFTER
+#       the r7 window was pinned at 3599494, so:
+#         - slots 13-24: every oracle-backed query whose backing code
+#           changed post-pin -- graph_triangles/graph_pagerank
+#           (orientation rewrite f364c2b), the PQ/quantize family sharing
+#           _pq_best_code (f08739e), the PCA/k-means/IVF-trained family
+#           (c210d1e), plus the broadcast-sensitive join spread the
+#           verdict names to exercise the new session-global AQE
+#           threshold under the driver;
+#         - slots 25-50: oldest-green-first (scratch/next_window.py
+#           order): 26 of the 32 remaining r1 greens. The five r1
+#           leftovers (agg_supplier_count_by_part, join_waiting_supplier,
+#           agg_important_parts, join_excess_shippers, profile_documents)
+#           head the r9 rotation together with the r2 cohort.
 # ==========================================================================
 CORRECTNESS_WINDOW = [
     # 1-12: reference parity block (SURVEY §2 contract, every round)
@@ -1672,47 +1674,46 @@ CORRECTNESS_WINDOW = [
     "crud_append",
     "crud_delete",
     "crud_upsert",
-    # 13-17: newly oracle-backed (r7): verdict frames + phash SQL oracle
-    "sketch_distinct_users",
-    "sketch_value_quantiles",
-    "sketch_quantile_rollup",
-    "sketch_distinct_rollup",
-    "mm_phash_index",
-    # 18-30: r6 verdict's explicit stale-green list
+    # 13-24: r7 verdict item 1 -- code changed after the r7 window pin
+    "graph_triangles",
+    "graph_pagerank",
+    "ann_topk_pq",
+    "ann_pq_train",
+    "embedding_quantize",
+    "ann_topk_quantized",
+    "embedding_pca_power",
+    "ann_kmeans_train",
+    "ann_ivf_topk_trained",
     "join_market_share",
-    "dedup_embedding_cosine",
-    "dedup_embedding_cosine_capped",
-    "dedup_minhash_lsh",
-    "dedup_cluster_keepers",
-    "mm_decode",
-    "mm_ann_topk",
-    "mm_resize",
-    "mm_frame_sample",
-    "mm_binary_meta",
-    "mm_feature_extract",
-    "events_mad_outliers",
-    "text_hashed_tfidf",
-    # 31-50: oldest-green in the other r6-changed modules
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_ngram_jaccard_capped",
-    "dedup_dup_spans",
-    "split_leakage_safe",
-    "ann_topk_bruteforce",
-    "embedding_stats",
-    "ann_ivf_topk",
-    "ann_topk_lsh",
-    "events_session",
-    "events_concurrency",
-    "events_gapfill",
-    "events_funnel",
-    "events_cusum",
-    "events_ewma",
-    "text_stats",
-    "text_lang_id",
-    "text_curation_pipeline",
+    "join_shipping_priority",
     "join_volume_shipping",
+    # 25-50: oldest-green-first (r1 cohort, next_window.py order)
+    "agg_pricing_summary",
+    "join_revenue_by_nation",
+    "window_top_orders",
+    "agg_order_rollup",
+    "setop_urgent_not_fulfilled",
+    "topk_parts_by_revenue",
+    "join_semi_urgent_customers",
+    "agg_order_cube",
+    "agg_customer_order_dist",
+    "join_salted_skew",
+    "agg_small_qty_revenue",
+    "join_bucketed_colocated",
+    "agg_salted_revenue",
+    "join_large_volume_customers",
+    "agg_grouping_sets",
+    "setop_intersect",
+    "join_local_supplier_volume",
+    "join_anti_inactive_customers",
+    "agg_argmin_supplier",
+    "agg_forecast_revenue",
+    "join_returned_item_topk",
+    "agg_promo_revenue_pct",
+    "join_disjunctive_predicates",
+    "join_semi_late_shipments",
+    "join_product_profit",
+    "join_top_supplier",
 ]
 
 #: Oracle-backed queries still without a driver row: none -- as of r7

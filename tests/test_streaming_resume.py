@@ -374,3 +374,405 @@ def test_count_min_counters_survive_restart(spark, tmp_path):
     # tiny vocab in 4096 cells: no collisions, estimates are exact --
     # drift=8 spans the restart (6 pre + 2 post); 2 would mean reset state
     assert est == exact
+
+
+# ---------------------------------------------------------------- ewma
+
+
+def test_ewma_ring_state_survives_restart(spark, tmp_path):
+    """The EWMA twin's state is the last K-1 values per user (the ring
+    that makes the truncated formulation O(K)); the first post-restart
+    row's n_hist can only be K if the pre-restart ring was restored."""
+    from streamprocessing_with_kafka_spark.operators.timeseries import EWMA_LAGS
+    from streamprocessing_with_kafka_spark.streaming.ewma import ewma_stream
+
+    schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    rows = [
+        {
+            "user_id": 0,
+            "event_id": i,
+            "ts": f"2024-03-01T00:{i:02d}:00",
+            "value": float(3 * i + 1) / 8.0,
+        }
+        for i in range(12)
+    ]
+
+    def build(spark_, path):
+        stream = (
+            spark_.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(path)
+        )
+        return ewma_stream(stream)
+
+    # split at event 8: the ring holds events 1-7 (K-1 = 7 values) at the
+    # kill, so event 8's window is full-depth immediately on resume
+    flat, resumed = _run_both(
+        spark,
+        tmp_path,
+        build,
+        [rows[:8], rows[8:]],
+        split=1,
+        key=lambda r: r.event_id,
+    )
+    assert [r.asDict() for r in flat] == [r.asDict() for r in resumed]
+    by_event = {r.event_id: r for r in resumed}
+    assert len(by_event) == 12
+    # state proof: a reset ring would restart history at the boundary
+    # (n_hist == 1 for event 8); the restored ring keeps full depth
+    assert by_event[8].n_hist == EWMA_LAGS
+    assert by_event[0].n_hist == 1
+
+
+# ---------------------------------------------------------------- holt
+
+
+def test_holt_ring_and_open_bucket_sum_survive_restart(spark, tmp_path):
+    """The Holt twin's state is the closed-bucket ring PLUS the open
+    bucket's exact Decimal partial sum. Split INSIDE an open bucket: its
+    emitted x must combine value parts from both sides of the restart,
+    and post-restart buckets keep non-null level/trend only because the
+    pre-restart ring (>= HOLT_LAGS - 1 closed buckets) was restored."""
+    from streamprocessing_with_kafka_spark.operators.timeseries import (
+        HOLT_HORIZON,
+        HOLT_LAGS,
+    )
+    from streamprocessing_with_kafka_spark.streaming.holt import holt_stream
+
+    schema = StructType(
+        [
+            StructField("event_type", StringType()),
+            StructField("ts", TimestampType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+
+    def ev(h, minute, v):
+        return {
+            "event_type": "t",
+            "ts": f"2024-04-01 {h:02d}:{minute:02d}:00",
+            "value": v,
+        }
+
+    # hours 0..11 close pre-kill (= HOLT_LAGS closed buckets in the
+    # ring); hour 12 is OPEN at the kill with a partial sum of 5.25
+    b1 = [ev(h, 0, float(h) + 0.5) for h in range(12)] + [ev(12, 10, 5.25)]
+    # post-restart: hour 12 gains a second part, then hours 13..15 close
+    # every earlier bucket
+    b2 = [ev(12, 40, 7.0)] + [ev(h, 0, float(h) + 0.5) for h in range(13, 16)]
+
+    def build(spark_, path):
+        stream = (
+            spark_.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(path)
+        )
+        return holt_stream(stream)
+
+    flat, resumed = _run_both(
+        spark, tmp_path, build, [b1, b2], split=1, key=lambda r: r.bucket
+    )
+    assert [r.asDict() for r in flat] == [r.asDict() for r in resumed]
+    by_hour = {r.bucket.hour: r for r in resumed}
+    assert sorted(by_hour) == list(range(15))  # hour 15 still open at end
+    # open-bucket proof: hour 12's x sums the pre-kill 5.25 AND the
+    # post-restart 7.0 -- a reset open_sum would emit 7.0
+    assert by_hour[12].x == 12.25
+    # ring proof: hour 12 closes with a full 12-bucket window (hours
+    # 1..12) -- null level here would mean the ring was lost
+    assert by_hour[12].level is not None
+    assert by_hour[12].forecast is not None
+    # and the linear hours 0..11 give the exact textbook ramp at hour 11
+    assert by_hour[11].trend is not None
+    assert abs(by_hour[11].forecast - (by_hour[11].level + HOLT_HORIZON * by_hour[11].trend)) < 1e-6
+    assert len(flat) == 15 and HOLT_LAGS == 12
+
+
+# ------------------------------------------------------------- gapfill
+
+
+def test_gapfill_frontier_survives_restart(spark, tmp_path):
+    """The gapfill twin's state is (frontier_hour, last_value). An event
+    arriving AFTER the restart, hours past the frontier, must fill the
+    intervening gap rows with the PRE-restart last observed value -- a
+    reset frontier would treat it as the series start and emit no gaps."""
+    from streamprocessing_with_kafka_spark.streaming.gapfill import (
+        gapfilled_stream,
+    )
+
+    schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    b1 = [
+        {"user_id": 7, "ts": "2024-05-01 00:30:00", "value": 10.0},
+        {"user_id": 7, "ts": "2024-05-01 01:15:00", "value": 20.0},
+        {"user_id": 7, "ts": "2024-05-01 02:45:00", "value": 30.0},
+    ]
+    b2 = [{"user_id": 7, "ts": "2024-05-01 06:05:00", "value": 60.0}]
+
+    def build(spark_, path):
+        stream = (
+            spark_.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(path)
+        )
+        return gapfilled_stream(stream)
+
+    flat, resumed = _run_both(
+        spark, tmp_path, build, [b1, b2], split=1, key=lambda r: r.bucket
+    )
+    assert [r.asDict() for r in flat] == [r.asDict() for r in resumed]
+    by_hour = {r.bucket.hour: r for r in resumed}
+    assert sorted(by_hour) == [0, 1, 2, 3, 4, 5, 6]
+    # frontier proof: hours 3-5 are synthesized gap rows carrying the
+    # pre-restart last_value (30.0), emitted by the post-restart batch
+    for h in (3, 4, 5):
+        assert by_hour[h].is_gap and by_hour[h].filled_value == 30.0
+        assert by_hour[h].observed_value is None
+    assert not by_hour[6].is_gap and by_hour[6].filled_value == 60.0
+
+
+# ------------------------------------------------- update-mode snapshots
+
+
+def _drain_snapshots(spark, build_query, inp, ckpt, out, mode):
+    """Drain an update/complete-mode twin into an append-only parquet log
+    via foreachBatch (the recoverable path for non-append sinks);
+    consumers take the latest snapshot per key."""
+
+    def write_batch(df, _epoch):
+        df.write.mode("append").parquet(str(out))
+
+    q = (
+        build_query(spark, str(inp))
+        .writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", str(ckpt))
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180), "stream did not drain"
+
+
+def _run_both_snapshots(spark, tmp_path, build_query, batches, split, mode):
+    """_run_both for update/complete-mode twins: returns the two parquet
+    logs as (uninterrupted_rows, resumed_rows), unsorted."""
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    for i, rows in enumerate(batches):
+        if i:
+            time.sleep(1.1)
+        _write(flat / f"b{i}.json", rows)
+    _drain_snapshots(
+        spark, build_query, flat, tmp_path / "ckpt_flat", tmp_path / "log_flat", mode
+    )
+
+    staged = tmp_path / "staged"
+    staged.mkdir()
+    ckpt, out = tmp_path / "ckpt_staged", tmp_path / "log_staged"
+    for i, rows in enumerate(batches[:split]):
+        if i:
+            time.sleep(1.1)
+        _write(staged / f"b{i}.json", rows)
+    _drain_snapshots(spark, build_query, staged, ckpt, out, mode)
+    for i, rows in enumerate(batches[split:]):
+        time.sleep(1.1)
+        _write(staged / f"b{split + i}.json", rows)
+    _drain_snapshots(spark, build_query, staged, ckpt, out, mode)
+
+    return (
+        spark.read.parquet(str(tmp_path / "log_flat")).collect(),
+        spark.read.parquet(str(out)).collect(),
+    )
+
+
+# ------------------------------------------------------------ reservoir
+
+
+def test_reservoir_pool_survives_restart(spark, tmp_path):
+    """The sampler's state is each stratum's K smallest md5-ranked
+    (rank_key, doc_id) pairs. The final snapshot after a restart must be
+    the bottom-K over BOTH sides of the boundary -- equal to the batch
+    operator's deterministic answer over all docs; a reset pool would
+    sample only post-restart arrivals (and report n_seen = 10, not 20)."""
+    from pyspark.sql import functions as F
+
+    from streamprocessing_with_kafka_spark.streaming.curation import (
+        file_document_stream,
+    )
+    from streamprocessing_with_kafka_spark.streaming.reservoir import (
+        streaming_stratified_sample,
+    )
+
+    def doc(i):
+        return {
+            "doc_id": i,
+            "text": f"document body {i}",
+            "lang": "en",
+            "source": "s",
+            "n_chars": 20,
+        }
+
+    K = 3
+    b1 = [doc(i) for i in range(10)]
+    b2 = [doc(i) for i in range(10, 20)]
+
+    def build(spark_, path):
+        return streaming_stratified_sample(file_document_stream(spark_, path), k=K)
+
+    flat, resumed = _run_both_snapshots(
+        spark, tmp_path, build, [b1, b2], split=1, mode="update"
+    )
+
+    def final_sample(rows):
+        hi = max(r.n_seen for r in rows)
+        return sorted(
+            (r.doc_id, r.sample_rank) for r in rows if r.n_seen == hi
+        ), hi
+
+    flat_final, flat_seen = final_sample(flat)
+    res_final, res_seen = final_sample(resumed)
+    assert flat_final == res_final
+    assert flat_seen == res_seen == 20
+    # the definitional contract: identical to the batch rank over ALL 20
+    # docs (state proof -- 7 of the bottom-3 candidates arrived pre-kill)
+    expected = [
+        (r.doc_id, i + 1)
+        for i, r in enumerate(
+            spark.createDataFrame([(i,) for i in range(20)], "doc_id long")
+            .select(
+                "doc_id",
+                F.md5(
+                    F.concat(F.lit("strat|"), F.col("doc_id").cast("string"))
+                ).alias("rk"),
+            )
+            .orderBy("rk")
+            .limit(K)
+            .collect()
+        )
+    ]
+    assert res_final == sorted(expected)
+
+
+# -------------------------------------------------------- heavy hitters
+
+
+def test_spacesaving_counters_survive_restart(spark, tmp_path):
+    """The SpaceSaving twin's state is the per-shard counter table. With
+    capacity >= vocabulary the sketch is exact, so the final snapshot's
+    est_count for a token seen on both sides of the restart must be the
+    TOTAL -- post-restart-only counts would mean the counters reset."""
+    from streamprocessing_with_kafka_spark.streaming.curation import (
+        file_document_stream,
+    )
+    from streamprocessing_with_kafka_spark.streaming.heavy_hitters import (
+        streaming_heavy_hitters,
+    )
+
+    def doc(i, text):
+        return {
+            "doc_id": i,
+            "text": text,
+            "lang": "en",
+            "source": "s",
+            "n_chars": len(text),
+        }
+
+    b1 = [
+        doc(0, "alpha alpha alpha beta gamma"),
+        doc(1, "alpha beta beta gamma gamma gamma"),
+    ]
+    b2 = [
+        doc(2, "alpha alpha beta gamma"),
+        doc(3, "delta delta epsilon"),
+    ]
+    exact = {"alpha": 6, "beta": 4, "gamma": 5, "delta": 2, "epsilon": 1}
+
+    def build(spark_, path):
+        return streaming_heavy_hitters(
+            file_document_stream(spark_, path), capacity=64
+        )
+
+    flat, resumed = _run_both_snapshots(
+        spark, tmp_path, build, [b1, b2], split=1, mode="update"
+    )
+
+    def final_counts(rows):
+        # latest snapshot PER SHARD = rows at that shard's max total
+        hi = {}
+        for r in rows:
+            hi[r.shard] = max(hi.get(r.shard, 0), r.shard_total)
+        return {
+            r.token: r.est_count for r in rows if r.shard_total == hi[r.shard]
+        }
+
+    assert final_counts(flat) == final_counts(resumed) == exact
+
+
+# ------------------------------------------------------------------ wau
+
+
+def test_wau_dedup_store_survives_restart(spark, tmp_path):
+    """The WAU twin's load-bearing state is the dropDuplicates([user_id,
+    report_day]) store: a user re-appearing AFTER the restart on a day
+    they already supported must NOT increment the count. A reset store
+    double-counts user 1 (wau=3 on their report days); the restored one
+    keeps wau=2 and matches the uninterrupted run exactly."""
+    from streamprocessing_with_kafka_spark.streaming.wau import wau_updates
+
+    schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("ts", TimestampType()),
+        ]
+    )
+    b1 = [
+        {"user_id": 1, "ts": "2024-06-03 08:00:00"},
+        {"user_id": 2, "ts": "2024-06-03 09:00:00"},
+    ]
+    # user 1 again on the SAME day (pure replay for the dedup store),
+    # plus a fresh user on the same day
+    b2 = [
+        {"user_id": 1, "ts": "2024-06-03 17:00:00"},
+        {"user_id": 3, "ts": "2024-06-03 18:00:00"},
+    ]
+
+    def build(spark_, path):
+        stream = (
+            spark_.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(path)
+        )
+        return wau_updates(stream)
+
+    flat, resumed = _run_both_snapshots(
+        spark, tmp_path, build, [b1, b2], split=1, mode="complete"
+    )
+
+    def final_wau(rows):
+        # complete-mode log: the final snapshot is the last full emission;
+        # reconstruct it as max wau per report_day of the LAST epoch ==
+        # max over the log (wau is monotone under complete mode here)
+        out = {}
+        for r in rows:
+            d = r.report_day.date().isoformat()
+            out[d] = max(out.get(d, 0), r.wau)
+        return out
+
+    flat_final, res_final = final_wau(flat), final_wau(resumed)
+    assert flat_final == res_final
+    # all three users support 2024-06-03's window; user 1's replay must
+    # not have re-counted
+    assert res_final["2024-06-03"] == 3
+    assert all(v == 3 for v in res_final.values())
