@@ -318,7 +318,14 @@ def _rp_sql_ctes() -> str:
     integer mean-centering -> seeded integer projection matrix -> exact
     integer sums.  Joins are null-safe on doc_id so a NULL-keyed doc
     still features, mirroring the engine (the featurizer never reads
-    doc_id)."""
+    doc_id).
+
+    Precondition: doc_id is UNIQUE in `documents` (and at most one NULL
+    key exists) -- the tot/sums CTEs GROUP BY doc_id, so duplicate keys
+    would merge distinct payloads' cell totals into one centering sum,
+    where the engine featurizes each payload row independently.  The
+    testdata generator guarantees uniqueness; a corpus without it would
+    need a synthetic row id as the CTE key instead."""
     return f"""
 corpus AS (
   SELECT doc_id,

@@ -1154,10 +1154,24 @@ def _pq_codebook_row(cb: DataFrame) -> DataFrame:
     per_m = cb.groupBy("m").agg(
         F.sort_array(F.collect_list(F.struct("code", "cv"))).alias("entries")
     )
-    return per_m.agg(
+    row = per_m.agg(
         F.transform(
             F.sort_array(F.collect_list(F.struct("m", "entries"))),
             lambda s: s["entries"],
+        ).alias("cbm")
+    )
+    # the positional element_at(cbm, m+1) lookup in _pq_best_code is only
+    # sound if EVERY subspace 0..PQ_M-1 is present (indices shift
+    # silently otherwise). The invariant holds by construction -- seeds
+    # cover all PQ_M subspaces and empty codes keep their previous entry
+    # -- but a violation would mis-assign codes, not fail, so make it
+    # loud: assert_true costs one comparison on a one-row model frame.
+    return row.select(
+        F.when(
+            F.assert_true(
+                F.size("cbm") == PQ_M, F.lit("PQ codebook missing a subspace")
+            ).isNull(),
+            F.col("cbm"),
         ).alias("cbm")
     )
 

@@ -125,9 +125,13 @@ def distinct_users_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The driver-registered surface for the four approximate queries above:
 # estimate + exact computed in ONE engine pass, verdict emitted as data.
 # Bounds are deliberately LOOSER than the sketches' published guarantees
-# (2.5-3x sigma) so the verdict is deterministic-true for a correct
-# implementation at any SF, while any real defect (wrong hash family,
-# broken merge, dropped partition) blows far past them.
+# (2.5-3x sigma) so the verdict holds for a correct implementation at any
+# SF, while any real defect (wrong hash family, broken merge, dropped
+# partition) blows far past them. Caveat: HLL/GK are deterministic given
+# the data, but KLL compaction is RANDOMIZED -- at ~3x the 99%-confidence
+# bound a spurious flip of sketch_quantile_rollup's booleans is
+# vanishingly rare, not impossible; a red there warrants a
+# rerun-to-confirm before being treated as a defect.
 
 #: HLL verdict bound: rsd=0.02 -> 2.5 sigma = 5%, plus a small absolute
 #: slack so near-empty groups can never flap on integer rounding.

@@ -33,6 +33,13 @@ _RUNTIME_CONFS = {
     # broadcast joins instead of shuffling O(wedges) rows whenever the
     # edge list fits. Estimate-based (static) decisions stay
     # conservative; only measured post-shuffle sizes use this bound.
+    # Memory headroom assumption: this is SESSION-GLOBAL, so every join
+    # may build a hash relation from a 64 MB serialized side -- which can
+    # deserialize to several hundred MB in-heap, multiplied by concurrent
+    # joins. Sized for executors/drivers with >= 8-16 GB heap (the local
+    # 16g default and any cluster sized for real work); on smaller heaps,
+    # scope the raise per-query (spark.conf.set around the graph query)
+    # or drop back to Spark's 10 MB default.
     "spark.sql.adaptive.autoBroadcastJoinThreshold": "64MB",
     # Spark still defaults parquet timestamps to legacy INT96, which gets
     # NO min/max statistics -- every time-range predicate on a lake we

@@ -52,24 +52,28 @@ def test_driver_correctness_window_matches_budget():
 
     window = list(registry())[:50]
     assert window == CORRECTNESS_WINDOW
-    # r7 window: the full 12-row parity block heads the rotation again
+    # every round: the full 12-row parity block heads the rotation
     assert window[0] == "flagship_pipeline"
     assert {"route_invalid", "crud_upsert", "sql_enriched_orders"} <= set(
         window[:12]
     )
     for name in (
-        # the five newly oracle-backed queries (r6 verdict item 3) must
-        # get their first driver row this round
-        "sketch_distinct_users",
-        "sketch_value_quantiles",
-        "sketch_quantile_rollup",
-        "sketch_distinct_rollup",
-        "mm_phash_index",
-        # stale-green head of the r6 verdict's item 1 list
+        # r7 verdict item 1: every query whose backing code changed after
+        # the r7 window pin (graph orientation rewrite, PQ/PCA/k-means
+        # similarity family, the broadcast-sensitive join spread under
+        # the session-global 64MB runtime AQE threshold) must re-window
+        "graph_triangles",
+        "graph_pagerank",
+        "ann_topk_pq",
+        "ann_pq_train",
+        "embedding_quantize",
+        "ann_topk_quantized",
+        "embedding_pca_power",
+        "ann_kmeans_train",
+        "ann_ivf_topk_trained",
         "join_market_share",
-        "dedup_minhash_lsh",
-        "mm_feature_extract",
-        "events_session",
+        "join_shipping_priority",
+        "join_volume_shipping",
     ):
         assert name in window, name
 
