@@ -1166,10 +1166,15 @@ def _pq_codebook_row(cb: DataFrame) -> DataFrame:
     # cover all PQ_M subspaces and empty codes keep their previous entry
     # -- but a violation would mis-assign codes, not fail, so make it
     # loud: assert_true costs one comparison on a one-row model frame.
+    # size == 0 is the legitimate no-model degenerate (empty corpus: no
+    # seeds at all -- downstream element_at yields NULL and the query
+    # returns empty, the empty-input sweep's contract); any OTHER size
+    # means a partially-covering codebook and must never assign codes.
     return row.select(
         F.when(
             F.assert_true(
-                F.size("cbm") == PQ_M, F.lit("PQ codebook missing a subspace")
+                F.size("cbm").isin(0, PQ_M),
+                F.lit("PQ codebook missing a subspace"),
             ).isNull(),
             F.col("cbm"),
         ).alias("cbm")
