@@ -1012,6 +1012,36 @@ def test_export_packed_executed_shape(spark, sf_dir):
     assert "SortMergeJoin" not in final, final
 
 
+def test_pq_topk_executed_shape(spark, sf_dir):
+    """The r7 PQ rewrite (subspace-indexed codebook broadcast) pinned at
+    runtime: the ADC scan must keep the corpus probe-side everywhere --
+    no sort-merge/shuffled-hash join ever touches it, the only
+    nested-loop nodes are the two one-row model-frame broadcast
+    crossJoins (codebook + query vector), and the shuffle budget stays
+    at the model/topk exchanges (<=5), never an O(corpus) repartition."""
+    final = _executed_final(spark, registry()["ann_topk_pq"].fn(spark, sf_dir))
+    assert "SortMergeJoin" not in final, final
+    assert "ShuffledHashJoin" not in final, final
+    assert final.count("BroadcastNestedLoopJoin") <= 2, final
+    assert "CartesianProduct" not in final, final
+    assert _n_shuffles(final) <= 5, final
+
+
+def test_pca_power_executed_shape(spark, sf_dir):
+    """The r7 PCA rewrite (upper-triangle covariance, mirrored on the
+    model frame) pinned at runtime: corpus never sort-merges, the only
+    nested-loop nodes are one-row broadcast scalar/model crossJoins, and
+    the covariance reduction stays within the bounded shuffle budget."""
+    final = _executed_final(
+        spark, registry()["embedding_pca_power"].fn(spark, sf_dir)
+    )
+    assert "SortMergeJoin" not in final, final
+    assert "ShuffledHashJoin" not in final, final
+    assert final.count("BroadcastNestedLoopJoin") <= 2, final
+    assert "CartesianProduct" not in final, final
+    assert _n_shuffles(final) <= 5, final
+
+
 def test_corpus_report_executed_shape(spark, sf_dir):
     """Static audit shows 2 SMJ; at runtime AQE converts both to
     broadcast (the per-source glue frames are |sources|-sized), so the
