@@ -319,39 +319,43 @@ def gapfill_hourly(ev: DataFrame) -> DataFrame:
     their observed [min, max] hour range, carry the last observation
     forward across the generated gaps.
 
-    Shape: one hash aggregate to hourly buckets (map-side combinable),
-    a tiny per-user min/max re-aggregate off it, `sequence()` + explode
-    to generate the dense spine (rows materialize executor-side, never
-    on the driver), a left join back on (user_id, bucket), and one
-    user-partitioned window for the LOCF. Every stage keys on user_id,
-    so at scale the same hash partitioning carries through; spine size
-    is users x hours, independent of the event count."""
+    Shape (r8 rewrite): one hash aggregate to hourly buckets (map-side
+    combinable), then ONE user-partitioned window (`lead(bucket)`) and
+    a `sequence()` explode: each observed row emits itself plus its
+    following gap run [bucket, next_bucket), CARRYING ITS OWN VALUE --
+    which is exactly the LOCF answer, so the former dense-spine
+    left-join and the unbounded LOCF window are gone (4 exchanges ->
+    2, no join). Generated rows materialize executor-side, never on
+    the driver; output size is users x hours, independent of the
+    event count, and both shuffles key on user_id."""
     from pyspark.sql import Window as W
 
     hourly = ev.groupBy(
         "user_id", F.date_trunc("hour", F.col("ts")).alias("bucket")
     ).agg(dec_sum("value").alias("hour_value"))
-    spine = (
-        hourly.groupBy("user_id")
-        .agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
-        .select(
-            "user_id",
-            F.explode(
-                F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
-            ).alias("bucket"),
-        )
+    nxt = F.lead("bucket").over(W.partitionBy("user_id").orderBy("bucket"))
+    runs = hourly.select("user_id", "bucket", "hour_value", nxt.alias("nxt"))
+    dense = runs.select(
+        "user_id",
+        F.col("bucket").alias("obs_bucket"),
+        "hour_value",
+        F.explode(
+            F.sequence(
+                "bucket",
+                F.coalesce(
+                    F.col("nxt") - F.expr("INTERVAL 1 HOUR"), F.col("bucket")
+                ),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("bucket"),
     )
-    w = (
-        W.partitionBy("user_id")
-        .orderBy("bucket")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    return spine.join(hourly, ["user_id", "bucket"], "left").select(
+    is_obs = F.col("bucket") == F.col("obs_bucket")
+    return dense.select(
         "user_id",
         "bucket",
-        F.col("hour_value").alias("observed_value"),
-        F.last("hour_value", ignorenulls=True).over(w).alias("filled_value"),
-        F.col("hour_value").isNull().alias("is_gap"),
+        F.when(is_obs, F.col("hour_value")).alias("observed_value"),
+        F.col("hour_value").alias("filled_value"),
+        (~is_obs).alias("is_gap"),
     )
 
 

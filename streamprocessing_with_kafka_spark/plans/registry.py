@@ -1654,11 +1654,16 @@ register(
 #           (c210d1e), plus the broadcast-sensitive join spread the
 #           verdict names to exercise the new session-global AQE
 #           threshold under the driver;
-#         - slots 25-50: oldest-green-first (scratch/next_window.py
-#           order): 26 of the 32 remaining r1 greens. The five r1
-#           leftovers (agg_supplier_count_by_part, join_waiting_supplier,
-#           agg_important_parts, join_excess_shippers, profile_documents)
-#           head the r9 rotation together with the r2 cohort.
+#         - slots 25-49: oldest-green-first (scratch/next_window.py
+#           order): 25 of the 32 remaining r1 greens. The six r1
+#           leftovers (join_top_supplier, agg_supplier_count_by_part,
+#           join_waiting_supplier, agg_important_parts,
+#           join_excess_shippers, profile_documents) head the r9
+#           rotation together with the r2 cohort;
+#         - slot 50: events_gapfill -- its batch operator was rewritten
+#           DURING r8 (spine join + LOCF window -> lead()+sequence gap
+#           runs, 4 exchanges -> 2), so its r7 green went stale this
+#           round and it re-windows immediately (stale-green-first).
 # ==========================================================================
 CORRECTNESS_WINDOW = [
     # 1-12: reference parity block (SURVEY §2 contract, every round)
@@ -1687,7 +1692,7 @@ CORRECTNESS_WINDOW = [
     "join_market_share",
     "join_shipping_priority",
     "join_volume_shipping",
-    # 25-50: oldest-green-first (r1 cohort, next_window.py order)
+    # 25-49: oldest-green-first (r1 cohort, next_window.py order)
     "agg_pricing_summary",
     "join_revenue_by_nation",
     "window_top_orders",
@@ -1713,7 +1718,8 @@ CORRECTNESS_WINDOW = [
     "join_disjunctive_predicates",
     "join_semi_late_shipments",
     "join_product_profit",
-    "join_top_supplier",
+    # 50: rewritten during r8 -> re-window (stale-green-first)
+    "events_gapfill",
 ]
 
 #: Oracle-backed queries still without a driver row: none -- as of r7

@@ -1012,6 +1012,18 @@ def test_export_packed_executed_shape(spark, sf_dir):
     assert "SortMergeJoin" not in final, final
 
 
+def test_gapfill_is_joinless_two_exchange(spark, sf_dir):
+    """The r8 gapfill rewrite: each observed hourly row emits its own
+    following gap run (lead() + sequence explode carrying its value), so
+    the dense-spine left join and the unbounded LOCF window are GONE --
+    the plan is two user-keyed exchanges (hourly agg, lead window) and
+    zero joins. At 100 TB the former spine join re-shuffled users x
+    hours rows a third time for no information gain."""
+    plan = _plan(spark, registry()["events_gapfill"].fn(spark, sf_dir))
+    assert "Join" not in plan, plan
+    assert _n_shuffles(plan) <= 2, plan
+
+
 def test_pq_topk_executed_shape(spark, sf_dir):
     """The r7 PQ rewrite (subspace-indexed codebook broadcast) pinned at
     runtime: the ADC scan must keep the corpus probe-side everywhere --
