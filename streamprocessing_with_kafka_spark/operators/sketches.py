@@ -80,6 +80,13 @@ def value_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     collect_list of sketch blobs: summary-sized by construction, never
     row data."""
     daily = kll_daily_value_sketches(spark, sf_dir)
+    # a day whose values are ALL NULL still aggregates to a non-null
+    # EMPTY sketch (the 8-byte KLL preamble with zero retained items),
+    # which kll_sketch_get_quantile_double rejects as un-queryable. An
+    # empty sketch is the merge identity, so dropping it changes nothing
+    # mathematically; if EVERY day is empty the fold seeds NULL and the
+    # quantiles come back NULL (the all-null-input contract).
+    daily = daily.filter(F.length("sk") > 8)
     merged = daily.agg(F.collect_list("sk").alias("sks")).select(
         F.aggregate(
             F.slice("sks", 2, 1 << 30),
