@@ -776,3 +776,126 @@ def test_wau_dedup_store_survives_restart(spark, tmp_path):
     # not have re-counted
     assert res_final["2024-06-03"] == 3
     assert all(v == 3 for v in res_final.values())
+
+
+# ---------------------------------------------------------- attribution
+
+
+def test_attribution_last_click_survives_restart(spark, tmp_path):
+    """The attribution twin's state is one long per user: the latest
+    click's microsecond stamp. A purchase arriving AFTER the restart
+    must credit a click seen BEFORE it -- a reset store would leave
+    last_click_us at -1 and emit attributed=false."""
+    from streamprocessing_with_kafka_spark.streaming.attribution import (
+        attribution_stream,
+    )
+
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+
+    def ev(eid, t, uid, typ, v=1.0):
+        return {
+            "event_id": eid,
+            "ts": f"2024-07-01 {t}",
+            "user_id": uid,
+            "event_type": typ,
+            "value": v,
+            "props": "{}",
+        }
+
+    # user 1 clicks pre-kill; user 2 never clicks (control)
+    b1 = [ev(1, "10:00:00", 1, "click"), ev(2, "10:01:00", 2, "view")]
+    # both purchase post-restart, 30 min later (inside the 24h horizon)
+    b2 = [
+        ev(10, "10:30:00", 1, "purchase", 25.0),
+        ev(11, "10:31:00", 2, "purchase", 9.0),
+    ]
+
+    def build(spark_, path):
+        stream = (
+            spark_.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(path)
+        )
+        return attribution_stream(stream)
+
+    flat, resumed = _run_both(
+        spark, tmp_path, build, [b1, b2], split=1, key=lambda r: r.event_id
+    )
+    assert [r.asDict() for r in flat] == [r.asDict() for r in resumed]
+    by_event = {r.event_id: r for r in resumed}
+    # state proof: the post-restart purchase credits the pre-kill click
+    assert by_event[10].attributed
+    assert by_event[10].since_click_us == 30 * 60 * 1_000_000
+    assert not by_event[11].attributed
+
+
+# ------------------------------------------------------------------ cep
+
+
+def test_cep_click_and_error_stamps_survive_restart(spark, tmp_path):
+    """The CEP twin's state is two longs per user (latest click, latest
+    error). Post-restart purchases must match/block on PRE-restart
+    stamps: user 1's click admits the match, user 2's newer error vetoes
+    it -- a reset store would emit no match for either (and never a
+    spurious one)."""
+    from streamprocessing_with_kafka_spark.streaming.cep import cep_stream
+
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+
+    def ev(eid, t, uid, typ):
+        return {
+            "event_id": eid,
+            "ts": f"2024-07-02 {t}",
+            "user_id": uid,
+            "event_type": typ,
+            "value": 1.0,
+            "props": "{}",
+        }
+
+    b1 = [
+        ev(1, "09:00:00", 1, "click"),
+        ev(2, "09:00:00", 2, "click"),
+        ev(3, "09:05:00", 2, "error"),  # newer than user 2's click
+    ]
+    # purchases 20 min after the clicks (inside the 30-min CEP window)
+    b2 = [ev(10, "09:20:00", 1, "purchase"), ev(11, "09:20:00", 2, "purchase")]
+
+    def build(spark_, path):
+        stream = (
+            spark_.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(path)
+        )
+        return cep_stream(stream)
+
+    flat, resumed = _run_both(
+        spark,
+        tmp_path,
+        build,
+        [b1, b2],
+        split=1,
+        key=lambda r: (r.user_id, r.purchase_event_id),
+    )
+    assert [r.asDict() for r in flat] == [r.asDict() for r in resumed]
+    matches = {(r.user_id, r.purchase_event_id) for r in resumed}
+    assert (1, 10) in matches  # pre-kill click credits post-restart buy
+    assert (2, 11) not in matches  # pre-kill error still vetoes
+    assert len(matches) == 1
