@@ -42,7 +42,7 @@ print(
             "queries": len(times),
             "errors": len(times) - len(ok),
             "total_sec": round(sum(ok), 1),
-            "median_sec": round(sorted(ok)[len(ok) // 2], 3),
+            "median_sec": round(sorted(ok)[len(ok) // 2], 3) if ok else None,
             "load_at_finish": list(os.getloadavg()),
         }
     )

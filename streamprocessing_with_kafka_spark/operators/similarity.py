@@ -1166,10 +1166,12 @@ def _pq_codebook_row(cb: DataFrame) -> DataFrame:
     # cover all PQ_M subspaces and empty codes keep their previous entry
     # -- but a violation would mis-assign codes, not fail, so make it
     # loud: assert_true costs one comparison on a one-row model frame.
-    # size == 0 is the legitimate no-model degenerate (empty corpus: no
-    # seeds at all -- downstream element_at yields NULL and the query
-    # returns empty, the empty-input sweep's contract); any OTHER size
-    # means a partially-covering codebook and must never assign codes.
+    # size == 0 is the legitimate no-model degenerate: a corpus with NO
+    # seed vectors at all (empty table, or no vec_id divisible by
+    # PQ_SEED_MOD) -- downstream try_element_at yields NULL codes and
+    # queries return empty, the pre-indexing degradation behavior; any
+    # OTHER size means a partially-covering codebook and must never
+    # assign codes.
     return row.select(
         F.when(
             F.assert_true(
@@ -1186,9 +1188,13 @@ def _pq_best_code(sub: Column, m: Column) -> Column:
     (positional lookup into the m-indexed `cbm` row): score every entry
     once into (-d2, -code) structs and take the struct max = smallest
     distance, ties to the smallest code -- the zero-shuffle fold
-    `nearest_cell` uses, in L2."""
+    `nearest_cell` uses, in L2. try_element_at, not element_at: on the
+    legitimate EMPTY codebook (no-seed corpus, see _pq_codebook_row) the
+    lookup must degrade to NULL codes -- the pre-r8 filter-based
+    lookup's behavior -- not raise INVALID_ARRAY_INDEX under ANSI mode
+    while a non-empty corpus is being assigned."""
     scored = F.transform(
-        F.element_at(F.col("cbm"), m + F.lit(1)),
+        F.try_element_at(F.col("cbm"), m + F.lit(1)),
         lambda c: F.struct(
             (-_d2(sub, c["cv"])).alias("negd"), (-c["code"]).alias("negcode")
         ),

@@ -320,25 +320,43 @@ def gapfill_hourly(ev: DataFrame) -> DataFrame:
     forward across the generated gaps.
 
     Shape (r8 rewrite): one hash aggregate to hourly buckets (map-side
-    combinable), then ONE user-partitioned window (`lead(bucket)`) and
-    a `sequence()` explode: each observed row emits itself plus its
-    following gap run [bucket, next_bucket), CARRYING ITS OWN VALUE --
-    which is exactly the LOCF answer, so the former dense-spine
-    left-join and the unbounded LOCF window are gone (4 exchanges ->
-    2, no join). Generated rows materialize executor-side, never on
-    the driver; output size is users x hours, independent of the
-    event count, and both shuffles key on user_id."""
+    combinable), then ONE user-partitioned window pass computing
+    `lead(bucket)` and the ignore-nulls LOCF `last(hour_value)` over
+    the OBSERVED hours (hourly-sized, not spine-sized), and a
+    `sequence()` explode: each observed row emits itself plus its
+    following gap run [bucket, next_bucket), carrying the LOCF value at
+    its own position -- correct for the whole run since no observation
+    lies inside it. The former dense-spine left-join and the
+    spine-sized LOCF window are gone (4 exchanges -> 2, no join).
+    An observed hour whose values are ALL NULL (hour_value = NULL)
+    keeps the original semantics: it reads as a gap (is_gap = true)
+    and the carry skips it (`ignorenulls`), exactly like the old
+    spine join + last(ignorenulls) over the dense series. Generated
+    rows materialize executor-side, never on the driver; output size
+    is users x hours, independent of the event count, and both
+    shuffles key on user_id."""
     from pyspark.sql import Window as W
 
     hourly = ev.groupBy(
         "user_id", F.date_trunc("hour", F.col("ts")).alias("bucket")
     ).agg(dec_sum("value").alias("hour_value"))
-    nxt = F.lead("bucket").over(W.partitionBy("user_id").orderBy("bucket"))
-    runs = hourly.select("user_id", "bucket", "hour_value", nxt.alias("nxt"))
+    w = W.partitionBy("user_id").orderBy("bucket")
+    runs = hourly.select(
+        "user_id",
+        "bucket",
+        "hour_value",
+        F.lead("bucket").over(w).alias("nxt"),
+        # ignore-nulls LOCF at each OBSERVED hour; same window
+        # partitioning as the lead -- one Window pass, no extra exchange
+        F.last("hour_value", ignorenulls=True)
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("carried"),
+    )
     dense = runs.select(
         "user_id",
         F.col("bucket").alias("obs_bucket"),
         "hour_value",
+        "carried",
         F.explode(
             F.sequence(
                 "bucket",
@@ -349,13 +367,15 @@ def gapfill_hourly(ev: DataFrame) -> DataFrame:
             )
         ).alias("bucket"),
     )
-    is_obs = F.col("bucket") == F.col("obs_bucket")
+    observed = F.when(
+        F.col("bucket") == F.col("obs_bucket"), F.col("hour_value")
+    )
     return dense.select(
         "user_id",
         "bucket",
-        F.when(is_obs, F.col("hour_value")).alias("observed_value"),
-        F.col("hour_value").alias("filled_value"),
-        (~is_obs).alias("is_gap"),
+        observed.alias("observed_value"),
+        F.col("carried").alias("filled_value"),
+        observed.isNull().alias("is_gap"),
     )
 
 

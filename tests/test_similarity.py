@@ -416,3 +416,28 @@ def test_pca_power_matches_numpy_and_is_unit_norm(spark, sf_dir):
     lam = rows[0].eigenvalue
     assert lam > np.trace(C) / DIM * 0.99
     assert 0.0 < rows[0].explained_frac <= 1.0
+
+
+def test_pq_no_seed_corpus_degrades_to_empty_not_ansi_error(spark, tmp_path):
+    """r8 code-review finding: a NON-empty corpus whose vec_ids contain
+    no multiple of PQ_SEED_MOD yields an EMPTY codebook; the positional
+    codebook lookup must degrade to NULL codes (empty results), never
+    raise INVALID_ARRAY_INDEX under ANSI mode mid-assignment."""
+    import numpy as np
+
+    from streamprocessing_with_kafka_spark.operators.similarity import (
+        PQ_SEED_MOD,
+        pq_trained_codebook,
+    )
+
+    rng = np.random.RandomState(7)
+    rows = [
+        (int(i), [float(x) for x in rng.randn(64)], 0)
+        for i in range(1, PQ_SEED_MOD)  # 1..32: no seed ids
+    ]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+
+    cb = pq_trained_codebook(spark, str(tmp_path))
+    assert cb.count() == 0  # no seeds -> no codebook, and no crash

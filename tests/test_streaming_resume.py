@@ -486,13 +486,25 @@ def test_holt_ring_and_open_bucket_sum_survive_restart(spark, tmp_path):
     # post-restart 7.0 -- a reset open_sum would emit 7.0
     assert by_hour[12].x == 12.25
     # ring proof: hour 12 closes with a full 12-bucket window (hours
-    # 1..12) -- null level here would mean the ring was lost
+    # 1..12) -- null level here would mean the ring was lost, and the
+    # VALUES must equal _holt_row applied to the true closed-x window
+    # (independent of any restored state): a garbage ring that happens
+    # to be full-depth still fails here
+    from streamprocessing_with_kafka_spark.streaming.holt import _holt_row
+
+    true_x = [float(h) + 0.5 for h in range(12)]  # hours 0..11 closed
+    assert (
+        by_hour[11].level,
+        by_hour[11].trend,
+        by_hour[11].forecast,
+    ) == _holt_row(true_x)
+    assert (
+        by_hour[12].level,
+        by_hour[12].trend,
+        by_hour[12].forecast,
+    ) == _holt_row(true_x[1:] + [12.25])  # hours 1..11 + the split bucket
     assert by_hour[12].level is not None
-    assert by_hour[12].forecast is not None
-    # and the linear hours 0..11 give the exact textbook ramp at hour 11
-    assert by_hour[11].trend is not None
-    assert abs(by_hour[11].forecast - (by_hour[11].level + HOLT_HORIZON * by_hour[11].trend)) < 1e-6
-    assert len(flat) == 15 and HOLT_LAGS == 12
+    assert len(flat) == 15 and HOLT_LAGS == 12 and HOLT_HORIZON == 3
 
 
 # ------------------------------------------------------------- gapfill

@@ -943,3 +943,52 @@ def test_runs_test_trending_vs_alternating(spark, tmp_path):
     assert tr.z < -2 and tr.nonrandom is True
     assert (al.n1, al.n2, al.runs) == (6, 6, 12)
     assert al.z > 2 and al.nonrandom is True
+
+
+def test_gapfill_null_sum_hours_keep_ignore_nulls_locf(spark):
+    """r8 code-review finding: an observed hour whose values are ALL NULL
+    aggregates to hour_value = NULL and must behave exactly like a gap --
+    is_gap = true, the LOCF carry SKIPS it (ignore-nulls), and leading
+    NULL hours fill with NULL. The generated sf data has no NULL values,
+    so this class lives only here (the nulls-variant sweep nulls ts too,
+    emptying both sides)."""
+    from streamprocessing_with_kafka_spark.operators.windows import (
+        gapfill_hourly,
+    )
+
+    ev = spark.createDataFrame(
+        [
+            # user 1: leading NULL-sum hour, then 5.0, a NULL-sum hour,
+            # a true gap, then 7.0
+            (1, "2024-01-01 00:10:00", None),
+            (1, "2024-01-01 01:20:00", 5.0),
+            (1, "2024-01-01 02:30:00", None),
+            (1, "2024-01-01 04:40:00", 7.0),
+            # user 2: an hour mixing NULL and non-NULL stays observed
+            (2, "2024-01-01 00:00:00", None),
+            (2, "2024-01-01 00:30:00", 3.0),
+        ],
+        "user_id long, ts string, value double",
+    ).select("user_id", F.col("ts").cast("timestamp").alias("ts"), "value")
+
+    rows = {
+        (r.user_id, r.bucket.hour): r
+        for r in gapfill_hourly(ev).collect()
+    }
+    assert sorted(rows) == [(1, 0), (1, 1), (1, 2), (1, 3), (1, 4), (2, 0)]
+    # leading NULL-sum hour: a gap with nothing to carry
+    assert rows[(1, 0)].is_gap and rows[(1, 0)].filled_value is None
+    assert rows[(1, 0)].observed_value is None
+    # observed non-null hour
+    r11 = rows[(1, 1)]
+    assert (r11.observed_value, r11.filled_value, r11.is_gap) == (5.0, 5.0, False)
+    # observed ALL-NULL hour: is_gap, carry skips it back to 5.0
+    r12 = rows[(1, 2)]
+    assert (r12.observed_value, r12.filled_value, r12.is_gap) == (None, 5.0, True)
+    # true gap after the NULL-sum hour still carries 5.0, not NULL
+    r13 = rows[(1, 3)]
+    assert (r13.observed_value, r13.filled_value, r13.is_gap) == (None, 5.0, True)
+    assert (rows[(1, 4)].observed_value, rows[(1, 4)].is_gap) == (7.0, False)
+    # NULL + 3.0 in one hour: dec_sum over non-null values = 3.0, observed
+    r20 = rows[(2, 0)]
+    assert (r20.observed_value, r20.filled_value, r20.is_gap) == (3.0, 3.0, False)
