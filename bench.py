@@ -22,6 +22,22 @@ from streamprocessing_with_kafka_spark.session import get_spark  # noqa: E402
 _LOAD_AT_LAUNCH = [round(x, 2) for x in os.getloadavg()]
 
 
+def _cache_gb() -> float:
+    """buff/cache GiB from /proc/meminfo: a dropped page cache makes
+    every parquet scan pay disk and inflates a pass ~25-40% at idle load
+    (r8 evidence chain) -- stamp it so passes are comparable."""
+    try:
+        fields = {}
+        with open("/proc/meminfo") as f:
+            for line in f:
+                k, v = line.split(":", 1)
+                fields[k] = int(v.strip().split()[0])  # kB
+        kb = fields.get("Buffers", 0) + fields.get("Cached", 0)
+        return round(kb / 1024 / 1024, 1)
+    except Exception:
+        return -1.0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -73,6 +89,7 @@ def main() -> None:
                 # by external work, not plan changes.
                 "load_at_launch": _LOAD_AT_LAUNCH,
                 "load_at_finish": [round(x, 2) for x in os.getloadavg()],
+                "cache_gb": _cache_gb(),
             }
         )
     )
