@@ -152,13 +152,10 @@ CONSTANT_ALLOWED = GROUPING_SETS_SEMANTICS | {
     "ann_pq_train",
     "ann_ivf_assignments",
     "dedup_semantic",
-    # the featurizer oracle's documented unique-doc_id precondition
-    # (operators/multimodal.py _rp_sql_ctes docstring, ADVICE r7): the
-    # engine featurizes each payload ROW independently, the oracle's
-    # GROUP BY doc_id collapses the 4x-replicated keys into one
-    # centering sum -- a table-contract violation, not a defect.
-    "mm_feature_extract",
-    "mm_phash_index",
+    # mm_feature_extract / mm_phash_index were de-allowlisted in r9: the
+    # oracle CTEs are now keyed on a synthetic row id (ADVICE r8), so
+    # replicated doc_ids no longer merge centering sums and the variant
+    # exercises them for real.
 }
 
 ALLOWED = GROUPING_SETS_SEMANTICS  # empty + single variants

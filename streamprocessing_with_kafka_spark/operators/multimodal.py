@@ -316,36 +316,32 @@ def _rp_sql_ctes() -> str:
     """The shared oracle CTE chain rebuilding `_rp_features` over the
     synthetic corpus (all-stub payloads): hex-md5-chain gray grid ->
     integer mean-centering -> seeded integer projection matrix -> exact
-    integer sums.  Joins are null-safe on doc_id so a NULL-keyed doc
-    still features, mirroring the engine (the featurizer never reads
-    doc_id).
-
-    Precondition: doc_id is UNIQUE in `documents` (and at most one NULL
-    key exists) -- the tot/sums CTEs GROUP BY doc_id, so duplicate keys
-    would merge distinct payloads' cell totals into one centering sum,
-    where the engine featurizes each payload row independently.  The
-    testdata generator guarantees uniqueness; a corpus without it would
-    need a synthetic row id as the CTE key instead."""
+    integer sums.  The CTE chain is keyed on a synthetic row id (rid),
+    NOT doc_id, because the engine featurizes each payload ROW
+    independently: duplicate (or NULL) doc_ids must not merge distinct
+    payloads' cell totals into one centering sum (ADVICE r8 -- this is
+    what the 4x-replicated constant sweep variant exercises).  doc_id
+    rides along as payload for the final projection."""
     return f"""
 corpus AS (
-  SELECT doc_id,
+  SELECT row_number() OVER () AS rid, doc_id,
          (['image', 'audio', 'video'])[doc_id % 3 + 1] AS mm_type,
          md5(text) AS h0
   FROM documents WHERE text IS NOT NULL
 ),
 chain AS (
-  SELECT doc_id, mm_type,
+  SELECT rid, doc_id, mm_type,
          h0 || md5(h0) || md5(md5(h0)) || md5(md5(md5(h0))) AS hx
   FROM corpus
 ),
 cells AS (
-  SELECT doc_id, mm_type, i.range AS i,
+  SELECT rid, doc_id, mm_type, i.range AS i,
          CAST(('0x' || substr(hx, CAST(2 * i.range + 1 AS INTEGER), 2))
               AS INTEGER) AS cell
   FROM chain CROSS JOIN range(0, 64) i
 ),
 tot AS (
-  SELECT doc_id, SUM(cell) AS total FROM cells GROUP BY doc_id
+  SELECT rid, SUM(cell) AS total FROM cells GROUP BY rid
 ),
 rmat AS (
   SELECT i.range AS i, j.range AS j,
@@ -355,12 +351,12 @@ rmat AS (
   FROM range(0, 64) i CROSS JOIN range(0, {EMB_DIM}) j
 ),
 sums AS (
-  SELECT c.doc_id, c.mm_type, r.j,
+  SELECT c.rid, c.doc_id, c.mm_type, r.j,
          SUM((64 * c.cell - t.total) * r.r) AS s
   FROM cells c
-  JOIN tot t ON c.doc_id IS NOT DISTINCT FROM t.doc_id
+  JOIN tot t ON c.rid = t.rid
   JOIN rmat r ON c.i = r.i
-  GROUP BY c.doc_id, c.mm_type, r.j
+  GROUP BY c.rid, c.doc_id, c.mm_type, r.j
 )"""
 
 
@@ -369,7 +365,7 @@ WITH {_rp_sql_ctes()}
 SELECT doc_id, mm_type,
        LIST(CAST(CAST(s AS DOUBLE) / {RP_SCALE!r} AS FLOAT) ORDER BY j)
          AS feature
-FROM sums GROUP BY doc_id, mm_type
+FROM sums GROUP BY rid, doc_id, mm_type
 """
 
 
@@ -538,7 +534,7 @@ f AS (
   SELECT doc_id, mm_type,
          LIST(CAST(CAST(s AS DOUBLE) / {RP_SCALE!r} AS FLOAT) ORDER BY j)
            AS feature
-  FROM sums GROUP BY doc_id, mm_type
+  FROM sums GROUP BY rid, doc_id, mm_type
 ),
 e AS (SELECT doc_id, mm_type, CAST(feature AS DOUBLE[]) AS v FROM f),
 scored AS (
@@ -785,32 +781,36 @@ def phash_pairs(hashes: DataFrame) -> DataFrame:
 #: in tests/test_multimodal.py, same split as mm_decode.
 MM_PHASH_INDEX_SQL = """
 WITH img AS (
-  SELECT doc_id, md5(text) AS h0 FROM documents
+  SELECT row_number() OVER () AS rid, doc_id, md5(text) AS h0
+  FROM documents
   WHERE doc_id % 3 = 0 AND text IS NOT NULL
 ),
 chain AS (
-  SELECT doc_id,
+  SELECT rid, doc_id,
          h0 || md5(h0) || md5(md5(h0)) || md5(md5(md5(h0))) AS hx
   FROM img
 ),
 cells AS (
-  SELECT doc_id, i.range AS i,
+  SELECT rid, doc_id, i.range AS i,
          CAST(('0x' || substr(hx, CAST(2 * i.range + 1 AS INTEGER), 2))
               AS INTEGER) AS cell
   FROM chain CROSS JOIN range(0, 64) i
 ),
-tot AS (SELECT doc_id, SUM(cell) AS total FROM cells GROUP BY doc_id),
+tot AS (
+  SELECT rid, ANY_VALUE(doc_id) AS doc_id, SUM(cell) AS total
+  FROM cells GROUP BY rid
+),
 bits AS (
-  SELECT c.doc_id, c.i FROM cells c JOIN tot t ON c.doc_id = t.doc_id
+  SELECT c.rid, c.i FROM cells c JOIN tot t ON c.rid = t.rid
   WHERE c.cell * 64 > t.total
 ),
 hashes AS (
-  SELECT t.doc_id,
+  SELECT t.rid, ANY_VALUE(t.doc_id) AS doc_id,
     CAST(COALESCE(SUM(CASE WHEN b.i = 63 THEN -9223372036854775808
                            ELSE (CAST(1 AS BIGINT) << CAST(b.i AS INTEGER))
                       END), 0) AS BIGINT) AS ahash
-  FROM tot t LEFT JOIN bits b ON t.doc_id = b.doc_id
-  GROUP BY t.doc_id
+  FROM tot t LEFT JOIN bits b ON t.rid = b.rid
+  GROUP BY t.rid
 )
 SELECT h.doc_id, h.ahash, CAST(s.n AS BIGINT) AS n_same_hash
 FROM hashes h

@@ -34,6 +34,15 @@ from streamprocessing_with_kafka_spark.sources.tables import load_table
 
 RSD = 0.02  # requested relative standard deviation for HLL
 
+#: Serialized size of an EMPTY KLL double sketch (the preamble alone,
+#: zero retained items) under Spark's kll_sketch_agg_double.  Used to
+#: drop empty per-day sketches (the merge identity) before the rollup
+#: fold; tests/test_sketches.py pins that an all-NULL column serializes
+#: to exactly this many bytes, so an Apache DataSketches serialization
+#: change turns this assumption red instead of silently re-admitting
+#: un-queryable empty sketches (ADVICE r8).
+KLL_EMPTY_SERIALIZED_BYTES = 8
+
 
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per event type: approximate distinct users + exact event count."""
@@ -81,12 +90,13 @@ def value_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     row data."""
     daily = kll_daily_value_sketches(spark, sf_dir)
     # a day whose values are ALL NULL still aggregates to a non-null
-    # EMPTY sketch (the 8-byte KLL preamble with zero retained items),
-    # which kll_sketch_get_quantile_double rejects as un-queryable. An
+    # EMPTY sketch (the preamble alone, zero retained items -- size
+    # pinned by KLL_EMPTY_SERIALIZED_BYTES and its test), which
+    # kll_sketch_get_quantile_double rejects as un-queryable. An
     # empty sketch is the merge identity, so dropping it changes nothing
     # mathematically; if EVERY day is empty the fold seeds NULL and the
     # quantiles come back NULL (the all-null-input contract).
-    daily = daily.filter(F.length("sk") > 8)
+    daily = daily.filter(F.length("sk") > KLL_EMPTY_SERIALIZED_BYTES)
     merged = daily.agg(F.collect_list("sk").alias("sks")).select(
         F.aggregate(
             F.slice("sks", 2, 1 << 30),

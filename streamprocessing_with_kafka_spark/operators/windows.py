@@ -334,7 +334,9 @@ def gapfill_hourly(ev: DataFrame) -> DataFrame:
     spine join + last(ignorenulls) over the dense series. Generated
     rows materialize executor-side, never on the driver; output size
     is users x hours, independent of the event count, and both
-    shuffles key on user_id."""
+    shuffles are user-keyed (the hourly agg exchanges on
+    (user_id, bucket), the window pass on user_id -- 2 exchanges,
+    not 1 reused one)."""
     from pyspark.sql import Window as W
 
     hourly = ev.groupBy(

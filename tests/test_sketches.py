@@ -197,3 +197,35 @@ def test_rank_verdict_flips_on_displaced_quantile(spark):
             ).alias("ok")
         ).collect()[0].ok
         assert got is want, (a, q, got)
+
+
+def test_empty_kll_sketch_serializes_to_pinned_size(spark):
+    """An all-NULL column aggregates to a non-null EMPTY KLL sketch whose
+    serialized form is exactly KLL_EMPTY_SERIALIZED_BYTES (the preamble,
+    zero retained items).  value_quantile_rollup's empty-day filter
+    (`length(sk) > KLL_EMPTY_SERIALIZED_BYTES`) assumes this size; if a
+    Spark / Apache DataSketches upgrade changes the serialization, this
+    test goes red instead of the filter silently re-admitting
+    un-queryable empty sketches into the merge fold (ADVICE r8)."""
+    from streamprocessing_with_kafka_spark.operators.sketches import (
+        KLL_EMPTY_SERIALIZED_BYTES,
+    )
+
+    row = (
+        spark.range(5)
+        .select(F.lit(None).cast("double").alias("v"))
+        .agg(F.expr("kll_sketch_agg_double(v)").alias("sk"))
+        .select(F.length("sk").alias("n"))
+        .collect()[0]
+    )
+    assert row["n"] == KLL_EMPTY_SERIALIZED_BYTES, row["n"]
+    # and a single non-null value must serialize STRICTLY larger, so the
+    # filter keeps every day with at least one retained item
+    row2 = (
+        spark.range(1)
+        .select(F.lit(1.0).alias("v"))
+        .agg(F.expr("kll_sketch_agg_double(v)").alias("sk"))
+        .select(F.length("sk").alias("n"))
+        .collect()[0]
+    )
+    assert row2["n"] > KLL_EMPTY_SERIALIZED_BYTES, row2["n"]
