@@ -1643,7 +1643,7 @@ register(
 #       (12-row parity block + the five newly oracle-backed sketch/phash
 #       queries + the r6 verdict's explicit stale list + oldest greens in
 #       the r6-changed modules). 50/50 green.
-#   r8 (THIS window): r7 verdict item 1 -- graph.py, similarity.py
+#   r8: r7 verdict item 1 -- graph.py, similarity.py
 #       (PQ codebook indexing, PCA triangle symmetry) and session.py (the
 #       global runtime 64MB AQE broadcast threshold) were rewritten AFTER
 #       the r7 window was pinned at 3599494, so:
@@ -1664,6 +1664,16 @@ register(
 #           DURING r8 (spine join + LOCF window -> lead()+sequence gap
 #           runs, 4 exchanges -> 2), so its r7 green went stale this
 #           round and it re-windows immediately (stale-green-first).
+#       50/50 green.
+#   r9 (THIS window): regression hygiene per VERDICT r8 item 1.
+#       Slot 13: sketch_quantile_rollup -- the ONLY stale green in the
+#       repo (commit 9ca64c6 touched sketches.py after the r8 pin).
+#       Slot 14: join_top_supplier (displaced from r8 slot 50).
+#       Slots 15-50: oldest-green-first -- burns the last 5 r1-latest
+#       greens and 31 of the r2 cohort; after r9 no green predates r4
+#       except the residual r2 tail that rotates in at r10.
+#       The window-pin commit is recorded in WINDOW_PIN_COMMIT below and
+#       enforced by scratch/stale_green_guard.py (VERDICT r8 item 3).
 # ==========================================================================
 CORRECTNESS_WINDOW = [
     # 1-12: reference parity block (SURVEY §2 contract, every round)
@@ -1679,47 +1689,53 @@ CORRECTNESS_WINDOW = [
     "crud_append",
     "crud_delete",
     "crud_upsert",
-    # 13-24: r7 verdict item 1 -- code changed after the r7 window pin
-    "graph_triangles",
-    "graph_pagerank",
-    "ann_topk_pq",
-    "ann_pq_train",
-    "embedding_quantize",
-    "ann_topk_quantized",
-    "embedding_pca_power",
-    "ann_kmeans_train",
-    "ann_ivf_topk_trained",
-    "join_market_share",
-    "join_shipping_priority",
-    "join_volume_shipping",
-    # 25-49: oldest-green-first (r1 cohort, next_window.py order)
-    "agg_pricing_summary",
-    "join_revenue_by_nation",
-    "window_top_orders",
-    "agg_order_rollup",
-    "setop_urgent_not_fulfilled",
-    "topk_parts_by_revenue",
-    "join_semi_urgent_customers",
-    "agg_order_cube",
-    "agg_customer_order_dist",
-    "join_salted_skew",
-    "agg_small_qty_revenue",
-    "join_bucketed_colocated",
-    "agg_salted_revenue",
-    "join_large_volume_customers",
-    "agg_grouping_sets",
-    "setop_intersect",
-    "join_local_supplier_volume",
-    "join_anti_inactive_customers",
-    "agg_argmin_supplier",
-    "agg_forecast_revenue",
-    "join_returned_item_topk",
-    "agg_promo_revenue_pct",
-    "join_disjunctive_predicates",
-    "join_semi_late_shipments",
-    "join_product_profit",
-    # 50: rewritten during r8 -> re-window (stale-green-first)
-    "events_gapfill",
+    # 13-25: STALE-GREEN-FIRST (scratch/stale_green_guard.py output at
+    # the r9 pin): sketch_quantile_rollup's KLL guard landed after the
+    # r8 pin (commit 9ca64c6, VERDICT r8 item 1); the other sketches.py
+    # and multimodal.py queries are module-mates of the r9 edits (the
+    # KLL_EMPTY_SERIALIZED_BYTES hoist and the rid-keyed mm oracles).
+    "sketch_quantile_rollup",
+    "sketch_value_quantiles",
+    "sketch_distinct_users",
+    "sketch_distinct_rollup",
+    "sketch_count_min",
+    "sketch_bloom_membership",
+    "mm_feature_extract",
+    "mm_ann_topk",
+    "mm_phash_index",
+    "mm_decode",
+    "mm_resize",
+    "mm_frame_sample",
+    "mm_binary_meta",
+    # 26: displaced from r8 slot 50 by the events_gapfill re-window
+    # (code untouched; oldest green = r1).
+    "join_top_supplier",
+    # 27-50: oldest-green-first (scratch/next_window.py order): the
+    # remaining 5 r1-latest greens, then the r2 cohort head.
+    "agg_supplier_count_by_part",
+    "join_waiting_supplier",
+    "agg_important_parts",
+    "join_excess_shippers",
+    "profile_documents",
+    "text_decontaminate",
+    "ann_ivf_assignments",
+    "text_token_count",
+    "text_quality_score",
+    "text_fingerprint",
+    "text_pii_scrub",
+    "text_chunk",
+    "text_repetition",
+    "text_term_df",
+    "text_unigram_logprob",
+    "text_heavy_hitters",
+    "text_pack_sequences",
+    "sample_stratified",
+    "sample_weighted_mix",
+    "scd2_customer_priority",
+    "join_asof_events",
+    "join_range_events",
+    "agg_priority_line_counts",
+    "ann_topk_multiprobe",
 ]
 
 #: Oracle-backed queries still without a driver row: none -- as of r7

@@ -58,22 +58,26 @@ def test_driver_correctness_window_matches_budget():
         window[:12]
     )
     for name in (
-        # r7 verdict item 1: every query whose backing code changed after
-        # the r7 window pin (graph orientation rewrite, PQ/PCA/k-means
-        # similarity family, the broadcast-sensitive join spread under
-        # the session-global 64MB runtime AQE threshold) must re-window
-        "graph_triangles",
-        "graph_pagerank",
-        "ann_topk_pq",
-        "ann_pq_train",
-        "embedding_quantize",
-        "ann_topk_quantized",
-        "embedding_pca_power",
-        "ann_kmeans_train",
-        "ann_ivf_topk_trained",
-        "join_market_share",
-        "join_shipping_priority",
-        "join_volume_shipping",
+        # r9 stale-green block (VERDICT r8 item 1 + the mechanical
+        # scratch/stale_green_guard.py output at the r9 pin): the KLL
+        # rollup whose empty-sketch guard landed after the r8 pin, its
+        # sketches.py module-mates, the multimodal family whose oracle
+        # CTEs were rid-rekeyed in r9, and the query displaced from r8
+        # slot 50
+        "sketch_quantile_rollup",
+        "sketch_value_quantiles",
+        "sketch_distinct_users",
+        "sketch_distinct_rollup",
+        "sketch_count_min",
+        "sketch_bloom_membership",
+        "mm_feature_extract",
+        "mm_ann_topk",
+        "mm_phash_index",
+        "mm_decode",
+        "mm_resize",
+        "mm_frame_sample",
+        "mm_binary_meta",
+        "join_top_supplier",
     ):
         assert name in window, name
 
