@@ -98,6 +98,76 @@ def build_nulls_dir() -> str:
     return d
 
 
+#: Columns that must stay NULL-free in the mixed-nulls variant: join /
+#: identity keys (NULL-key join semantics are the already-documented
+#: nulls-variant class, not this variant's target) and events.ts (the
+#: NULL-event-time window-drop class, likewise documented). Everything
+#: else nullable gets ~10% NULLs.
+MIXED_KEEP = {
+    "r_regionkey", "n_nationkey", "n_regionkey", "c_custkey", "c_nationkey",
+    "s_suppkey", "s_nationkey", "p_partkey", "o_orderkey", "o_custkey",
+    "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+    "event_id", "user_id", "ts", "doc_id", "vec_id",
+}
+
+
+def build_mixed_dir() -> str:
+    """Full sf0.001 tables with ~10% NULLs sprinkled deterministically
+    into every nullable VALUE column (keys and event-times preserved --
+    see MIXED_KEEP). This is the regime the r8 gapfill near-miss proved
+    the harness was blind to: ignore-nulls LOCF, NULL-skipping
+    aggregates, NULL-propagating arithmetic on PARTIALLY-null columns.
+    The all-null `nulls` variant cannot catch those (every group is
+    degenerate there); generated testdata has zero NULLs (TESTDATA.md).
+
+    embeddings.embedding additionally gets whole-array NULLs (~10%) and
+    single-element NULLs inside a further ~3% of arrays.
+
+    Selection is a pure function of (table, column, row index) -- crc32
+    keyed -- so the fixture is bit-stable across runs and machines.
+    """
+    import zlib
+
+    d = EMPTY_DIR.replace("sf_empty", "sf_mixed")
+    os.makedirs(d, exist_ok=True)
+    for t in TABLES:
+        dst = f"{d}/{t}.parquet"
+        if os.path.exists(dst):
+            continue
+        tab = pq.read_table(f"{SRC_SF}/{t}.parquet")
+        n = tab.num_rows
+        cols = []
+        for field in tab.schema:
+            col = tab.column(field.name).combine_chunks()
+            if not field.nullable or field.name in MIXED_KEEP:
+                cols.append(col)
+                continue
+            seed = zlib.crc32(f"{t}.{field.name}".encode())
+            if pa.types.is_list(field.type):
+                vals = col.to_pylist()
+                out = []
+                for i, v in enumerate(vals):
+                    h = (seed + 2654435761 * i) % 100
+                    if h < 10:
+                        out.append(None)
+                    elif h < 13 and v:
+                        v = list(v)
+                        v[(seed + i) % len(v)] = None
+                        out.append(v)
+                    else:
+                        out.append(v)
+                cols.append(pa.array(out, type=field.type))
+            else:
+                mask = pa.array(
+                    [(seed + 2654435761 * i) % 100 < 10 for i in range(n)]
+                )
+                cols.append(
+                    pa.compute.if_else(mask, pa.nulls(n, type=field.type), col)
+                )
+        pq.write_table(pa.table(cols, schema=tab.schema), dst)
+    return d
+
+
 #: Engine-defined divergences on ZERO-ROW input only (verified identical
 #: on any non-empty input): Spark evaluates the () grouping set of
 #: ROLLUP/CUBE/GROUPING SETS as a grouped aggregate (0 rows over an empty
@@ -110,34 +180,22 @@ GROUPING_SETS_SEMANTICS = {"agg_grouping_sets", "agg_order_cube", "agg_order_rol
 #: documented classes; everything NOT listed here was fixed in r6
 #: (try_divide crashes, UDF null guards, element_at codegen workaround,
 #: oracle count_if/COALESCE/ln(0) bugs -- see the r6 commits).
+#: r9 shrank this list from 14 to 5: the clean-embeddings scan policy
+#: (similarity.load_clean_embeddings) removed the whole DuckDB
+#: list_inner_product class, and the mad-outliers oracle's joins are now
+#: IS NOT DISTINCT FROM -- all verified back to real coverage by
+#: re-running this variant.
 NULLS_ALLOWED = GROUPING_SETS_SEMANTICS | {
-    # (a) ORACLE limitation: DuckDB list_inner_product refuses lists
-    # containing NULL, so the oracle cannot run over NULL embeddings at
-    # all; the ENGINE side completes (NULL-safe dot products / explode
-    # drops) -- verified by running the Spark side alone.
-    "ann_topk_lsh",
-    "ann_topk_multiprobe",
-    "ann_topk_quantized",
-    "dedup_embedding_cosine",
-    "dedup_embedding_cosine_capped",
-    "embedding_stats",
-    # (b) NULL-group/window semantics, both defensible and documented:
-    # Spark's window()/posexplode DROP NULL event-times and NULL arrays
-    # (events_session/sliding/tumbling, embedding_pca_power,
-    # agg_abc_parts via its NULL-bucket window), while DuckDB's
-    # time_bucket/unnest keep a NULL group; conversely the engine keeps
-    # a NULL-key group the oracle's inner join drops (events_mad_outliers,
-    # dedup_semantic, ann_ivf_assignments). Aligning would mean
+    # NULL-group/window semantics, both defensible and documented:
+    # Spark's window() DROPS NULL event-times (events_session/sliding/
+    # tumbling, agg_abc_parts via its NULL-bucket window), while
+    # DuckDB's time_bucket keeps a NULL group. Aligning would mean
     # contorting production plans for inputs whose key columns are
     # entirely NULL.
     "events_session",
     "events_sliding",
     "events_tumbling",
-    "events_mad_outliers",
-    "embedding_pca_power",
     "agg_abc_parts",
-    "dedup_semantic",
-    "ann_ivf_assignments",
 }
 
 #: constant-variant allowlist: the 4x-replicated rows DUPLICATE every
@@ -158,6 +216,11 @@ CONSTANT_ALLOWED = GROUPING_SETS_SEMANTICS | {
     # exercises them for real.
 }
 
+#: mixed-nulls allowlist: starts EMPTY by design -- every divergence the
+#: first mixed sweep surfaces gets fixed (engine or oracle) or earns an
+#: entry here with a citation, exactly like the other variants did.
+MIXED_ALLOWED: set = set()
+
 ALLOWED = GROUPING_SETS_SEMANTICS  # empty + single variants
 
 
@@ -173,8 +236,13 @@ def main() -> None:
         "single": build_single_dir,
         "nulls": build_nulls_dir,
         "constant": build_constant_dir,
+        "mixed": build_mixed_dir,
     }[variant]()
-    allowed = {"nulls": NULLS_ALLOWED, "constant": CONSTANT_ALLOWED}.get(variant, ALLOWED)
+    allowed = {
+        "nulls": NULLS_ALLOWED,
+        "constant": CONSTANT_ALLOWED,
+        "mixed": MIXED_ALLOWED,
+    }.get(variant, ALLOWED)
     spark = get_spark("empty-sweep")
     con = duckdb_conn(sf_dir)
     bad: list[str] = []

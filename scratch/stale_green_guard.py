@@ -1,4 +1,4 @@
-"""Mechanical stale-green guard (VERDICT r8 item 3).
+"""Mechanical stale-green guard (VERDICT r8 item 3; r9: name-level).
 
 Twice (r7: graph/PQ/session, r8: the sketches KLL guard) a product-code
 change landed AFTER the round's CORRECTNESS_WINDOW was pinned, leaving a
@@ -9,29 +9,34 @@ commit, before handing the round to the driver):
 
     python scratch/stale_green_guard.py
 
-Logic:
+Logic (r9 rewrite -- the r8 version was module-granular, which both
+over-flagged [any edit to analytics.py marked all ~50 of its queries
+stale, more than a 50-slot window can hold] and under-flagged [a query
+defined in dedup.py whose behavior lives in a similarity.py helper was
+never flagged when only similarity.py changed]):
+
   1. BASELINE = the last commit that touched a CORRECTNESS_r*.json file
      (the previous round's driver artifacts -- the moment every green in
      that file was known-fresh).
-  2. For every product module changed since BASELINE (committed or
-     working tree), compute a BEHAVIOR fingerprint: the module AST with
-     docstrings stripped (comments never reach the AST).  Docstring- or
-     comment-only edits therefore do NOT mark queries stale.
-  3. Every registry query whose fn is DEFINED in a behavior-changed
-     module must be in the CURRENT CORRECTNESS_WINDOW -- else its next
-     driver green would be produced by the round AFTER its code changed,
-     i.e. a stale green.  Exit 1 listing the offenders.
-  4. Changed modules that define no registry queries (streaming twins,
-     shared infra like session.py / functions/) are reported as WARN:
-     they back many queries indirectly; adjudicate with the full local
-     parity suite (scratch/drive_driver.py) instead of window slots.
-     registry.py itself is WARN-only too: the window pin lives there, so
-     hard-failing on it would be circular.
+  2. Parse every package module at BASELINE and HEAD (working tree) and
+     fingerprint each TOP-LEVEL DEFINITION (function / class / constant)
+     with docstrings stripped.  The changed-node set is the names whose
+     fingerprints differ (or that were added/removed).
+  3. Build the static reference graph between top-level definitions
+     (intra-module name references + `from pkg.x import y` edges) and
+     take each registry query's transitive closure from BOTH its fn and
+     its oracle-SQL constant (recovered from registry.py's register()
+     calls).  A query is STALE iff its closure touches a changed node
+     and it is not in the CURRENT CORRECTNESS_WINDOW.  Exit 1 listing
+     the offenders.
+  4. Changed definitions reachable from NO registry query (streaming
+     twins, shared infra) are reported as WARN: cover via pytest +
+     scratch/drive_driver.py, not window slots.
 
-Granularity note: "defined in" (fn.__module__) is the same granularity
-the r7/r8 verdicts used to flag staleness.  It is deliberately coarser
-than a transitive import closure (which reaches ~everything via
-session.py) and finer than whole-repo.
+Comments never reach the AST and docstrings are stripped, so doc-only
+edits do not mark queries stale.  The closure is static (Name/Attribute
+references), so dynamic dispatch would be invisible to it -- the package
+has none on query paths.
 """
 
 from __future__ import annotations
@@ -40,6 +45,7 @@ import ast
 import os
 import subprocess
 import sys
+from collections import deque
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
@@ -51,6 +57,12 @@ from streamprocessing_with_kafka_spark.plans.registry import (  # noqa: E402
 
 PKG = "streamprocessing_with_kafka_spark"
 
+#: module-level assignments that are round METADATA, not behavior: the
+#: window pin is re-pinned every round inside registry.py, and without
+#: this exclusion the pin edit itself would flag every query as stale
+#: every round (circular).
+_METADATA_ASSIGNS = {"CORRECTNESS_WINDOW", "PENDING_WINDOW"}
+
 
 def git(*args: str) -> str:
     return subprocess.run(
@@ -58,43 +70,174 @@ def git(*args: str) -> str:
     ).stdout
 
 
-#: module-level assignments that are round METADATA, not behavior: the
-#: window pin is re-pinned every round inside registry.py, and without
-#: this exclusion the pin edit itself would flag every registry-defined
-#: query as stale every round (circular).
-_METADATA_ASSIGNS = {"CORRECTNESS_WINDOW", "PENDING_WINDOW"}
-
-
-def behavior_fingerprint(src: str) -> str:
-    """AST dump with docstrings and window-pin metadata stripped: equal
-    fingerprints mean the edit cannot have changed runtime behavior (or
-    oracle SQL constants, which ARE AST string constants and so are
-    fingerprinted)."""
-    tree = ast.parse(src)
-    tree.body = [
-        s
-        for s in tree.body
-        if not (
-            isinstance(s, ast.Assign)
-            and any(
-                isinstance(t, ast.Name) and t.id in _METADATA_ASSIGNS
-                for t in s.targets
-            )
-        )
-    ]
-    for node in ast.walk(tree):
+def _strip_docstrings(node: ast.AST) -> None:
+    for n in ast.walk(node):
         if isinstance(
-            node, (ast.Module, ast.ClassDef, ast.FunctionDef, ast.AsyncFunctionDef)
+            n, (ast.Module, ast.ClassDef, ast.FunctionDef, ast.AsyncFunctionDef)
         ):
-            body = node.body
+            body = n.body
             if (
                 body
                 and isinstance(body[0], ast.Expr)
                 and isinstance(body[0].value, ast.Constant)
                 and isinstance(body[0].value.value, str)
             ):
-                node.body = body[1:] or [ast.Pass()]
-    return ast.dump(tree)
+                n.body = body[1:] or [ast.Pass()]
+
+
+class ModuleDefs:
+    """Top-level definitions of one module: per-name behavior
+    fingerprints, per-name referenced names, and the import alias map."""
+
+    def __init__(self, modname: str, src: str):
+        self.modname = modname
+        self.defs: dict[str, str] = {}
+        self.refs: dict[str, set[str]] = {}
+        self.imports: dict[str, tuple[str, str | None]] = {}
+        tree = ast.parse(src)
+        _strip_docstrings(tree)
+        for stmt in tree.body:
+            if isinstance(stmt, ast.ImportFrom) and stmt.module:
+                for a in stmt.names:
+                    self.imports[a.asname or a.name] = (stmt.module, a.name)
+            elif isinstance(stmt, ast.Import):
+                for a in stmt.names:
+                    self.imports[a.asname or a.name.split(".")[0]] = (
+                        a.name,
+                        None,
+                    )
+            elif isinstance(
+                stmt, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)
+            ):
+                self._add(stmt.name, stmt)
+            elif isinstance(stmt, (ast.Assign, ast.AnnAssign, ast.AugAssign)):
+                targets = (
+                    stmt.targets
+                    if isinstance(stmt, ast.Assign)
+                    else [stmt.target]
+                )
+                for t in targets:
+                    if isinstance(t, ast.Name) and t.id not in _METADATA_ASSIGNS:
+                        self._add(t.id, stmt)
+
+    def _add(self, name: str, stmt: ast.stmt) -> None:
+        fp = ast.dump(stmt)
+        # a name assigned more than once (e.g. conditional fallback)
+        # concatenates -- any change in any assignment changes it
+        self.defs[name] = self.defs.get(name, "") + fp
+        names = {
+            n.id for n in ast.walk(stmt) if isinstance(n, ast.Name)
+        }
+        # attribute roots: `sketches.BLOOM_SQL` refers via root name
+        self.refs[name] = self.refs.get(name, set()) | names
+
+
+def load_tree(ref: str | None) -> dict[str, ModuleDefs]:
+    """All package modules at a git ref (None = working tree)."""
+    out: dict[str, ModuleDefs] = {}
+    if ref is None:
+        files = []
+        for root, _dirs, fns in os.walk(os.path.join(REPO, PKG)):
+            for fn in fns:
+                if fn.endswith(".py"):
+                    files.append(
+                        os.path.relpath(os.path.join(root, fn), REPO)
+                    )
+        srcs = {f: open(os.path.join(REPO, f)).read() for f in files}
+    else:
+        files = [
+            f
+            for f in git("ls-tree", "-r", "--name-only", ref, PKG).splitlines()
+            if f.endswith(".py")
+        ]
+        srcs = {f: git("show", f"{ref}:{f}") for f in files}
+    for f, src in srcs.items():
+        mod = f[: -len(".py")].replace("/", ".")
+        out[mod] = ModuleDefs(mod, src)
+    return out
+
+
+def changed_nodes(
+    old: dict[str, ModuleDefs], new: dict[str, ModuleDefs]
+) -> set[tuple[str, str]]:
+    ch: set[tuple[str, str]] = set()
+    for mod in set(old) | set(new):
+        od = old.get(mod).defs if mod in old else {}
+        nd = new.get(mod).defs if mod in new else {}
+        for name in set(od) | set(nd):
+            if od.get(name) != nd.get(name):
+                ch.add((mod, name))
+    return ch
+
+
+def closure(
+    tree: dict[str, ModuleDefs], seeds: set[tuple[str, str]]
+) -> set[tuple[str, str]]:
+    """Transitive in-package reference closure from seed definitions."""
+    seen: set[tuple[str, str]] = set()
+    dq = deque(seeds)
+    while dq:
+        mod, name = dq.popleft()
+        if (mod, name) in seen or mod not in tree:
+            continue
+        seen.add((mod, name))
+        md = tree[mod]
+        for r in md.refs.get(name, ()):
+            if r in md.defs:
+                dq.append((mod, r))
+            elif r in md.imports:
+                tgt_mod, tgt_name = md.imports[r]
+                if tgt_mod.startswith(PKG):
+                    if tgt_name is not None:
+                        dq.append((tgt_mod, tgt_name))
+                    else:  # `import pkg.x` module alias: take whole module
+                        for n in tree.get(tgt_mod, ModuleDefs(tgt_mod, "")).defs:
+                            dq.append((tgt_mod, n))
+    return seen
+
+
+def sql_seeds() -> dict[str, set[tuple[str, str]]]:
+    """query name -> definition nodes its oracle SQL expression
+    references, recovered from registry.py's register() call ASTs."""
+    regfile = os.path.join(REPO, PKG, "plans", "registry.py")
+    md = ModuleDefs(f"{PKG}.plans.registry", open(regfile).read())
+    tree = ast.parse(open(regfile).read())
+    out: dict[str, set[tuple[str, str]]] = {}
+    for node in ast.walk(tree):
+        if not (
+            isinstance(node, ast.Call)
+            and isinstance(node.func, ast.Name)
+            and node.func.id == "register"
+            and node.args
+            and isinstance(node.args[0], ast.Constant)
+        ):
+            continue
+        qname = node.args[0].value
+        seeds: set[tuple[str, str]] = set()
+        for sub in ast.walk(node):
+            for r in (
+                {n.id for n in ast.walk(sub) if isinstance(n, ast.Name)}
+                if sub is node
+                else ()
+            ):
+                if r in md.imports:
+                    tgt_mod, tgt_name = md.imports[r]
+                    if tgt_mod.startswith(PKG) and tgt_name is not None:
+                        seeds.add((tgt_mod, tgt_name))
+        # attribute references like sketches.BLOOM_SQL: resolve the
+        # (module alias, attr) pair
+        for sub in ast.walk(node):
+            if (
+                isinstance(sub, ast.Attribute)
+                and isinstance(sub.value, ast.Name)
+                and sub.value.id in md.imports
+            ):
+                tgt_mod, tgt_name = md.imports[sub.value.id]
+                full = f"{tgt_mod}.{tgt_name}" if tgt_name else tgt_mod
+                if full.startswith(PKG):
+                    seeds.add((full, sub.attr))
+        out[qname] = seeds
+    return out
 
 
 def main() -> None:
@@ -106,65 +249,40 @@ def main() -> None:
         return
     print(f"baseline (last driver-artifact commit): {baseline[:12]}")
 
-    changed = set(
-        git("diff", "--name-only", baseline, "--", f"{PKG}/").splitlines()
-    )
-    changed |= set(
-        git(
-            "ls-files", "--others", "--exclude-standard", "--", f"{PKG}/"
-        ).splitlines()
-    )
-    changed = {f for f in changed if f.endswith(".py")}
+    old = load_tree(baseline)
+    new = load_tree(None)
+    ch = changed_nodes(old, new)
+    if not ch:
+        print("no behavior-changed definitions since baseline")
+        print("\nOK: every behavior-touched registry query is in the window")
+        return
+    print(f"behavior-changed definitions: {len(ch)}")
 
-    behavior_changed: set[str] = set()
-    for f in sorted(changed):
-        try:
-            old = git("show", f"{baseline}:{f}")
-        except subprocess.CalledProcessError:
-            old = None  # new module
-        path = os.path.join(REPO, f)
-        new = open(path).read() if os.path.exists(path) else None
-        if new is None:  # deleted module
-            behavior_changed.add(f)
-            continue
-        if old is None or behavior_fingerprint(old) != behavior_fingerprint(new):
-            behavior_changed.add(f)
-        else:
-            print(f"  doc-only  {f}")
-
-    mod_of = {}  # "pkg.operators.foo" -> repo-relative file
-    for f in behavior_changed:
-        mod_of[f[: -len(".py")].replace("/", ".")] = f
-
+    reg_seeds = sql_seeds()
     window = set(CORRECTNESS_WINDOW)
-    stale, touched_any = [], set()
+    stale, fresh_needed, reached = [], set(), set()
     for name, q in _REGISTRY.items():
-        m = q.fn.__module__
-        if m in mod_of:
-            touched_any.add(mod_of[m])
+        seeds = {(q.fn.__module__, q.fn.__name__)} | reg_seeds.get(name, set())
+        cl = closure(new, seeds) | closure(old, seeds)
+        hit = cl & ch
+        if hit:
+            reached |= hit
+            fresh_needed.add(name)
             if q.sql is not None and name not in window:
-                stale.append((name, mod_of[m]))
+                stale.append((name, sorted(hit)[0]))
 
-    for f in sorted(behavior_changed - touched_any):
-        mod = f[: -len(".py")].replace("/", ".")
-        if mod.endswith(".plans.registry"):
-            n = sum(1 for q in _REGISTRY.values() if q.fn.__module__ == mod)
-            print(
-                f"  WARN      {f}: holds the window pin itself + {n} "
-                "registry-defined queries -- adjudicate manually"
-            )
-        else:
-            print(
-                f"  WARN      {f}: behavior changed, defines no registry "
-                "query (streaming twin / shared infra) -- cover via "
-                "pytest + scratch/drive_driver.py"
-            )
+    for mod, nm in sorted(ch - reached):
+        print(f"  WARN  changed but reachable from no registry query: "
+              f"{mod}.{nm} -- cover via pytest + scratch/drive_driver.py")
 
+    print(f"\nqueries needing a fresh green: {len(fresh_needed)}; "
+          f"in window: {len(fresh_needed & window)}")
     if stale:
-        print(f"\nSTALE GREENS ({len(stale)}): queries whose defining module "
-              "changed since baseline but are NOT in CORRECTNESS_WINDOW:")
-        for name, f in sorted(stale):
-            print(f"  {name}  ({f})")
+        print(f"\nSTALE GREENS ({len(stale)}): queries whose behavior "
+              "closure changed since baseline but are NOT in "
+              "CORRECTNESS_WINDOW:")
+        for name, hit in sorted(stale):
+            print(f"  {name}  (via {hit[0]}.{hit[1]})")
         sys.exit(1)
     print("\nOK: every behavior-touched registry query is in the window")
 

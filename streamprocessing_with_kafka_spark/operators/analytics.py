@@ -1205,8 +1205,16 @@ def pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     NOT-EXISTS domination definition -- two algorithms, one answer.
 
     Output: the frontier points (date, price) with the number of
-    orders sitting exactly on each point."""
-    orders = load_table(spark, sf_dir, "orders")
+    orders sitting exactly on each point.  Points with a NULL
+    coordinate are excluded at the scan (pushed-down): they cannot be
+    placed on the dominance plane, and under NULLs the quadratic
+    NOT-EXISTS definition would put every such point on the frontier
+    (no domination is provable through a NULL comparison) while the
+    ordered-scan decomposition drops them -- the r9 mixed-nulls sweep's
+    4-vs-299-row divergence."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull() & F.col("o_totalprice").isNotNull()
+    )
     grid = orders.groupBy("o_orderdate", "o_totalprice").agg(
         F.count(F.lit(1)).alias("n_orders")
     )
@@ -1234,10 +1242,14 @@ def pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 PARETO_FRONTIER_SQL = """
+WITH pts AS (
+  SELECT o_orderdate, o_totalprice FROM orders
+  WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+)
 SELECT o_orderdate, o_totalprice, COUNT(*) AS n_orders
-FROM orders o
+FROM pts o
 WHERE NOT EXISTS (
-  SELECT 1 FROM orders d
+  SELECT 1 FROM pts d
   WHERE (d.o_totalprice > o.o_totalprice AND d.o_orderdate >= o.o_orderdate)
      OR (d.o_totalprice >= o.o_totalprice AND d.o_orderdate > o.o_orderdate)
 )
@@ -1315,8 +1327,12 @@ def mode_segment_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = cust.groupBy("c_nationkey", "c_mktsegment").agg(
         F.count(F.lit(1)).alias("n")
     )
+    # asc_nulls_last is load-bearing: Spark defaults ASC to NULLS FIRST
+    # while the oracle (DuckDB) defaults to NULLS LAST, so when a NULL
+    # segment group ties a real one the two engines pick opposite rows
+    # (r9 mixed-nulls sweep). A real segment beats "unknown" on ties.
     w = W.partitionBy("c_nationkey").orderBy(
-        F.col("n").desc(), F.col("c_mktsegment").asc()
+        F.col("n").desc(), F.col("c_mktsegment").asc_nulls_last()
     )
     return (
         counts.withColumn("rk", F.row_number().over(w))
@@ -1337,7 +1353,7 @@ WITH counts AS (
 SELECT c_nationkey, c_mktsegment AS modal_segment, n AS n_customers
 FROM counts
 QUALIFY ROW_NUMBER() OVER (PARTITION BY c_nationkey
-                           ORDER BY n DESC, c_mktsegment ASC) = 1
+                           ORDER BY n DESC, c_mktsegment ASC NULLS LAST) = 1
 """
 
 
@@ -1355,11 +1371,22 @@ def cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     row-level shuffle), aggregate to the bounded (cohort, age) grid,
     then ONE cohort-partitioned cumsum over <= |months| rows per
     cohort.  Ages are exact integer month arithmetic; revenue sums are
-    exact decimals; cum_rev_per_member divides in fixed-order double."""
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_custkey",
-        "o_totalprice",
-        F.date_trunc("MONTH", F.col("o_orderdate")).alias("month"),
+    exact decimals; cum_rev_per_member divides in fixed-order double.
+
+    NULL order dates are excluded at the scan (pushed-down predicate):
+    an undatable order can be neither cohorted nor aged, and leaving it
+    in puts a NULL-age row into the cumsum window where engine NULL
+    ordering (Spark NULLS FIRST vs standard NULLS LAST on ASC) silently
+    shifts every cumulative figure -- caught by the r9 mixed-nulls
+    sweep."""
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate").isNotNull())
+        .select(
+            "o_custkey",
+            "o_totalprice",
+            F.date_trunc("MONTH", F.col("o_orderdate")).alias("month"),
+        )
     )
     firsts = orders.groupBy("o_custkey").agg(F.min("month").alias("cohort"))
     sized = firsts.groupBy("cohort").agg(
@@ -1402,7 +1429,7 @@ def cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
 COHORT_LTV_SQL = f"""
 WITH orders_m AS (
   SELECT o_custkey, o_totalprice, date_trunc('month', o_orderdate) AS month
-  FROM orders
+  FROM orders WHERE o_orderdate IS NOT NULL
 ),
 firsts AS (
   SELECT o_custkey, MIN(month) AS cohort FROM orders_m GROUP BY 1
@@ -1618,9 +1645,16 @@ def _fulfillment_study(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("first_ship").isNotNull()
                 & (F.col("first_ship") <= F.col("cutoff"))
             ).alias("is_event"),
-            F.col("o_orderpriority")
-            .isin(*LOGRANK_FAST_PRIORITIES)
-            .alias("g1"),
+            # COALESCE to FALSE: group membership must be TOTAL. A NULL
+            # priority makes IN(...) NULL, and a day whose group-1 terms
+            # are all NULL then sums to NULL -- engine sum() skips it in
+            # o_minus_e while the oracle's COUNT FILTER contributes
+            # 0 - e1, silently deflating chi2 (r9 mixed-nulls sweep).
+            # Unknown priority is not provably fast => group 2.
+            F.coalesce(
+                F.col("o_orderpriority").isin(*LOGRANK_FAST_PRIORITIES),
+                F.lit(False),
+            ).alias("g1"),
         )
         .localCheckpoint()
     )
@@ -1648,7 +1682,7 @@ per_order AS (
               ELSE datediff('day', CAST(o_orderdate AS DATE), cutoff)
          END AS t,
          first_ship IS NOT NULL AND first_ship <= cutoff AS is_event,
-         o_orderpriority IN ('1-URGENT', '2-HIGH') AS g1
+         COALESCE(o_orderpriority IN ('1-URGENT', '2-HIGH'), FALSE) AS g1
   FROM joined CROSS JOIN cutoff
   WHERE CAST(o_orderdate AS DATE) <= cutoff
 )""".format(KM_CENSOR_DAYS=KM_CENSOR_DAYS)

@@ -40,12 +40,19 @@ def scd2_versions(
     Change detection is NULL-safe: `eqNullSafe` treats NULL as a value, so
     value -> NULL and NULL -> value transitions open versions, and a key
     whose first observation is NULL still gets its opening version (flagged
-    by row_number, since NULL eqNullSafe NULL would otherwise swallow it)."""
+    by row_number, since NULL eqNullSafe NULL would otherwise swallow it).
+
+    NULL-TIMESTAMP observations are excluded up front: they cannot be
+    placed on the validity timeline, and engine NULL ordering (Spark
+    NULLS FIRST vs standard NULLS LAST on ASC) would otherwise slot
+    them at opposite ends of each key's history, shifting every version
+    number (r9 mixed-nulls sweep)."""
     w = W.partitionBy(key).orderBy(ts, tiebreak)
     prev = F.lag(attr).over(w)
     first = F.row_number().over(w) == 1
     changes = (
-        obs.select(key, ts, tiebreak, attr)
+        obs.filter(F.col(ts).isNotNull())
+        .select(key, ts, tiebreak, attr)
         .withColumn("chg", first | ~prev.eqNullSafe(F.col(attr)))
         .filter("chg")
     )
@@ -75,7 +82,7 @@ WITH flagged AS (
   SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority,
     ROW_NUMBER() OVER w = 1
       OR lag(o_orderpriority) OVER w IS DISTINCT FROM o_orderpriority AS chg
-  FROM orders
+  FROM orders WHERE o_orderdate IS NOT NULL
   WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 )
 SELECT o_custkey, o_orderpriority,

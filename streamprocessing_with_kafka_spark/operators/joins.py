@@ -52,6 +52,13 @@ def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     with identical timestamps would make F.last's pick depend on shuffle
     order, breaking run-to-run determinism (no such tie exists in the
     fixtures, but real event streams have them).
+
+    The carried right row is ONE struct so that `ignorenulls` is purely
+    STRUCTURAL (NULL iff the window row is a left row): carrying ts and
+    value as two separate last-ignore-nulls columns would skip past a
+    matched view whose value is genuinely NULL to an older view's value
+    -- the same conflation as the r8 gapfill near-miss, and exactly what
+    the r9 mixed-nulls sweep caught here.
     """
     ev = load_table(spark, sf_dir, "events")
     both = ev.filter(F.col("event_type").isin(LEFT_TYPE, RIGHT_TYPE)).withColumn(
@@ -62,17 +69,27 @@ def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts", "side", "event_id")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    right_ts = F.last(
-        F.when(F.col("side") == 0, F.col("ts")), ignorenulls=True
-    ).over(w)
-    right_value = F.last(
-        F.when(F.col("side") == 0, F.col("value")), ignorenulls=True
+    right_row = F.last(
+        F.when(
+            F.col("side") == 0,
+            F.struct(
+                F.col("ts").alias("view_ts"),
+                F.col("value").alias("view_value"),
+            ),
+        ),
+        ignorenulls=True,
     ).over(w)
     return (
-        both.withColumn("view_ts", right_ts)
-        .withColumn("view_value", right_value)
+        both.withColumn("m", right_row)
         .filter(F.col("side") == 1)
-        .select("event_id", "user_id", "ts", "value", "view_ts", "view_value")
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            "value",
+            F.col("m.view_ts").alias("view_ts"),
+            F.col("m.view_value").alias("view_value"),
+        )
     )
 
 

@@ -422,9 +422,19 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "content_md5",
         )
         .withColumn(
+            # F.concat, NOT concat_ws: the content address of an absent
+            # payload must be NULL, and concat_ws would silently skip
+            # the NULL content_md5 and hash "out_w|out_h" instead (r9
+            # mixed-nulls sweep; the oracle's || propagates NULL).
             "resized_md5",
             F.md5(
-                F.concat_ws("|", F.col("content_md5"), F.col("out_w"), F.col("out_h"))
+                F.concat(
+                    F.col("content_md5"),
+                    F.lit("|"),
+                    F.col("out_w").cast("string"),
+                    F.lit("|"),
+                    F.col("out_h").cast("string"),
+                )
             ),
         )
         .select("doc_id", "width", "height", "out_w", "out_h", "resized_md5")

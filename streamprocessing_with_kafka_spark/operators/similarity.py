@@ -33,6 +33,25 @@ TOP_K = 5
 N_QUERIES = 5  # vec_id < 5 are the demo query vectors
 
 
+def load_clean_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embeddings scan every ANN index / training / dedup query
+    reads: vectors that are NULL or contain a NULL COMPONENT are
+    excluded at the scan.  A malformed vector is not an index member --
+    it has no well-defined distance to anything (engines even disagree
+    on how NULL elements fold: Spark's aggregate NULL-propagates,
+    DuckDB's list aggregates null-skip, and DuckDB's list_inner_product
+    hard-errors), so the only deterministic contract is a clean study
+    population, mirrored by the `WHERE embedding IS NOT NULL AND
+    len(list_filter(...)) = 0` scan filter in every oracle (r9
+    mixed-nulls sweep).  Row-preserving audit passes (embedding_stats,
+    embedding_quantize) intentionally do NOT use this: they keep
+    corrupt rows visible with NULL derived columns."""
+    return load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+        & ~F.exists("embedding", lambda x: x.isNull())
+    )
+
+
 def dot(a: Column, b: Column) -> Column:
     """Sequential-fold dot product in double (order-deterministic)."""
     return F.aggregate(
@@ -58,10 +77,17 @@ def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: the CASE guard mirrors the engine's NULL propagation: a vector with a
+#: NULL component has an undefined norm (the engine's fold returns NULL);
+#: without it DuckDB's list_dot_product hard-errors on NULL elements
 EMBEDDING_STATS_SQL = """
 SELECT vec_id, label, len(embedding) AS dim,
-       round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
-                                   CAST(embedding AS DOUBLE[]))), 6) AS l2_norm
+       CASE WHEN embedding IS NULL
+                 OR len(list_filter(embedding, x -> x IS NULL)) > 0
+            THEN NULL
+            ELSE round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                             CAST(embedding AS DOUBLE[]))), 6)
+       END AS l2_norm
 FROM embeddings
 """
 
@@ -129,7 +155,7 @@ def embedding_near_dup_lsh(
     is hot -- for a sized index that means degenerate near-center
     vectors. Precision stays 1 (survivors still pay the exact cosine);
     default off so the registered oracle stays exact."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_clean_embeddings(spark, sf_dir)
     v = F.col("embedding")
     keys = e.select(
         "vec_id",
@@ -215,7 +241,9 @@ keysc AS (SELECT keys.* FROM keys JOIN light USING (band, band_key)),
 """
         keys_src = "keysc"
     return f"""
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+           WHERE embedding IS NOT NULL
+             AND len(list_filter(embedding, x -> x IS NULL)) = 0),
 keys AS (
 {keys_union}
 ),
@@ -236,7 +264,7 @@ WHERE round(list_dot_product(ea.v, eb.v)
 def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-k cosine neighbors for the query vectors: the correctness
     baseline every ANN variant is judged against."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_clean_embeddings(spark, sf_dir)
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
     )
@@ -250,7 +278,9 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ANN_TOPK_BRUTEFORCE_SQL = f"""
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+           WHERE embedding IS NOT NULL
+             AND len(list_filter(embedding, x -> x IS NULL)) = 0),
 scored AS (
   SELECT q.vec_id AS q_id, n.vec_id AS n_id,
          round(list_dot_product(q.v, n.v)
@@ -306,7 +336,7 @@ def ann_bucket_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, embedding, band, band_key): one row per band, key =
     DUP_BAND_BITS hyperplane sign bits -- the same banding scheme as the
     near-dup path (candidates collide on ANY band, OR semantics)."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_clean_embeddings(spark, sf_dir)
     v = F.col("embedding")
     return e.select(
         "vec_id",
@@ -383,7 +413,9 @@ def _ann_topk_lsh_sql() -> str:
         for b in range(N_ANN_BANDS)
     )
     return f"""
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+           WHERE embedding IS NOT NULL
+             AND len(list_filter(embedding, x -> x IS NULL)) = 0),
 keys AS (
 {keys_union}
 ),
@@ -421,7 +453,7 @@ def centroid_row(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch assignment and the streaming ingest twin. Centroids are the
     vectors with vec_id % 50 == 0 (deterministic seeds; a production IVF
     would k-means these -- the assignment/search plumbing is identical)."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_clean_embeddings(spark, sf_dir)
     return (
         e.filter(F.col("vec_id") % 50 == 0)
         .select(
@@ -459,14 +491,16 @@ def ivf_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     earlier crossJoin + per-vector window rank paid one; the fold IS the
     argmax). The oracle keeps the rank formulation: two algorithms, one
     fixpoint."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_clean_embeddings(spark, sf_dir)
     return e.crossJoin(F.broadcast(centroid_row(spark, sf_dir))).select(
         "vec_id", nearest_cell(F.col("embedding")).alias("cell")
     )
 
 
 IVF_ASSIGNMENTS_SQL = """
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+           WHERE embedding IS NOT NULL
+             AND len(list_filter(embedding, x -> x IS NULL)) = 0),
 cent AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id % 50 = 0),
 scored AS (
   SELECT e.vec_id, cent.cell,
@@ -493,7 +527,7 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan shape: centroid scoring is a broadcast (centroids are tiny by
     definition), candidate generation is an equi-join on cell id.
     """
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_clean_embeddings(spark, sf_dir)
     cent = e.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("cell"), F.col("embedding").alias("cv")
     )
@@ -519,7 +553,9 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 IVF_TOPK_SQL = f"""
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+           WHERE embedding IS NOT NULL
+             AND len(list_filter(embedding, x -> x IS NULL)) = 0),
 cent AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id % 50 = 0),
 scored AS (
   SELECT e.vec_id, e.v, cent.cell,
@@ -606,7 +642,9 @@ def _ann_topk_multiprobe_sql() -> str:
     )
     flips = ", ".join(str(f) for f in PROBE_FLIPS)
     return f"""
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+           WHERE embedding IS NOT NULL
+             AND len(list_filter(embedding, x -> x IS NULL)) = 0),
 keys AS (
 {keys_union}
 ),
@@ -683,10 +721,22 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     At scale this is the write side of an ANN serving index: one narrow
     map over the embeddings scan (no shuffle, no UDF), emitting 1/4 the
-    bytes of the float corpus; ann_topk_quantized is the read side."""
+    bytes of the float corpus; ann_topk_quantized is the read side.
+
+    A vector containing a NULL COMPONENT degrades to an all-NULL row
+    (scale, codes, norm), same as a NULL vector: serving a silently
+    shortened code string is index corruption (concat_ws and the
+    oracle's array_to_string both SKIP null elements, so a 64-dim
+    vector with one NULL would otherwise emit 63 codes and the two
+    engines would then disagree on the norm -- Spark's aggregate
+    NULL-propagates, DuckDB's list_sum null-skips; r9 mixed sweep)."""
     e = load_table(spark, sf_dir, "embeddings")
-    v = F.col("embedding")
-    scale = _quant_scale(v)
+    raw = F.col("embedding")
+    clean = raw.isNotNull() & ~F.exists(raw, lambda x: x.isNull())
+    v = F.when(clean, raw)
+    # explicit gate: greatest() IGNORES nulls in both engines, so
+    # _quant_scale(NULL) would come back 1e-30 instead of NULL
+    scale = F.when(clean, _quant_scale(v))
     q = _quantize(v, scale)
     return e.select(
         "vec_id",
@@ -703,10 +753,19 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EMBEDDING_QUANTIZE_SQL = f"""
-WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+WITH e AS (
+  -- a vector with a NULL component degrades whole (see the engine
+  -- docstring): normalize it to a NULL vector up front
+  SELECT vec_id, label,
+         CASE WHEN len(list_filter(embedding, x -> x IS NULL)) > 0
+              THEN NULL ELSE CAST(embedding AS DOUBLE[]) END AS v
+  FROM embeddings
+),
 s AS (
   SELECT vec_id, label, v,
-         greatest(list_max(list_transform(v, x -> abs(x))), 1e-30) AS scale
+         CASE WHEN v IS NULL THEN NULL
+              ELSE greatest(list_max(list_transform(v, x -> abs(x))), 1e-30)
+         END AS scale
   FROM e
 ),
 q AS (
@@ -735,7 +794,7 @@ def ann_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     # version re-quantized qv/nv per CANDIDATE row, paying C redundant
     # 3-pass quantizations of the same query vector and one per
     # (query, neighbor) hit on popular neighbors
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_clean_embeddings(spark, sf_dir)
     qz = e.select(
         "vec_id",
         _quantize(F.col("embedding"), _quant_scale(F.col("embedding"))).alias(
@@ -774,7 +833,9 @@ def _ann_topk_quantized_sql() -> str:
         for b in range(N_ANN_BANDS)
     )
     return f"""
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+           WHERE embedding IS NOT NULL
+             AND len(list_filter(embedding, x -> x IS NULL)) = 0),
 qz AS (
   SELECT vec_id,
          list_transform(v, x -> CAST(floor(x * {QUANT_LEVELS}
@@ -833,7 +894,7 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     Complements `embedding_near_dup_lsh` (recall-tunable bands) with the
     partition-then-prune recipe curation pipelines use for diversity.
     """
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_clean_embeddings(spark, sf_dir)
     # assignment = the shared shuffle-free fold argmax (ivf_assignments'
     # path) -- identical semantics, and one code path to keep tie/centroid
     # changes consistent across the three assignment consumers
@@ -866,7 +927,9 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DEDUP_SEMANTIC_SQL = f"""
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+           WHERE embedding IS NOT NULL
+             AND len(list_filter(embedding, x -> x IS NULL)) = 0),
 cent AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id % 50 = 0),
 scored AS (
   SELECT e.vec_id, e.v, cent.cell,
@@ -927,7 +990,7 @@ def kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Returns centroids after KMEANS_ITERS rounds with each cell's member
     count from the LAST update (standard Lloyd reporting)."""
-    e = load_table(spark, sf_dir, "embeddings").select(
+    e = load_clean_embeddings(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     cent = e.filter(F.col("vec_id") % 50 == 0).select(
@@ -1004,7 +1067,9 @@ c{i} AS (SELECT p.cell, coalesce(u{i}.cv, p.cv) AS cv, coalesce(u{i}.n, 0) AS n
 
 KMEANS_TRAIN_SQL = (
     """
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+           WHERE embedding IS NOT NULL
+             AND len(list_filter(embedding, x -> x IS NULL)) = 0),
 c0 AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id % 50 = 0),"""
     + ",".join(
         _kmeans_iter_sql(i + 1, f"c{i}") for i in range(KMEANS_ITERS)
@@ -1036,7 +1101,7 @@ def ivf_topk_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     path: train offline, freeze, serve. Same plan shape as `ann_ivf_topk`
     (broadcast centroid scoring, cell-id equi-join candidates); the only
     change is the model frame feeding the broadcast."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_clean_embeddings(spark, sf_dir)
     cent = kmeans_centroids(spark, sf_dir)
     scored_all = e.select("vec_id", "embedding").crossJoin(F.broadcast(cent)).select(
         "vec_id", "embedding", "cell", cosine(F.col("embedding"), F.col("cv")).alias("cos_c")
@@ -1061,7 +1126,9 @@ def ivf_topk_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: IVF_TOPK_SQL pointed at the trained model instead of the seed cells.
 IVF_TOPK_TRAINED_SQL = (
     """
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+           WHERE embedding IS NOT NULL
+             AND len(list_filter(embedding, x -> x IS NULL)) = 0),
 c0 AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id % 50 = 0),"""
     + ",".join(_kmeans_iter_sql(i + 1, f"c{i}") for i in range(KMEANS_ITERS))
     + f""",
@@ -1228,7 +1295,7 @@ def pq_trained_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: each round touches the corpus once (narrow map against an
     M*K-entry broadcast); the update shuffle carries M*K*SUBDIM combined
     rows, independent of corpus size."""
-    e = load_table(spark, sf_dir, "embeddings").select(
+    e = load_clean_embeddings(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     seeds = (
@@ -1309,7 +1376,7 @@ def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines bit-equal; ties break on n_id at both stages."""
     cb = pq_trained_codebook(spark, sf_dir)
     cb_row = _pq_codebook_row(cb)
-    e = load_table(spark, sf_dir, "embeddings").select(
+    e = load_clean_embeddings(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     codes = _pq_assign(_pq_subspaces(e), cb).select(
@@ -1423,7 +1490,9 @@ cb{i} AS (
 
 _PQ_COMMON_SQL = (
     f"""
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+           WHERE embedding IS NOT NULL
+             AND len(list_filter(embedding, x -> x IS NULL)) = 0),
 seeds AS (
   SELECT * FROM (
     SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code, v
@@ -1533,9 +1602,21 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     3 rounds suffice for the diagnostics use (Rayleigh quotient is
     quadratically accurate), more rounds are the same unrolled step.
 
-    Output: (dim, loading, eigenvalue, explained_frac)."""
-    e = load_table(spark, sf_dir, "embeddings").select(
-        F.col("embedding").cast("array<double>").alias("v")
+    Output: (dim, loading, eigenvalue, explained_frac).
+
+    Vectors that are NULL or contain a NULL component leave the study
+    at the scan: engines disagree on per-dimension NULL skipping inside
+    the mean/covariance denominators (Spark's posexplode emits NULL
+    rows that count() includes but dec_sum skips; DuckDB's element
+    indexing differs again), so the only cross-engine-deterministic
+    treatment is a clean-vector study population (r9 mixed sweep)."""
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(
+            F.col("embedding").isNotNull()
+            & ~F.exists("embedding", lambda x: x.isNull())
+        )
+        .select(F.col("embedding").cast("array<double>").alias("v"))
     )
     mu = (
         e.select(F.posexplode("v").alias("dim", "val"))
@@ -1667,7 +1748,9 @@ _PCA_COV_SQL = round_sql(
 
 EMBEDDING_PCA_POWER_SQL = (
     f"""
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+           WHERE embedding IS NOT NULL
+             AND len(list_filter(embedding, x -> x IS NULL)) = 0),
 mu AS (
   SELECT d.range AS dim, {_PCA_MEAN_SQL} AS m
   FROM e CROSS JOIN range(0, {DIM}) d

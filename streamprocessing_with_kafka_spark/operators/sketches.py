@@ -454,7 +454,14 @@ def bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     cust = load_table(spark, sf_dir, "customer")
-    keys = cust.select(F.col("c_name").alias("key")).distinct()
+    # NULL is not a set element: leave it out of the key universe, or
+    # the deterministic probe pick (ORDER BY key LIMIT 10) slots it at
+    # opposite ends under Spark-vs-standard NULL ordering (r9 sweep).
+    keys = (
+        cust.select(F.col("c_name").alias("key"))
+        .filter(F.col("key").isNotNull())
+        .distinct()
+    )
     hashes = family_hashes_from_h(md5_long(F.col("key")), BLOOM_K)
     bits = (
         keys.select(
@@ -507,7 +514,8 @@ def _bloom_sql() -> str:
         f"SELECT key, ({e}) % {BLOOM_BITS} AS bit FROM probes" for e in exprs
     )
     return f"""
-WITH keys AS (SELECT DISTINCT c_name AS key FROM customer),
+WITH keys AS (SELECT DISTINCT c_name AS key FROM customer
+              WHERE c_name IS NOT NULL),
 bits AS (SELECT DISTINCT bit FROM ({key_bits})),
 present AS (SELECT key FROM keys ORDER BY key LIMIT 10),
 absent AS (SELECT 'NotACustomer#' || CAST(range AS VARCHAR) AS key FROM range(10)),

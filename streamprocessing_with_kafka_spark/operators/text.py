@@ -1253,7 +1253,13 @@ def vocab_growth(
 
     from streamprocessing_with_kafka_spark.functions.numeric import dec_sum
 
-    d = load_table(spark, sf_dir, "documents")
+    # NULL-text docs leave the study at the scan: the explode path
+    # drops them implicitly, but per_doc would otherwise keep them with
+    # a NULL token count, padding the curve with 50 no-op checkpoint
+    # rows and tilting the Heaps fit (r9 mixed-nulls sweep).
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
     w = _tokens()
     per_doc = d.select("doc_id", F.size(w).alias("n_tokens"))
     new_words = (

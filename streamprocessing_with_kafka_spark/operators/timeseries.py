@@ -194,14 +194,17 @@ def mad_outlier_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: the joins are IS NOT DISTINCT FROM, not USING: the engine's window
+#: PARTITION BY keeps a NULL event_type group (as SQL grouping does),
+#: and an equi-join back would silently drop it (r9 mixed-nulls sweep).
 MAD_OUTLIER_SUMMARY_SQL = f"""
 WITH med AS (
   SELECT event_type, quantile_cont(value, 0.5) AS med, COUNT(*) AS n_events
   FROM events GROUP BY 1
 ),
 dev AS (
-  SELECT e.event_type, med, n_events, abs(e.value - med) AS abs_dev
-  FROM events e JOIN med USING (event_type)
+  SELECT e.event_type, m.med, m.n_events, abs(e.value - m.med) AS abs_dev
+  FROM events e JOIN med m ON e.event_type IS NOT DISTINCT FROM m.event_type
 ),
 mad AS (
   SELECT event_type, any_value(med) AS med, any_value(n_events) AS n_events,
@@ -209,17 +212,19 @@ mad AS (
   FROM dev GROUP BY 1
 ),
 outliers AS (
-  SELECT d.event_type, COUNT(*) AS n_outliers, max(abs_dev) AS max_abs_dev
-  FROM dev d JOIN mad USING (event_type)
-  WHERE abs_dev > {MAD_K!r} * mad
+  SELECT d.event_type AS event_type, COUNT(*) AS n_outliers,
+         max(d.abs_dev) AS max_abs_dev
+  FROM dev d JOIN mad m ON d.event_type IS NOT DISTINCT FROM m.event_type
+  WHERE d.abs_dev > {MAD_K!r} * m.mad
   GROUP BY 1
 )
-SELECT event_type, CAST(n_events AS BIGINT) AS n_events,
-       {round_sql('med', 6)} AS med,
-       {round_sql('mad', 6)} AS mad,
-       coalesce(n_outliers, 0) AS n_outliers,
-       {round_sql('max_abs_dev', 6)} AS max_abs_dev
-FROM mad LEFT JOIN outliers USING (event_type)
+SELECT m.event_type, CAST(m.n_events AS BIGINT) AS n_events,
+       {round_sql('m.med', 6)} AS med,
+       {round_sql('m.mad', 6)} AS mad,
+       coalesce(o.n_outliers, 0) AS n_outliers,
+       {round_sql('o.max_abs_dev', 6)} AS max_abs_dev
+FROM mad m LEFT JOIN outliers o
+  ON m.event_type IS NOT DISTINCT FROM o.event_type
 """
 
 

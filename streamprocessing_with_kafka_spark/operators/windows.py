@@ -14,7 +14,7 @@ SS); the SQL twin reproduces them with lag + running-sum session ids.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from streamprocessing_with_kafka_spark.functions.numeric import DEC, dec_sum, dec_sum_sql, round_sql
 from streamprocessing_with_kafka_spark.sources.tables import load_table
@@ -176,14 +176,21 @@ def dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     SS twin: dropDuplicatesWithinWatermark([...]) -- same key shape, state
     bounded by the watermark instead of the bucket.
+
+    Shape: ONE window min over the dedup key (single shuffle). The
+    previous groupBy + re-join shape was both a second shuffle AND an
+    inner equi-join on a nullable key, which silently dropped every
+    NULL-event_type row (NULL = NULL is NULL) where SQL PARTITION BY
+    keeps them as a group -- caught by the r9 mixed-nulls sweep.
     """
     ev = load_table(spark, sf_dir, "events")
-    keyed = ev.withColumn("hour_bucket", F.date_trunc("hour", F.col("ts")))
-    keep = keyed.groupBy("user_id", "event_type", "hour_bucket").agg(
-        F.min("event_id").alias("event_id")
+    w = W.partitionBy(
+        "user_id", "event_type", F.date_trunc("hour", F.col("ts"))
     )
-    return keyed.join(keep, ["user_id", "event_type", "hour_bucket", "event_id"]).select(
-        "event_id", "ts", "user_id", "event_type", "value"
+    return (
+        ev.withColumn("keeper", F.min("event_id").over(w))
+        .filter(F.col("event_id") == F.col("keeper"))
+        .select("event_id", "ts", "user_id", "event_type", "value")
     )
 
 
@@ -741,16 +748,21 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the final top-K is an orderBy+limit -- Spark compiles that to
     TakeOrdered (per-partition heads merged on the driver), so no
     single-reducer global sort exists. Ties break on the path string,
-    making the cut deterministic."""
+    making the cut deterministic.
+
+    F.concat (NULL-PROPAGATING, like SQL ||) rather than concat_ws
+    (which silently SKIPS NULLs, collapsing a>NULL>b into the 2-step
+    a>b and inflating shorter paths' counts -- r9 mixed-nulls sweep):
+    a run through an unknown event type is not a path, so windows
+    touching a NULL type drop on the path IS NOT NULL filter."""
     from pyspark.sql import Window as W
 
     e = load_table(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    path = F.concat_ws(
-        ">",
-        F.col("event_type"),
-        *[F.lead("event_type", i).over(w) for i in range(1, PATH_LEN)],
-    )
+    parts: list = [F.col("event_type")]
+    for i in range(1, PATH_LEN):
+        parts += [F.lit(">"), F.lead("event_type", i).over(w)]
+    path = F.concat(*parts)
     steps = (
         e.select(
             "user_id",
@@ -758,6 +770,7 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lead("event_type", PATH_LEN - 1).over(w).alias("_last"),
         )
         .filter(F.col("_last").isNotNull())  # full windows only
+        .filter(F.col("path").isNotNull())  # no NULL step inside the run
     )
     return (
         steps.groupBy("path")
@@ -780,7 +793,7 @@ WITH steps AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 )
 SELECT path, COUNT(*) AS n
-FROM steps WHERE _last IS NOT NULL
+FROM steps WHERE _last IS NOT NULL AND path IS NOT NULL
 GROUP BY path
 ORDER BY n DESC, path ASC
 LIMIT {TOP_PATHS}

@@ -1689,53 +1689,59 @@ CORRECTNESS_WINDOW = [
     "crud_append",
     "crud_delete",
     "crud_upsert",
-    # 13-25: STALE-GREEN-FIRST (scratch/stale_green_guard.py output at
-    # the r9 pin): sketch_quantile_rollup's KLL guard landed after the
-    # r8 pin (commit 9ca64c6, VERDICT r8 item 1); the other sketches.py
-    # and multimodal.py queries are module-mates of the r9 edits (the
-    # KLL_EMPTY_SERIALIZED_BYTES hoist and the rid-keyed mm oracles).
+    # 13-48: EVERY query whose behavior closure changed since the r8
+    # driver artifacts (scratch/stale_green_guard.py, name-level at the
+    # final r9 pin) -- the hard rule: a changed query outside the window
+    # would close the round with a stale-by-construction green. The set
+    # is dominated by the r9 mixed-nulls sweep fixes (NULL-ordering
+    # tie-breaks, null-safe joins, NULL-propagating concat, the
+    # clean-embeddings scan policy, the asof struct carry) plus the
+    # r8-advice edits (rid-keyed mm oracles, KLL empty-size constant).
+    # sketch_quantile_rollup (VERDICT r8 item 1) is in this set.
     "sketch_quantile_rollup",
-    "sketch_value_quantiles",
-    "sketch_distinct_users",
-    "sketch_distinct_rollup",
-    "sketch_count_min",
     "sketch_bloom_membership",
     "mm_feature_extract",
     "mm_ann_topk",
     "mm_phash_index",
-    "mm_decode",
     "mm_resize",
-    "mm_frame_sample",
-    "mm_binary_meta",
-    # 26: displaced from r8 slot 50 by the events_gapfill re-window
-    # (code untouched; oldest green = r1).
-    "join_top_supplier",
-    # 27-50: oldest-green-first (scratch/next_window.py order): the
-    # remaining 5 r1-latest greens, then the r2 cohort head.
-    "agg_supplier_count_by_part",
-    "join_waiting_supplier",
-    "agg_important_parts",
-    "join_excess_shippers",
-    "profile_documents",
-    "text_decontaminate",
-    "ann_ivf_assignments",
-    "text_token_count",
-    "text_quality_score",
-    "text_fingerprint",
-    "text_pii_scrub",
-    "text_chunk",
-    "text_repetition",
-    "text_term_df",
-    "text_unigram_logprob",
-    "text_heavy_hitters",
-    "text_pack_sequences",
-    "sample_stratified",
-    "sample_weighted_mix",
+    "csv_parse_orders",
+    "agg_mode_by_nation",
+    "agg_cohort_ltv",
+    "window_pareto_frontier",
+    "events_dedup",
+    "events_top_paths",
+    "events_mad_outliers",
+    "events_logrank",
+    "events_survival_km",
+    "pipeline_events_health",
     "scd2_customer_priority",
     "join_asof_events",
-    "join_range_events",
-    "agg_priority_line_counts",
+    "join_asof_tolerance",
+    "text_vocab_growth",
+    "embedding_stats",
+    "embedding_quantize",
+    "embedding_pca_power",
+    "ann_topk_bruteforce",
+    "ann_topk_lsh",
     "ann_topk_multiprobe",
+    "ann_topk_quantized",
+    "ann_ivf_assignments",
+    "ann_ivf_topk",
+    "ann_ivf_topk_trained",
+    "ann_kmeans_train",
+    "ann_pq_train",
+    "ann_topk_pq",
+    "dedup_embedding_cosine",
+    "dedup_embedding_cosine_capped",
+    "dedup_semantic",
+    # 49: displaced from r8 slot 50 by the events_gapfill re-window
+    # (code untouched; oldest green = r1; VERDICT r8 item 1).
+    "join_top_supplier",
+    # 50: oldest-green rotation head (r1-latest). The rest of the r1/r2
+    # burn-down cohort the r8 verdict listed is crowded out this round
+    # by the 36 changed queries above; it resumes at r10 (their code is
+    # untouched, so those greens are old but not stale).
+    "agg_supplier_count_by_part",
 ]
 
 #: Oracle-backed queries still without a driver row: none -- as of r7

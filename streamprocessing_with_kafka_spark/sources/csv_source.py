@@ -42,19 +42,37 @@ def csv_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     `orders`, with the corrupt classes above."""
     o = load_table(spark, sf_dir, "orders")
     k = F.col("o_orderkey")
+    # NULL source fields serialize as EMPTY CSV fields (standard CSV
+    # NULL encoding, parsed back to NULL). The bare concat_ws form
+    # SKIPPED a NULL component -- silently collapsing the column count
+    # and shifting every later field -- and the short-class concat
+    # NULLED the whole line (r9 mixed-nulls sweep).
     good = F.concat_ws(
         ",",
-        k.cast("string"),
-        F.concat(F.lit("Product "), F.col("o_orderpriority")),
-        F.when(k % 7 == 0, F.lit("abc")).otherwise((k % 50 + 1).cast("string")),
-        (k % 1900 + 100).cast("string"),
-        F.date_format("o_orderdate", "yyyy-MM-dd"),
+        F.coalesce(k.cast("string"), F.lit("")),
+        F.coalesce(
+            F.concat(F.lit("Product "), F.col("o_orderpriority")), F.lit("")
+        ),
+        F.coalesce(
+            F.when(k % 7 == 0, F.lit("abc")).otherwise(
+                (k % 50 + 1).cast("string")
+            ),
+            F.lit(""),
+        ),
+        F.coalesce((k % 1900 + 100).cast("string"), F.lit("")),
+        F.coalesce(F.date_format("o_orderdate", "yyyy-MM-dd"), F.lit("")),
     )
     line = (
         F.when(k % 31 == 0, F.lit('"broken'))
         .when(
             k % 13 == 0,
-            F.concat(k.cast("string"), F.lit(",Product "), F.col("o_orderpriority")),
+            F.concat(
+                k.cast("string"),
+                F.coalesce(
+                    F.concat(F.lit(",Product "), F.col("o_orderpriority")),
+                    F.lit(","),
+                ),
+            ),
         )
         .otherwise(good)
     )

@@ -58,26 +58,27 @@ def test_driver_correctness_window_matches_budget():
         window[:12]
     )
     for name in (
-        # r9 stale-green block (VERDICT r8 item 1 + the mechanical
-        # scratch/stale_green_guard.py output at the r9 pin): the KLL
-        # rollup whose empty-sketch guard landed after the r8 pin, its
-        # sketches.py module-mates, the multimodal family whose oracle
-        # CTEs were rid-rekeyed in r9, and the query displaced from r8
-        # slot 50
-        "sketch_quantile_rollup",
-        "sketch_value_quantiles",
-        "sketch_distinct_users",
-        "sketch_distinct_rollup",
-        "sketch_count_min",
-        "sketch_bloom_membership",
-        "mm_feature_extract",
-        "mm_ann_topk",
-        "mm_phash_index",
-        "mm_decode",
-        "mm_resize",
-        "mm_frame_sample",
-        "mm_binary_meta",
-        "join_top_supplier",
+        # r9 stale-green block: scratch/stale_green_guard.py (name-level
+        # closure, final r9 pin) lists exactly 36 queries whose behavior
+        # changed since the r8 driver artifacts -- the mixed-nulls sweep
+        # fixes + the r8-advice edits. Spot-pin the heads of each fix
+        # class here (the guard itself is the exhaustive check); plus
+        # VERDICT r8 item 1's two named rows.
+        "sketch_quantile_rollup",  # KLL guard landed after the r8 pin
+        "join_top_supplier",  # displaced from r8 slot 50
+        "sketch_bloom_membership",  # NULL not a set element
+        "mm_resize",  # NULL-propagating content address
+        "csv_parse_orders",  # NULL fields serialize as empty
+        "join_asof_events",  # struct carry (the gapfill class)
+        "events_dedup",  # window dedup keeps NULL-key group
+        "events_top_paths",  # concat NULL-propagates
+        "window_pareto_frontier",  # NULL coords off the plane
+        "scd2_customer_priority",  # NULL-ts observations excluded
+        "agg_mode_by_nation",  # asc_nulls_last tie-break
+        "ann_topk_bruteforce",  # clean-embeddings scan policy
+        "dedup_embedding_cosine",  # clean scan via dedup.py closure
+        "events_logrank",  # total group membership (g1 COALESCE)
+        "pipeline_events_health",  # caught only by the name-level guard
     ):
         assert name in window, name
 
