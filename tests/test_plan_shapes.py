@@ -110,6 +110,23 @@ def test_events_scan_prunes_with_filter(spark, sf_dir):
     assert m and "props" not in m.group(1), plan
 
 
+def test_clean_embeddings_nullness_filter_pushes_to_scan(spark, sf_dir):
+    """The r9 clean-embeddings scan policy must stay scan-cheap at
+    100 TB: the vector-level IS NOT NULL reaches the parquet reader as
+    a pushed filter (row groups with all-NULL vectors skip), while the
+    element-level exists() check -- not expressible as a parquet
+    predicate -- runs as a narrow post-scan filter, NOT a shuffle or
+    UDF."""
+    from streamprocessing_with_kafka_spark.operators.similarity import (
+        load_clean_embeddings,
+    )
+
+    plan = _plan(spark, load_clean_embeddings(spark, sf_dir), "formatted")
+    assert re.search(r"PushedFilters: \[.*IsNotNull\(embedding\).*\]", plan), plan
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
 def test_large_volume_customers_broadcasts_both_hops(spark, sf_dir):
     """Q18 shape: the HAVING-filtered aggregate and the order-level
     result are both slivers -- each must broadcast; the only shuffle is
