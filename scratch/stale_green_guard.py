@@ -187,12 +187,21 @@ def closure(
                 dq.append((mod, r))
             elif r in md.imports:
                 tgt_mod, tgt_name = md.imports[r]
-                if tgt_mod.startswith(PKG):
-                    if tgt_name is not None:
-                        dq.append((tgt_mod, tgt_name))
-                    else:  # `import pkg.x` module alias: take whole module
-                        for n in tree.get(tgt_mod, ModuleDefs(tgt_mod, "")).defs:
-                            dq.append((tgt_mod, n))
+                if not tgt_mod.startswith(PKG):
+                    continue
+                # `from pkg.a import b`: b may be a DEFINITION in pkg.a
+                # or a MODULE pkg.a.b (module alias) -- if the latter,
+                # conservatively take the whole module, else the edge
+                # would silently dead-end and a helper change behind
+                # the alias would never flag its consumers (r9 review).
+                as_module = (
+                    f"{tgt_mod}.{tgt_name}" if tgt_name is not None else tgt_mod
+                )
+                if as_module in tree:
+                    for n in tree[as_module].defs:
+                        dq.append((as_module, n))
+                elif tgt_name is not None:
+                    dq.append((tgt_mod, tgt_name))
     return seen
 
 
@@ -214,16 +223,23 @@ def sql_seeds() -> dict[str, set[tuple[str, str]]]:
             continue
         qname = node.args[0].value
         seeds: set[tuple[str, str]] = set()
-        for sub in ast.walk(node):
-            for r in (
-                {n.id for n in ast.walk(sub) if isinstance(n, ast.Name)}
-                if sub is node
-                else ()
-            ):
-                if r in md.imports:
-                    tgt_mod, tgt_name = md.imports[r]
-                    if tgt_mod.startswith(PKG) and tgt_name is not None:
-                        seeds.add((tgt_mod, tgt_name))
+        # names used as Attribute roots (module aliases like
+        # `sketches.BLOOM_SQL`) are resolved precisely by the attribute
+        # pass below; seeding them as bare names would make closure()'s
+        # module-alias fallback pull in the WHOLE module -- module
+        # granularity through the back door
+        attr_roots = {
+            sub.value.id
+            for sub in ast.walk(node)
+            if isinstance(sub, ast.Attribute) and isinstance(sub.value, ast.Name)
+        }
+        for r in {
+            n.id for n in ast.walk(node) if isinstance(n, ast.Name)
+        } - attr_roots:
+            if r in md.imports:
+                tgt_mod, tgt_name = md.imports[r]
+                if tgt_mod.startswith(PKG) and tgt_name is not None:
+                    seeds.add((tgt_mod, tgt_name))
         # attribute references like sketches.BLOOM_SQL: resolve the
         # (module alias, attr) pair
         for sub in ast.walk(node):

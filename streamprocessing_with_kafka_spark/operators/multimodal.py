@@ -360,15 +360,6 @@ sums AS (
 )"""
 
 
-MM_FEATURE_EXTRACT_SQL = f"""
-WITH {_rp_sql_ctes()}
-SELECT doc_id, mm_type,
-       LIST(CAST(CAST(s AS DOUBLE) / {RP_SCALE!r} AS FLOAT) ORDER BY j)
-         AS feature
-FROM sums GROUP BY rid, doc_id, mm_type
-"""
-
-
 def mm_feature_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-checkable projection of mm_feature_extract: the vector
     posexploded to one (doc_id, mm_type, dim, value) row per component.

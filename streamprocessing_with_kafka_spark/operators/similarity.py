@@ -52,6 +52,16 @@ def load_clean_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: SQL twin of load_clean_embeddings, interpolated into every ANN/
+#: dedup/training oracle's scan CTE -- ONE definition of the clean-scan
+#: policy per side, so a policy change cannot desynchronize a single
+#: oracle (r9 review finding)
+EMB_CLEAN_WHERE = (
+    """WHERE embedding IS NOT NULL
+             AND len(list_filter(embedding, x -> x IS NULL)) = 0"""
+)
+
+
 def dot(a: Column, b: Column) -> Column:
     """Sequential-fold dot product in double (order-deterministic)."""
     return F.aggregate(
@@ -242,8 +252,7 @@ keysc AS (SELECT keys.* FROM keys JOIN light USING (band, band_key)),
         keys_src = "keysc"
     return f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-           WHERE embedding IS NOT NULL
-             AND len(list_filter(embedding, x -> x IS NULL)) = 0),
+           {EMB_CLEAN_WHERE}),
 keys AS (
 {keys_union}
 ),
@@ -279,8 +288,7 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ANN_TOPK_BRUTEFORCE_SQL = f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-           WHERE embedding IS NOT NULL
-             AND len(list_filter(embedding, x -> x IS NULL)) = 0),
+           {EMB_CLEAN_WHERE}),
 scored AS (
   SELECT q.vec_id AS q_id, n.vec_id AS n_id,
          round(list_dot_product(q.v, n.v)
@@ -414,8 +422,7 @@ def _ann_topk_lsh_sql() -> str:
     )
     return f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-           WHERE embedding IS NOT NULL
-             AND len(list_filter(embedding, x -> x IS NULL)) = 0),
+           {EMB_CLEAN_WHERE}),
 keys AS (
 {keys_union}
 ),
@@ -497,10 +504,9 @@ def ivf_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-IVF_ASSIGNMENTS_SQL = """
+IVF_ASSIGNMENTS_SQL = f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-           WHERE embedding IS NOT NULL
-             AND len(list_filter(embedding, x -> x IS NULL)) = 0),
+           {EMB_CLEAN_WHERE}),
 cent AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id % 50 = 0),
 scored AS (
   SELECT e.vec_id, cent.cell,
@@ -554,8 +560,7 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 IVF_TOPK_SQL = f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-           WHERE embedding IS NOT NULL
-             AND len(list_filter(embedding, x -> x IS NULL)) = 0),
+           {EMB_CLEAN_WHERE}),
 cent AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id % 50 = 0),
 scored AS (
   SELECT e.vec_id, e.v, cent.cell,
@@ -643,8 +648,7 @@ def _ann_topk_multiprobe_sql() -> str:
     flips = ", ".join(str(f) for f in PROBE_FLIPS)
     return f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-           WHERE embedding IS NOT NULL
-             AND len(list_filter(embedding, x -> x IS NULL)) = 0),
+           {EMB_CLEAN_WHERE}),
 keys AS (
 {keys_union}
 ),
@@ -834,8 +838,7 @@ def _ann_topk_quantized_sql() -> str:
     )
     return f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-           WHERE embedding IS NOT NULL
-             AND len(list_filter(embedding, x -> x IS NULL)) = 0),
+           {EMB_CLEAN_WHERE}),
 qz AS (
   SELECT vec_id,
          list_transform(v, x -> CAST(floor(x * {QUANT_LEVELS}
@@ -928,8 +931,7 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DEDUP_SEMANTIC_SQL = f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-           WHERE embedding IS NOT NULL
-             AND len(list_filter(embedding, x -> x IS NULL)) = 0),
+           {EMB_CLEAN_WHERE}),
 cent AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id % 50 = 0),
 scored AS (
   SELECT e.vec_id, e.v, cent.cell,
@@ -1066,10 +1068,9 @@ c{i} AS (SELECT p.cell, coalesce(u{i}.cv, p.cv) AS cv, coalesce(u{i}.n, 0) AS n
 
 
 KMEANS_TRAIN_SQL = (
-    """
+    f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-           WHERE embedding IS NOT NULL
-             AND len(list_filter(embedding, x -> x IS NULL)) = 0),
+           {EMB_CLEAN_WHERE}),
 c0 AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id % 50 = 0),"""
     + ",".join(
         _kmeans_iter_sql(i + 1, f"c{i}") for i in range(KMEANS_ITERS)
@@ -1125,10 +1126,9 @@ def ivf_topk_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: the kmeans CTE chain (e, c0..c{ITERS}) with the search SQL of
 #: IVF_TOPK_SQL pointed at the trained model instead of the seed cells.
 IVF_TOPK_TRAINED_SQL = (
-    """
+    f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-           WHERE embedding IS NOT NULL
-             AND len(list_filter(embedding, x -> x IS NULL)) = 0),
+           {EMB_CLEAN_WHERE}),
 c0 AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id % 50 = 0),"""
     + ",".join(_kmeans_iter_sql(i + 1, f"c{i}") for i in range(KMEANS_ITERS))
     + f""",
@@ -1491,8 +1491,7 @@ cb{i} AS (
 _PQ_COMMON_SQL = (
     f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-           WHERE embedding IS NOT NULL
-             AND len(list_filter(embedding, x -> x IS NULL)) = 0),
+           {EMB_CLEAN_WHERE}),
 seeds AS (
   SELECT * FROM (
     SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code, v
@@ -1749,8 +1748,7 @@ _PCA_COV_SQL = round_sql(
 EMBEDDING_PCA_POWER_SQL = (
     f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-           WHERE embedding IS NOT NULL
-             AND len(list_filter(embedding, x -> x IS NULL)) = 0),
+           {EMB_CLEAN_WHERE}),
 mu AS (
   SELECT d.range AS dim, {_PCA_MEAN_SQL} AS m
   FROM e CROSS JOIN range(0, {DIM}) d

@@ -753,8 +753,10 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     F.concat (NULL-PROPAGATING, like SQL ||) rather than concat_ws
     (which silently SKIPS NULLs, collapsing a>NULL>b into the 2-step
     a>b and inflating shorter paths' counts -- r9 mixed-nulls sweep):
-    a run through an unknown event type is not a path, so windows
-    touching a NULL type drop on the path IS NOT NULL filter."""
+    a run through an unknown event type is not a path. The single
+    path IS NOT NULL filter covers BOTH exclusions -- an incomplete
+    trailing window (lead past the stream end is NULL) and a NULL
+    step inside the run null the whole concat identically."""
     from pyspark.sql import Window as W
 
     e = load_table(spark, sf_dir, "events")
@@ -762,15 +764,8 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts: list = [F.col("event_type")]
     for i in range(1, PATH_LEN):
         parts += [F.lit(">"), F.lead("event_type", i).over(w)]
-    path = F.concat(*parts)
-    steps = (
-        e.select(
-            "user_id",
-            path.alias("path"),
-            F.lead("event_type", PATH_LEN - 1).over(w).alias("_last"),
-        )
-        .filter(F.col("_last").isNotNull())  # full windows only
-        .filter(F.col("path").isNotNull())  # no NULL step inside the run
+    steps = e.select("user_id", F.concat(*parts).alias("path")).filter(
+        F.col("path").isNotNull()
     )
     return (
         steps.groupBy("path")
@@ -787,13 +782,12 @@ _PATH_CONCAT = " || '>' || ".join(
 
 EVENTS_TOP_PATHS_SQL = f"""
 WITH steps AS (
-  SELECT {_PATH_CONCAT} AS path,
-         lead(event_type, {PATH_LEN - 1}) OVER w AS _last
+  SELECT {_PATH_CONCAT} AS path
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 )
 SELECT path, COUNT(*) AS n
-FROM steps WHERE _last IS NOT NULL AND path IS NOT NULL
+FROM steps WHERE path IS NOT NULL
 GROUP BY path
 ORDER BY n DESC, path ASC
 LIMIT {TOP_PATHS}

@@ -81,6 +81,25 @@ def test_closure_reaches_cross_module_helper():
     assert (helper_mod, "load_clean") not in cl2
 
 
+def test_closure_expands_module_alias_imports():
+    """`from pkg.operators import similarity` + `similarity.helper(...)`
+    must not dead-end: the alias edge conservatively pulls in the
+    aliased module's definitions, so a helper change behind a module
+    alias still flags its consumers (r9 review finding)."""
+    helper_mod = f"{PKG}.operators.simil"
+    query_mod = f"{PKG}.operators.consumer"
+    tree = {
+        helper_mod: _defs("def helper(s, d):\n    return d\n", helper_mod),
+        query_mod: _defs(
+            f"from {PKG}.operators import simil\n"
+            "def my_query(s, d):\n    return simil.helper(s, d)\n",
+            query_mod,
+        ),
+    }
+    cl = guard.closure(tree, {(query_mod, "my_query")})
+    assert (helper_mod, "helper") in cl
+
+
 def test_closure_follows_intra_module_sql_builders():
     mod = f"{PKG}.operators.m"
     tree = {
