@@ -24,7 +24,13 @@ spark.read.parquet(os.path.join(sf_dir, "events.parquet")).count()  # warm
 
 times: dict[str, float] = {}
 t_all = time.time()
-for name, q in registry().items():
+# FIXED sorted order, not registry order: the registry head is the
+# driver's correctness window, which is re-pinned every round -- in r9
+# the re-pin reordered which heavy queries precede which, and the
+# shared-session GC/heap bleed made census totals incomparable to r8's
+# (mm_decode census-min 4.2 s vs isolated 0.53 s). Sorted order is
+# stable across window re-pins, so cross-round census totals compare.
+for name, q in sorted(registry().items()):
     t0 = time.time()
     try:
         q.fn(spark, sf_dir).collect()
