@@ -33,6 +33,16 @@ TOP_K = 5
 N_QUERIES = 5  # vec_id < 5 are the demo query vectors
 
 
+def is_clean_embedding(col: Column) -> Column:
+    """TRUE iff the vector is a valid index member: not NULL and
+    containing no NULL component.  The single definition of the
+    clean-scan predicate -- the batch scan (load_clean_embeddings) and
+    the streaming ingest gates (streaming/ivf_ingest, streaming/
+    pq_ingest) must agree on membership or stream and batch indexes
+    silently diverge on corrupt vectors."""
+    return col.isNotNull() & ~F.exists(col, lambda x: x.isNull())
+
+
 def load_clean_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The embeddings scan every ANN index / training / dedup query
     reads: vectors that are NULL or contain a NULL COMPONENT are
@@ -47,8 +57,7 @@ def load_clean_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedding_quantize) intentionally do NOT use this: they keep
     corrupt rows visible with NULL derived columns."""
     return load_table(spark, sf_dir, "embeddings").filter(
-        F.col("embedding").isNotNull()
-        & ~F.exists("embedding", lambda x: x.isNull())
+        is_clean_embedding(F.col("embedding"))
     )
 
 

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from streamprocessing_with_kafka_spark.operators.similarity import (
     centroid_row,
+    is_clean_embedding,
     nearest_cell,
 )
 
@@ -39,7 +40,14 @@ def streaming_ivf_assign(vecs: DataFrame, model: DataFrame) -> DataFrame:
     """(vec_id, cell): nearest-centroid assignment for a vector stream,
     value-identical to the batch ivf_assignments for the same rows (both
     are operators/similarity.nearest_cell -- one code path, two
-    execution modes)."""
-    return vecs.crossJoin(model).select(
-        "vec_id", nearest_cell(F.col("embedding")).alias("cell")
+    execution modes).
+
+    The ingest gate mirrors the batch clean scan (r9 policy): a vector
+    that is NULL or carries a NULL component never enters the index --
+    without this filter the stream would admit rows the batch index
+    excludes and the two indexes would silently diverge."""
+    return (
+        vecs.filter(is_clean_embedding(F.col("embedding")))
+        .crossJoin(model)
+        .select("vec_id", nearest_cell(F.col("embedding")).alias("cell"))
     )

@@ -25,6 +25,7 @@ from streamprocessing_with_kafka_spark.operators.similarity import (
     _pq_best_code,
     _pq_codebook_row,
     _pq_sub,
+    is_clean_embedding,
     pq_trained_codebook,
 )
 
@@ -41,10 +42,19 @@ def streaming_pq_encode(vecs: DataFrame, model: DataFrame) -> DataFrame:
     int array column, value-identical to the batch encode for the same
     rows.  All PQ_M sub-vector argmins evaluate inside ONE projection
     (a transform over the subspace index), so the stream encodes at
-    scan speed."""
+    scan speed.
+
+    The ingest gate mirrors the batch clean scan (r9 policy): a vector
+    that is NULL or carries a NULL component never enters the index --
+    the compressed index must hold only codes the batch encoder would
+    also have produced."""
     v = F.col("embedding").cast("array<double>")
     codes = F.transform(
         F.sequence(F.lit(0), F.lit(PQ_M - 1)),
         lambda m: _pq_best_code(_pq_sub(v, m), m),
     )
-    return vecs.crossJoin(model).select("vec_id", codes.alias("codes"))
+    return (
+        vecs.filter(is_clean_embedding(F.col("embedding")))
+        .crossJoin(model)
+        .select("vec_id", codes.alias("codes"))
+    )

@@ -61,3 +61,22 @@ def test_streaming_ivf_is_pure_expression(spark, sf_dir):
     )
     assert "MapInPandas" not in plan and "BatchEvalPython" not in plan, plan
     assert "Exchange hash" not in plan, plan
+
+
+def test_streaming_ivf_ingest_gate_drops_corrupt_vectors(spark, sf_dir):
+    """The ingest gate is the streaming twin of the batch clean scan
+    (r9 policy): NULL vectors and vectors carrying a NULL component
+    never enter the index, so stream and batch indexes agree on
+    membership."""
+    model = ivf_centroid_model(spark, sf_dir).localCheckpoint()
+    vecs = spark.createDataFrame(
+        [
+            (0, [0.1] * 64, 0),
+            (1, None, 0),
+            (2, [0.1] * 63 + [None], 0),
+        ],
+        VEC_SCHEMA,
+    )
+    got = streaming_ivf_assign(vecs, model).collect()
+    assert [r.vec_id for r in got] == [0]
+    assert got[0].cell is not None

@@ -79,3 +79,21 @@ def test_streaming_pq_encode_is_pure_expression(spark, sf_dir):
     # one broadcast attach of the 1-row model; nothing else moves
     assert "Exchange hash" not in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_streaming_pq_ingest_gate_drops_corrupt_vectors(spark, sf_dir):
+    """The ingest gate is the streaming twin of the batch clean scan
+    (r9 policy): corrupt vectors must not land codes in the compressed
+    index."""
+    model = pq_codebook_model(spark, sf_dir).localCheckpoint()
+    vecs = spark.createDataFrame(
+        [
+            (0, [0.1] * 64, 0),
+            (1, None, 0),
+            (2, [None] + [0.1] * 63, 0),
+        ],
+        VEC_SCHEMA,
+    )
+    got = streaming_pq_encode(vecs, model).collect()
+    assert [r.vec_id for r in got] == [0]
+    assert len(got[0].codes) > 0
