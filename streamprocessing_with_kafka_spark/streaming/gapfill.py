@@ -77,31 +77,44 @@ def _fill_user(
     pdfs: Iterator[pd.DataFrame],
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
+    # `seen` (hours with ANY event) is tracked apart from `sums` (hours
+    # with a non-NULL aggregate) to mirror the batch operator's NULL
+    # semantics exactly (the r8 gapfill pin): an observed hour whose
+    # values are all NULL behaves as a GAP -- the ignore-nulls carry
+    # skips it -- but it still extends the emitted spine (a trailing
+    # all-NULL hour must emit and advance the frontier), and gap rows
+    # with NOTHING yet to carry emit with filled NULL rather than being
+    # dropped. Accumulating NaN would also poison the Decimal sum.
     sums: dict[int, Decimal] = {}
+    seen: set[int] = set()
     for pdf in pdfs:
         hours = pdf["ts"].astype("int64") // _HOUR_NS
         for h, v in zip(hours, pdf["value"]):
-            sums[int(h)] = sums.get(int(h), Decimal(0)) + _dec(float(v))
+            h = int(h)
+            seen.add(h)
+            if pd.notna(v):
+                sums[h] = sums.get(h, Decimal(0)) + _dec(float(v))
 
     if state.exists:
         frontier, last_value = state.get
+        seen = {h for h in seen if h > frontier}
         sums = {h: s for h, s in sums.items() if h > frontier}
     else:
-        if not sums:
+        if not seen:
             return
-        frontier, last_value = min(sums) - 1, None
+        frontier, last_value = min(seen) - 1, None
 
-    if not sums:
+    if not seen:
         return
 
     out: list[tuple] = []
-    hi = max(sums)
+    hi = max(seen)
     for h in range(frontier + 1, hi + 1):
         ts = pd.Timestamp(h * _HOUR_NS)
         if h in sums:
             last_value = float(sums[h])
             out.append((key[0], ts, last_value, last_value, False))
-        elif last_value is not None:
+        else:
             out.append((key[0], ts, None, last_value, True))
     state.update((hi, last_value))
     yield pd.DataFrame(

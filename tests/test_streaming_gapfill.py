@@ -161,3 +161,82 @@ def test_streaming_gapfill_state_survives_restart(spark, tmp_path):
     filled = {(r.user_id, r.bucket): r.filled_value for r in first + second}
     for b in batch:
         assert filled[(b.user_id, b.bucket)] == b.filled_value
+
+
+NULL_BATCH1 = [
+    # user 5: leading ALL-NULL hour (00), then an observed hour (01)
+    {"user_id": 5, "ts": "2024-01-01T00:10:00", "value": None},
+    {"user_id": 5, "ts": "2024-01-01T01:20:00", "value": 5.0},
+    # user 6: one hour mixing NULL and non-NULL -> observed 3.0
+    {"user_id": 6, "ts": "2024-01-01T00:00:00", "value": None},
+    {"user_id": 6, "ts": "2024-01-01T00:30:00", "value": 3.0},
+]
+NULL_BATCH2 = [
+    # user 5: ALL-NULL hour (02), true gap (03), observed (04)
+    {"user_id": 5, "ts": "2024-01-01T02:30:00", "value": None},
+    {"user_id": 5, "ts": "2024-01-01T04:40:00", "value": 7.0},
+    # user 6: trailing ALL-NULL hour (01) -- must still emit + advance
+    {"user_id": 6, "ts": "2024-01-01T01:15:00", "value": None},
+]
+
+
+def test_streaming_gapfill_null_hours_match_batch(spark, tmp_path):
+    """NULL-value parity with the batch operator (the r8 gapfill pin's
+    semantics, extended to the twin by the r9 mixed-nulls audit): an
+    all-NULL hour is a gap that the ignore-nulls carry skips BUT still
+    extends the spine and advances the frontier; an hour mixing NULL
+    and values is observed; gap rows before any carry emit with filled
+    NULL. Pre-fix the twin crashed on NaN->Decimal, dropped trailing
+    all-NULL hours, and swallowed carry-less gap rows."""
+    inp, ckpt = tmp_path / "ev", tmp_path / "ckpt"
+    inp.mkdir()
+    _write(inp / "b1.json", NULL_BATCH1)
+    time.sleep(1.1)
+    _write(inp / "b2.json", NULL_BATCH2)
+    stream = (
+        spark.readStream.schema(EV_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(inp))
+    )
+    q = (
+        gapfilled_stream(stream)
+        .writeStream.format("memory")
+        .queryName("gapfilled_nulls")
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM gapfilled_nulls").collect()
+
+    batch = gapfill_hourly(
+        spark.createDataFrame(
+            [
+                (r["user_id"], r["ts"].replace("T", " "), r["value"])
+                for r in NULL_BATCH1 + NULL_BATCH2
+            ],
+            "user_id long, ts string, value double",
+        ).selectExpr("user_id", "CAST(ts AS TIMESTAMP) AS ts", "value")
+    ).collect()
+
+    key = lambda r: (r.user_id, r.bucket)  # noqa: E731
+    got_map = {key(r): r for r in got}
+    batch_map = {key(r): r for r in batch}
+    assert got_map.keys() == batch_map.keys()
+    for k, g in got_map.items():
+        b = batch_map[k]
+        assert (g.is_gap, g.observed_value, g.filled_value) == (
+            b.is_gap,
+            b.observed_value,
+            b.filled_value,
+        ), k
+    # the specific NULL-semantics rows, asserted directly:
+    u5 = {r.bucket.hour: r for r in got if r.user_id == 5}
+    assert u5[0].is_gap and u5[0].filled_value is None
+    assert u5[2].is_gap and u5[2].filled_value == 5.0  # all-NULL hour skipped by carry
+    assert u5[3].is_gap and u5[3].filled_value == 5.0
+    assert not u5[4].is_gap and u5[4].observed_value == 7.0
+    u6 = {r.bucket.hour: r for r in got if r.user_id == 6}
+    assert not u6[0].is_gap and u6[0].observed_value == 3.0  # mixed hour observed
+    assert u6[1].is_gap and u6[1].filled_value == 3.0  # trailing all-NULL emitted
