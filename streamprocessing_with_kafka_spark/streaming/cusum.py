@@ -80,12 +80,19 @@ def cusum_stream(hourly: DataFrame, model: dict) -> DataFrame:
             return
         mu, k, h = model[etype]
         h_r = float(_round6(h))
+        # s_up == None encodes "no non-NULL hour seen yet" (nullable
+        # state string, the holt open_sum pattern): the batch window
+        # sums are NULL until the first non-NULL term, so leading
+        # all-NULL hours must emit NULL cusums, and later all-NULL
+        # hours are zero-increment steps (sum() skips the NULL term).
+        # float(NaN) through _round6 would instead raise (r9 audit).
         if state.exists:
             s_up, min_up, s_dn, max_dn, frontier = state.get
-            s_up, min_up = Decimal(s_up), Decimal(min_up)
-            s_dn, max_dn = Decimal(s_dn), Decimal(max_dn)
+            if s_up is not None:
+                s_up, min_up = Decimal(s_up), Decimal(min_up)
+                s_dn, max_dn = Decimal(s_dn), Decimal(max_dn)
         else:
-            s_up = min_up = s_dn = max_dn = Decimal(0)
+            s_up = min_up = s_dn = max_dn = None
             frontier = -(2**62)
 
         rows = pd.concat(list(pdfs)).sort_values("bucket")
@@ -93,26 +100,36 @@ def cusum_stream(hourly: DataFrame, model: dict) -> DataFrame:
         for bucket, x in zip(rows["bucket"].astype("int64"), rows["x"]):
             if bucket <= frontier:
                 continue  # late: the emitted row for this bucket is final
-            x = float(x)
-            s_up = s_up + _round6(x - mu - k)
-            s_dn = s_dn + _round6(x - mu + k)
-            min_up = min(min_up, s_up)
-            max_dn = max(max_dn, s_dn)
-            cu = float(s_up - min(min_up, Decimal(0)))
-            cd = float(max(max_dn, Decimal(0)) - s_dn)
-            cu_r, cd_r = float(_round6(cu)), float(_round6(cd))
+            if pd.notna(x):
+                x = float(x)
+                if s_up is None:
+                    s_up = min_up = s_dn = max_dn = Decimal(0)
+                s_up = s_up + _round6(x - mu - k)
+                s_dn = s_dn + _round6(x - mu + k)
+                min_up = min(min_up, s_up)
+                max_dn = max(max_dn, s_dn)
+            else:
+                x = None
+            if s_up is None:
+                cu_r = cd_r = alarm = None
+            else:
+                cu = float(s_up - min(min_up, Decimal(0)))
+                cd = float(max(max_dn, Decimal(0)) - s_dn)
+                cu_r, cd_r = float(_round6(cu)), float(_round6(cd))
+                alarm = cu_r > h_r or cd_r > h_r
             out.append(
-                (
-                    etype,
-                    pd.Timestamp(int(bucket)),
-                    x,
-                    cu_r,
-                    cd_r,
-                    cu_r > h_r or cd_r > h_r,
-                )
+                (etype, pd.Timestamp(int(bucket)), x, cu_r, cd_r, alarm)
             )
             frontier = int(bucket)
-        state.update((str(s_up), str(min_up), str(s_dn), str(max_dn), frontier))
+        state.update(
+            (
+                str(s_up) if s_up is not None else None,
+                str(min_up) if s_up is not None else None,
+                str(s_dn) if s_up is not None else None,
+                str(max_dn) if s_up is not None else None,
+                frontier,
+            )
+        )
         if out:
             yield pd.DataFrame(
                 out,

@@ -71,19 +71,22 @@ def _round6(v: float) -> float:
     return float(Decimal(repr(v)).quantize(_SIX_DP, rounding=ROUND_HALF_UP))
 
 
-def _ewma_row(window: list) -> float:
+def _ewma_row(window: list):
     """The batch window expression's arithmetic, verbatim: lags[k] is the
     k-th previous value (lags[0] = current row), num/den accumulate in
-    k-ascending order over the lags that exist."""
+    k-ascending order over the lags that exist. A None entry is a
+    NULL-valued predecessor ROW -- it HOLDS its lag position but
+    contributes zero weight (the batch coalesce/CASE arms), it is not
+    skipped over; all-None -> None, the batch den == 0 NULL-out."""
     num = 0.0
     den = 0.0
     for k in range(EWMA_LAGS):
-        if k < len(window):
+        if k < len(window) and window[len(window) - 1 - k] is not None:
             num = num + window[len(window) - 1 - k] * _EWMA_WEIGHTS[k]
             den = den + _EWMA_WEIGHTS[k]
         # absent lags contribute +0.0 to num and +0.0 to den, identical
         # to the batch coalesce/CASE arms -- adding 0.0 is an IEEE no-op
-    return _round6(num / den)
+    return _round6(num / den) if den != 0.0 else None
 
 
 def _ewma_user(
@@ -106,14 +109,19 @@ def _ewma_user(
     ):
         if (ts, event_id) <= (last_ts, last_event):
             continue  # late arrival below the emitted frontier: dropped
-        window = recent[-(EWMA_LAGS - 1) :] + [float(value)]
+        # NULL values keep their ROW (and its lag position) but carry
+        # None -- float(NaN) here would poison num AND the ring state
+        # for the next K-1 rows (r9 mixed-nulls twin audit); batch
+        # n_hist counts only non-NULL lags, so mirror that too
+        val = float(value) if pd.notna(value) else None
+        window = recent[-(EWMA_LAGS - 1) :] + [val]
         out.append(
             (
                 key[0],
                 int(event_id),
                 pd.Timestamp(int(ts)),
-                float(value),
-                min(len(window), EWMA_LAGS),
+                val,
+                sum(1 for v in window if v is not None),
                 _ewma_row(window),
             )
         )

@@ -77,8 +77,10 @@ HOLT_OUTPUT_SCHEMA = StructType(
 def _holt_row(window: list) -> tuple:
     """The batch lag expression's arithmetic, verbatim: window is
     oldest..newest with len <= K; returns (level, trend, forecast),
-    Nones when history is short (a NULL lag nulls the batch sums)."""
-    if len(window) < HOLT_LAGS:
+    Nones when history is short OR any lag is a None entry (an all-NULL
+    hour's x is NULL, and a NULL lag nulls the batch sums -- there is
+    deliberately no coalesce in the batch expression either)."""
+    if len(window) < HOLT_LAGS or any(v is None for v in window):
         return (None, None, None)
     level = 0.0
     trend = 0.0
@@ -97,32 +99,44 @@ def _holt_type(
     pdfs: Iterator[pd.DataFrame],
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
+    # open_sum is None until the open bucket sees its first NON-NULL
+    # value: Spark's sum() over an all-NULL hour is NULL, so the closed
+    # x must be None then (and a None x ripples through the next K-1
+    # forecasts via _holt_row, exactly like the batch NULL lag).
+    # Accumulating float(NaN) into the Decimal would instead raise on
+    # quantization (r9 mixed-nulls twin audit).
     if state.exists:
         recent, open_bucket, open_sum = state.get
-        recent, open_sum = list(recent), Decimal(open_sum)
+        recent = list(recent)
+        open_sum = Decimal(open_sum) if open_sum is not None else None
     else:
-        recent, open_bucket, open_sum = [], None, Decimal(0)
+        recent, open_bucket, open_sum = [], None, None
 
     rows = pd.concat(list(pdfs)).sort_values("ts")
     out: list[tuple] = []
     for ts, value in zip(rows["ts"].astype("int64"), rows["value"]):
         b = int(ts // _HOUR_NS)
         if open_bucket is None:
-            open_bucket, open_sum = b, Decimal(0)
+            open_bucket, open_sum = b, None
         if b < open_bucket:
             continue  # late: its bucket already closed (or pre-frontier)
         if b > open_bucket:
             # close the open bucket: materialize x exactly as dec_sum does
-            x = _round6(float(open_sum))
+            x = _round6(float(open_sum)) if open_sum is not None else None
             window = (recent + [x])[-HOLT_LAGS:]
             out.append(
                 (key[0], pd.Timestamp(open_bucket * _HOUR_NS), x, *_holt_row(window))
             )
             recent = window[-(HOLT_LAGS - 1) :] if HOLT_LAGS > 1 else []
-            open_bucket, open_sum = b, Decimal(0)
-        open_sum += _dec(float(value))
+            open_bucket, open_sum = b, None
+        if pd.notna(value):
+            if open_sum is None:
+                open_sum = Decimal(0)
+            open_sum += _dec(float(value))
 
-    state.update((recent, open_bucket, str(open_sum)))
+    state.update(
+        (recent, open_bucket, str(open_sum) if open_sum is not None else None)
+    )
     if out:
         yield pd.DataFrame(
             out,

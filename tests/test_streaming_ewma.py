@@ -100,3 +100,62 @@ def test_streaming_ewma_converges_to_batch(spark, tmp_path):
     # each event emitted exactly once; ring truncation engaged for user 0
     assert len(got) == len(got_map)
     assert max(r.n_hist for r in got if r.user_id == 0) == EWMA_LAGS
+
+
+def test_streaming_ewma_null_values_match_batch(spark, tmp_path):
+    """NULL-value parity (r9 mixed-nulls twin audit): a NULL value keeps
+    its row and its lag POSITION but contributes zero weight -- exactly
+    the batch coalesce/CASE arms -- and must not poison the ring state
+    for later rows (pre-fix float(None) pushed NaN into the ring). A
+    leading all-NULL history emits a NULL ewma (batch den == 0)."""
+    rows = [
+        {"user_id": 7, "event_id": 0, "ts": "2024-01-01T00:00:00", "value": None},
+        {"user_id": 7, "event_id": 1, "ts": "2024-01-01T00:01:00", "value": 4.0},
+        {"user_id": 7, "event_id": 2, "ts": "2024-01-01T00:02:00", "value": None},
+        {"user_id": 7, "event_id": 3, "ts": "2024-01-01T00:03:00", "value": 2.5},
+    ]
+    inp, ckpt = tmp_path / "ev", tmp_path / "ckpt"
+    inp.mkdir()
+    _write(inp / "b1.json", rows[:2])
+    time.sleep(1.1)
+    _write(inp / "b2.json", rows[2:])
+    stream = (
+        spark.readStream.schema(EV_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(inp))
+    )
+    q = (
+        ewma_stream(stream)
+        .writeStream.format("memory")
+        .queryName("ewma_nulls")
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.event_id: r for r in spark.sql("SELECT * FROM ewma_nulls").collect()}
+
+    batch = {
+        r.event_id: r
+        for r in ewma_frame(
+            spark.createDataFrame(
+                [
+                    (r["user_id"], r["event_id"], r["ts"].replace("T", " "), r["value"])
+                    for r in rows
+                ],
+                "user_id long, event_id long, ts string, value double",
+            ).selectExpr(
+                "user_id", "event_id", "CAST(ts AS TIMESTAMP) AS ts", "value"
+            )
+        ).collect()
+    }
+    assert got.keys() == batch.keys()
+    for eid, g in got.items():
+        b = batch[eid]
+        assert (g.value, g.n_hist, g.ewma) == (b.value, b.n_hist, b.ewma), eid
+    # the NULL-semantics rows, directly:
+    assert got[0].ewma is None and got[0].n_hist == 0  # nothing to weight
+    assert got[1].ewma == 4.0  # lone non-null lag renormalizes to itself
+    assert got[2].value is None and got[2].ewma == 4.0  # NULL row, carry-free
+    assert got[3].n_hist == 2  # NULL lags not counted
