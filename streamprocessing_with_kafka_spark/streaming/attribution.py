@@ -85,7 +85,10 @@ def _attr_user(
                     key[0],
                     pd.Timestamp(int(ts_ns)),
                     etype,
-                    float(value),
+                    # a NULL purchase value stays NULL -- float(NaN)
+                    # would emit NaN where the batch operator carries
+                    # the NULL through (r9 mixed-nulls twin audit)
+                    float(value) if pd.notna(value) else None,
                     attributed,
                     since,
                 )

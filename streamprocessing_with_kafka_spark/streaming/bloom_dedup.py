@@ -74,7 +74,14 @@ def _make_update_shard(n_words: int, k: int):
         )
         out_id, out_fp, out_dup = [], [], []
         for doc_id, fp in rows:
-            pos = bloom_positions(fp, n_bits, k)
+            # NULL fingerprint (NULL-text doc): batch dedup_exact keeps
+            # ONE NULL-fingerprint group, so all such docs dedup against
+            # each other. "<NULL>" contains non-hex characters and can
+            # never collide with a real md5 hex fingerprint; isinstance
+            # guards both None and NaN arrivals from pandas.
+            pos = bloom_positions(
+                fp if isinstance(fp, str) else "<NULL>", n_bits, k
+            )
             seen = all(words[p // 63] & (1 << (p % 63)) for p in pos)
             if not seen:
                 for p in pos:

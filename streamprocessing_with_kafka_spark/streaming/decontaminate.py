@@ -88,6 +88,11 @@ def streaming_decontaminate(docs: DataFrame, eval_hashes) -> DataFrame:
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 if int(doc_id) % EVAL_MOD == 0:
                     continue
+                if not isinstance(text, str):
+                    # NULL-text docs have no n-gram rows in the batch
+                    # plan either (explode emits nothing) -- and
+                    # None.split would raise (r9 mixed-nulls twin audit)
+                    continue
                 grams = _gram_hashes_py(text)
                 if not grams:
                     continue

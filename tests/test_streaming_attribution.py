@@ -116,3 +116,38 @@ def test_streaming_attribution_converges_to_batch_daily(spark, tmp_path):
         assert (n, n_attr) == (b.purchases, b.attributed), day
         expect = float(val) if n_attr else None
         assert b.attributed_value == expect, day
+
+
+def test_streaming_attribution_null_purchase_value_stays_null(spark, tmp_path):
+    """A purchase with a NULL value must attribute normally and carry
+    the NULL through -- pre-fix float(NaN) emitted NaN where the batch
+    operator keeps NULL (r9 mixed-nulls twin audit)."""
+    rows = [
+        {"event_id": 1, "ts": "2024-05-01T08:00:00", "user_id": 9,
+         "event_type": "click", "value": 0.0},
+        {"event_id": 2, "ts": "2024-05-01T09:00:00", "user_id": 9,
+         "event_type": "purchase", "value": None},
+    ]
+    inp, ckpt = tmp_path / "ev", tmp_path / "ckpt"
+    inp.mkdir()
+    with open(inp / "b1.json", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    stream = (
+        spark.readStream.schema(EV_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(inp))
+    )
+    q = (
+        attribution_stream(stream)
+        .writeStream.format("memory")
+        .queryName("attr_nulls")
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM attr_nulls").collect()
+    assert len(got) == 1
+    assert got[0].value is None and got[0].attributed

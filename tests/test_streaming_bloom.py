@@ -85,3 +85,20 @@ def test_bloom_positions_deterministic_and_in_range():
     assert a == bloom_positions("abc", 1024)
     assert all(0 <= p < 1024 for p in a)
     assert a != bloom_positions("abd", 1024)
+
+
+def test_bloom_null_text_docs_dedup_as_one_group(spark, tmp_path):
+    """NULL-text docs carry a NULL fingerprint; batch dedup_exact keeps
+    ONE NULL-fingerprint group, so the stream must dedup them against
+    each other (first keeper, rest dups) instead of raising on
+    None.encode (r9 mixed-nulls twin audit)."""
+    rows = [
+        {"doc_id": 1, "text": None, "lang": "en", "source": "a", "n_chars": 0},
+        {"doc_id": 2, "text": "real document body here", "lang": "en",
+         "source": "a", "n_chars": 23},
+        {"doc_id": 3, "text": None, "lang": "en", "source": "a", "n_chars": 0},
+    ]
+    got = {r.doc_id: r for r in _run_stream(spark, tmp_path, [rows], "bloom_nulls")}
+    assert got[1].fingerprint is None and not got[1].is_dup
+    assert got[3].fingerprint is None and got[3].is_dup  # second NULL doc
+    assert got[2].fingerprint is not None and not got[2].is_dup

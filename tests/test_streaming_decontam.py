@@ -138,3 +138,31 @@ def test_streaming_fuzzy_gate_is_pure_expression(spark, sf_dir):
     )
     assert "MapInPandas" not in plan and "BatchEvalPython" not in plan, plan
     assert "Exchange hash" not in plan, plan
+
+
+def test_streaming_decontam_skips_null_text_docs(spark, tmp_path):
+    """NULL-text docs have no n-gram rows in the batch plan (explode
+    emits nothing), so the stream must skip them -- pre-fix None.split
+    raised inside the scoring gate (r9 mixed-nulls twin audit)."""
+    rows = [
+        {"doc_id": 11, "text": None, "lang": "en", "source": "a", "n_chars": 0},
+        {"doc_id": 13, "text": "alpha beta gamma delta epsilon zeta eta",
+         "lang": "en", "source": "a", "n_chars": 39},
+    ]
+    inp, ckpt = tmp_path / "docs", tmp_path / "ckpt"
+    inp.mkdir()
+    with open(inp / "b0.json", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    q = (
+        streaming_decontaminate(file_document_stream(spark, str(inp)), set())
+        .writeStream.format("memory")
+        .queryName("decontam_nulls")
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+    assert q.awaitTermination(180), "stream did not drain"
+    got = spark.sql("SELECT * FROM decontam_nulls").collect()
+    assert [r.doc_id for r in got] == [13]  # NULL-text doc absent, no crash
