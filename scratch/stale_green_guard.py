@@ -205,9 +205,19 @@ def closure(
     return seen
 
 
-def sql_seeds() -> dict[str, set[tuple[str, str]]]:
+def sql_seeds(
+    mod_tree: dict[str, ModuleDefs],
+) -> dict[str, set[tuple[str, str]]]:
     """query name -> definition nodes its oracle SQL expression
-    references, recovered from registry.py's register() call ASTs."""
+    references, recovered from registry.py's register() call ASTs.
+
+    Resolution is against `mod_tree` so that every import alias lands
+    on a REAL node: `sketches.BLOOM_SQL` (module alias + attribute)
+    seeds (pkg.operators.sketches, BLOOM_SQL); `X_SQL.format(...)` or
+    `SomeClass.SQL` (attribute on a from-imported DEFINITION) seeds the
+    definition itself. An attribute whose root resolves to neither is
+    reported loudly rather than silently dropped -- a dead seed is
+    exactly the stale-green blind spot this guard exists to close."""
     regfile = os.path.join(REPO, PKG, "plans", "registry.py")
     md = ModuleDefs(f"{PKG}.plans.registry", open(regfile).read())
     tree = ast.parse(open(regfile).read())
@@ -223,35 +233,44 @@ def sql_seeds() -> dict[str, set[tuple[str, str]]]:
             continue
         qname = node.args[0].value
         seeds: set[tuple[str, str]] = set()
-        # names used as Attribute roots (module aliases like
-        # `sketches.BLOOM_SQL`) are resolved precisely by the attribute
-        # pass below; seeding them as bare names would make closure()'s
-        # module-alias fallback pull in the WHOLE module -- module
-        # granularity through the back door
-        attr_roots = {
-            sub.value.id
-            for sub in ast.walk(node)
-            if isinstance(sub, ast.Attribute) and isinstance(sub.value, ast.Name)
-        }
-        for r in {
-            n.id for n in ast.walk(node) if isinstance(n, ast.Name)
-        } - attr_roots:
-            if r in md.imports:
-                tgt_mod, tgt_name = md.imports[r]
-                if tgt_mod.startswith(PKG) and tgt_name is not None:
-                    seeds.add((tgt_mod, tgt_name))
-        # attribute references like sketches.BLOOM_SQL: resolve the
-        # (module alias, attr) pair
+
+        def resolve(name: str) -> tuple[str, str] | None:
+            """import alias -> (module, definition) or None (module
+            alias / external / unresolvable)."""
+            if name not in md.imports:
+                return None
+            tgt_mod, tgt_name = md.imports[name]
+            if not tgt_mod.startswith(PKG) or tgt_name is None:
+                return None
+            if f"{tgt_mod}.{tgt_name}" in mod_tree:
+                return None  # module alias: handled per-attribute
+            return (tgt_mod, tgt_name)
+
         for sub in ast.walk(node):
-            if (
-                isinstance(sub, ast.Attribute)
-                and isinstance(sub.value, ast.Name)
-                and sub.value.id in md.imports
+            if isinstance(sub, ast.Name):
+                hit = resolve(sub.id)
+                if hit:
+                    seeds.add(hit)
+            elif isinstance(sub, ast.Attribute) and isinstance(
+                sub.value, ast.Name
             ):
-                tgt_mod, tgt_name = md.imports[sub.value.id]
+                root = sub.value.id
+                if root not in md.imports:
+                    continue
+                tgt_mod, tgt_name = md.imports[root]
                 full = f"{tgt_mod}.{tgt_name}" if tgt_name else tgt_mod
-                if full.startswith(PKG):
-                    seeds.add((full, sub.attr))
+                if full in mod_tree:
+                    seeds.add((full, sub.attr))  # module alias attr
+                else:
+                    hit = resolve(root)
+                    if hit:
+                        seeds.add(hit)  # attr ON a definition: seed it
+                    elif full.startswith(PKG):
+                        print(
+                            f"  WARN  {qname}: unresolvable seed "
+                            f"{root}.{sub.attr} ({full}) -- fix the "
+                            "guard before trusting this round's output"
+                        )
         out[qname] = seeds
     return out
 
@@ -274,7 +293,7 @@ def main() -> None:
         return
     print(f"behavior-changed definitions: {len(ch)}")
 
-    reg_seeds = sql_seeds()
+    reg_seeds = sql_seeds(new)
     window = set(CORRECTNESS_WINDOW)
     stale, fresh_needed, reached = [], set(), set()
     for name, q in _REGISTRY.items():

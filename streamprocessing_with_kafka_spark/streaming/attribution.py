@@ -21,7 +21,7 @@ from typing import Iterator, Tuple
 
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     BooleanType,
@@ -112,7 +112,11 @@ def attribution_stream(events: DataFrame) -> DataFrame:
     """Per-purchase online attribution over a streaming (user_id,
     event_id, ts, event_type, value) frame; append output, one final row
     per purchase."""
-    return events.groupBy("user_id").applyInPandasWithState(
+    # NULL event times cannot sit on the spine/frontier: pandas
+    # converts NaT to int64 MIN, which would fabricate a ~3M-hour
+    # gap run / bogus frontier instead of erroring (r9 review).
+    # Event-time-keyed batch ops likewise exclude NULL instants.
+    return events.filter(F.col("ts").isNotNull()).groupBy("user_id").applyInPandasWithState(
         _attr_user,
         outputStructType=ATTR_OUTPUT_SCHEMA,
         stateStructType=ATTR_STATE_SCHEMA,

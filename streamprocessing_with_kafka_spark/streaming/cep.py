@@ -22,7 +22,7 @@ from typing import Iterator, Tuple
 
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     LongType,
@@ -108,7 +108,11 @@ def cep_stream(events: DataFrame) -> DataFrame:
     """Online A->B-without-C matches over a streaming (user_id,
     event_id, ts, event_type) frame; append output, one row per
     matched purchase."""
-    return events.groupBy("user_id").applyInPandasWithState(
+    # NULL event times cannot sit on the spine/frontier: pandas
+    # converts NaT to int64 MIN, which would fabricate a ~3M-hour
+    # gap run / bogus frontier instead of erroring (r9 review).
+    # Event-time-keyed batch ops likewise exclude NULL instants.
+    return events.filter(F.col("ts").isNotNull()).groupBy("user_id").applyInPandasWithState(
         _cep_user,
         outputStructType=CEP_OUTPUT_SCHEMA,
         stateStructType=CEP_STATE_SCHEMA,

@@ -24,7 +24,7 @@ from typing import Iterator, Tuple
 
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     BooleanType,
@@ -136,7 +136,11 @@ def cusum_stream(hourly: DataFrame, model: dict) -> DataFrame:
                 columns=["event_type", "bucket", "x", "cusum_up", "cusum_dn", "is_alarm"],
             )
 
-    return hourly.groupBy("event_type").applyInPandasWithState(
+    # NULL event times cannot sit on the spine/frontier: pandas
+    # converts NaT to int64 MIN, which would fabricate a ~3M-hour
+    # gap run / bogus frontier instead of erroring (r9 review).
+    # Event-time-keyed batch ops likewise exclude NULL instants.
+    return hourly.filter(F.col("bucket").isNotNull()).groupBy("event_type").applyInPandasWithState(
         _one_type,
         outputStructType=CUSUM_OUTPUT_SCHEMA,
         stateStructType=CUSUM_STATE_SCHEMA,

@@ -25,7 +25,7 @@ from typing import Iterator, Tuple
 
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     ArrayType,
@@ -138,7 +138,11 @@ def _ewma_user(
 def ewma_stream(events: DataFrame) -> DataFrame:
     """Per-user streaming EWMA over a streaming (user_id, event_id, ts,
     value) frame; append output, one final row per event."""
-    return events.groupBy("user_id").applyInPandasWithState(
+    # NULL event times cannot sit on the spine/frontier: pandas
+    # converts NaT to int64 MIN, which would fabricate a ~3M-hour
+    # gap run / bogus frontier instead of erroring (r9 review).
+    # Event-time-keyed batch ops likewise exclude NULL instants.
+    return events.filter(F.col("ts").isNotNull()).groupBy("user_id").applyInPandasWithState(
         _ewma_user,
         outputStructType=EWMA_OUTPUT_SCHEMA,
         stateStructType=EWMA_STATE_SCHEMA,

@@ -32,7 +32,7 @@ from typing import Iterator, Tuple
 
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     BooleanType,
@@ -126,7 +126,11 @@ def gapfilled_stream(events: DataFrame) -> DataFrame:
     """Incrementally gap-filled hourly series per user over a streaming
     (user_id, ts, value) frame; append output, one final row per
     (user, hour)."""
-    return events.groupBy("user_id").applyInPandasWithState(
+    # NULL event times cannot sit on the spine/frontier: pandas
+    # converts NaT to int64 MIN, which would fabricate a ~3M-hour
+    # gap run / bogus frontier instead of erroring (r9 review).
+    # Event-time-keyed batch ops likewise exclude NULL instants.
+    return events.filter(F.col("ts").isNotNull()).groupBy("user_id").applyInPandasWithState(
         _fill_user,
         outputStructType=GAPFILL_OUTPUT_SCHEMA,
         stateStructType=GAPFILL_STATE_SCHEMA,

@@ -32,7 +32,7 @@ from typing import Iterator, Tuple
 
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     ArrayType,
@@ -147,7 +147,11 @@ def _holt_type(
 def holt_stream(events: DataFrame) -> DataFrame:
     """Per-type streaming Holt over a streaming (event_type, ts, value)
     frame; append output, one final row per closed hourly bucket."""
-    return events.groupBy("event_type").applyInPandasWithState(
+    # NULL event times cannot sit on the spine/frontier: pandas
+    # converts NaT to int64 MIN, which would fabricate a ~3M-hour
+    # gap run / bogus frontier instead of erroring (r9 review).
+    # Event-time-keyed batch ops likewise exclude NULL instants.
+    return events.filter(F.col("ts").isNotNull()).groupBy("event_type").applyInPandasWithState(
         _holt_type,
         outputStructType=HOLT_OUTPUT_SCHEMA,
         stateStructType=HOLT_STATE_SCHEMA,

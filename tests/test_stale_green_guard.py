@@ -129,5 +129,8 @@ def test_guard_runs_green_on_the_real_repo_state():
         cwd=os.path.dirname(os.path.dirname(_GUARD)),
     )
     assert "baseline" in r.stdout or "nothing to guard" in r.stdout
+    # a dead oracle-SQL seed would be a silent stale-green blind spot;
+    # the guard prints it loudly and this pin keeps the repo clean of it
+    assert "unresolvable seed" not in r.stdout, r.stdout
     if r.returncode != 0:
         assert "STALE GREENS" in r.stdout  # failed for the right reason
