@@ -98,10 +98,10 @@ def build_nulls_dir() -> str:
     return d
 
 
-#: Columns that must stay NULL-free in the mixed-nulls variant: join /
-#: identity keys (NULL-key join semantics are the already-documented
-#: nulls-variant class, not this variant's target) and events.ts (the
-#: NULL-event-time window-drop class, likewise documented). Everything
+#: Columns that stay NULL-free in the mixed-nulls variant: join /
+#: identity keys and events.ts. Since r10 these two classes are no
+#: longer merely documented -- the `mixed_keys` variant below NULLs
+#: exactly this set (and nothing else) at ~5%. In `mixed`, everything
 #: else nullable gets ~10% NULLs.
 MIXED_KEEP = {
     "r_regionkey", "n_nationkey", "n_regionkey", "c_custkey", "c_nationkey",
@@ -186,15 +186,12 @@ GROUPING_SETS_SEMANTICS = {"agg_grouping_sets", "agg_order_cube", "agg_order_rol
 #: IS NOT DISTINCT FROM -- all verified back to real coverage by
 #: re-running this variant.
 NULLS_ALLOWED = GROUPING_SETS_SEMANTICS | {
-    # NULL-group/window semantics, both defensible and documented:
-    # Spark's window() DROPS NULL event-times (events_session/sliding/
-    # tumbling, agg_abc_parts via its NULL-bucket window), while
-    # DuckDB's time_bucket keeps a NULL group. Aligning would mean
-    # contorting production plans for inputs whose key columns are
-    # entirely NULL.
-    "events_session",
-    "events_sliding",
-    "events_tumbling",
+    # NULL-group/window semantics, defensible and documented:
+    # agg_abc_parts' NULL-bucket window diverges from DuckDB's
+    # time_bucket NULL group. events_session/sliding/tumbling were
+    # RETIRED from this list in r10: their oracles now state Spark's
+    # documented NULL-event-time drop explicitly (WHERE ts IS NOT
+    # NULL), so both variants verify them instead of excusing them.
     "agg_abc_parts",
 }
 
@@ -221,6 +218,49 @@ CONSTANT_ALLOWED = GROUPING_SETS_SEMANTICS | {
 #: entry here with a citation, exactly like the other variants did.
 MIXED_ALLOWED: set = set()
 
+
+def build_mixed_keys_dir() -> str:
+    """The complement of `mixed`: full sf0.001 tables with ~5% NULLs in
+    exactly the columns MIXED_KEEP protects -- join/identity keys and
+    events.ts -- and every VALUE column left intact. This is the class
+    the r9 events_dedup bug lived in (engine join-rewrites dropping
+    NULL keys that a SQL GROUP BY retains) plus the NULL-event-time
+    class the r9 ADVICE flagged three latent members of (Spark ASC
+    windows sort NULLS FIRST into LOCF/as-of scans; DuckDB sorts them
+    NULLS LAST and its ASOF/time_bucket never match a NULL instant).
+    Same crc32 (table, column, row) keying as `mixed`: bit-stable.
+    """
+    import zlib
+
+    d = EMPTY_DIR.replace("sf_empty", "sf_mixed_keys")
+    os.makedirs(d, exist_ok=True)
+    for t in TABLES:
+        dst = f"{d}/{t}.parquet"
+        if os.path.exists(dst):
+            continue
+        tab = pq.read_table(f"{SRC_SF}/{t}.parquet")
+        n = tab.num_rows
+        cols = []
+        for field in tab.schema:
+            col = tab.column(field.name).combine_chunks()
+            if not field.nullable or field.name not in MIXED_KEEP:
+                cols.append(col)
+                continue
+            seed = zlib.crc32(f"keys.{t}.{field.name}".encode())
+            mask = pa.array(
+                [(seed + 2654435761 * i) % 100 < 5 for i in range(n)]
+            )
+            cols.append(
+                pa.compute.if_else(mask, pa.nulls(n, type=field.type), col)
+            )
+        pq.write_table(pa.table(cols, schema=tab.schema), dst)
+    return d
+
+
+#: mixed_keys allowlist -- same contract as MIXED_ALLOWED: starts empty,
+#: every first-sweep divergence is fixed or earns a cited entry.
+MIXED_KEYS_ALLOWED: set = set()
+
 ALLOWED = GROUPING_SETS_SEMANTICS  # empty + single variants
 
 
@@ -237,11 +277,13 @@ def main() -> None:
         "nulls": build_nulls_dir,
         "constant": build_constant_dir,
         "mixed": build_mixed_dir,
+        "mixed_keys": build_mixed_keys_dir,
     }[variant]()
     allowed = {
         "nulls": NULLS_ALLOWED,
         "constant": CONSTANT_ALLOWED,
         "mixed": MIXED_ALLOWED,
+        "mixed_keys": MIXED_KEYS_ALLOWED,
     }.get(variant, ALLOWED)
     spark = get_spark("empty-sweep")
     con = duckdb_conn(sf_dir)

@@ -59,10 +59,24 @@ def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     matched view whose value is genuinely NULL to an older view's value
     -- the same conflation as the r8 gapfill near-miss, and exactly what
     the r9 mixed-nulls sweep caught here.
+
+    A view with NULL ts or NULL user_id can never be a match under the
+    join's SQL semantics (`p.ts >= v.ts` / `p.user_id = v.user_id` are
+    never true against NULL), but unfiltered it WOULD sit in the window
+    scan -- Spark sorts NULL ts FIRST, so its struct (non-NULL even with
+    view_ts NULL) would be carried as the "match" for every purchase
+    before the first real view (the r9 ADVICE latent bug, proved by the
+    r10 mixed_keys sweep). Gate side-0 rows on both. NULL-ts/NULL-user
+    purchases need no gate: they sort before every surviving view (or
+    share a partition with no views), so they come out unmatched --
+    exactly the oracle's LEFT-join result.
     """
     ev = load_table(spark, sf_dir, "events")
     both = ev.filter(F.col("event_type").isin(LEFT_TYPE, RIGHT_TYPE)).withColumn(
         "side", F.when(F.col("event_type") == RIGHT_TYPE, 0).otherwise(1)
+    ).filter(
+        (F.col("side") == 1)
+        | (F.col("ts").isNotNull() & F.col("user_id").isNotNull())
     )
     w = (
         W.partitionBy("user_id")
@@ -178,7 +192,12 @@ def range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn(
             "s_bucket",
-            F.explode(
+            # explode_OUTER: a NULL-ts signup has a NULL bucket sequence,
+            # and plain explode would erase the signup entirely -- but the
+            # contract (and the oracle's LEFT JOIN) keeps every signup as
+            # a group, with zero matches when its interval is undefined
+            # (r10 mixed_keys sweep).
+            F.explode_outer(
                 F.sequence(
                     (F.unix_timestamp("start_ts") / (3600 * RANGE_HOURS)).cast("long"),
                     (F.unix_timestamp("end_ts") / (3600 * RANGE_HOURS)).cast("long"),
@@ -233,7 +252,14 @@ def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     rewrite: the oracle is the plain unsalted join."""
     li = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
-    fact = li.withColumn("_salt", F.pmod(F.col("l_orderkey"), F.lit(SKEW_SALT)))
+    # coalesce BEFORE pmod: a NULL salt source would NULL the salt and
+    # the (key, salt) equi-join would silently drop rows the unsalted
+    # join keeps -- salting is a physical rewrite and must never change
+    # the result set (r10 mixed_keys sweep).
+    fact = li.withColumn(
+        "_salt",
+        F.pmod(F.coalesce(F.col("l_orderkey"), F.lit(0)), F.lit(SKEW_SALT)),
+    )
     dim = s.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(SKEW_SALT - 1)))
     )
@@ -331,10 +357,21 @@ def nearest_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     row-local integer-microsecond comparison.  No inequality join.
     The DuckDB oracle is a LEFT JOIN LATERAL ordered by absolute gap
     (a per-row nested loop -- fine single-node, the thing this plan
-    avoids at scale)."""
+    avoids at scale).
+
+    NULL gates (r10 mixed_keys class): views with NULL ts or NULL
+    user_id can never match under the lateral's equality/distance
+    semantics, and a purchase with NULL ts has no defined distance to
+    anything -- both sides drop them (the oracle mirrors this with
+    explicit IS NOT NULL). NULL-user purchases survive the scan but
+    their partition holds no views, so the inner-join filter drops
+    them, matching the lateral's empty result."""
     ev = load_table(spark, sf_dir, "events")
     both = ev.filter(
         F.col("event_type").isin(LEFT_TYPE, RIGHT_TYPE)
+    ).filter(
+        F.col("ts").isNotNull()
+        & ((F.col("event_type") == LEFT_TYPE) | F.col("user_id").isNotNull())
     ).withColumn(
         "side", F.when(F.col("event_type") == RIGHT_TYPE, 0).otherwise(1)
     ).withColumn("ts_us", F.unix_micros(F.col("ts").cast("timestamp")))
@@ -381,12 +418,14 @@ SELECT p.event_id, p.user_id, p.ts,
        l.view_ts AS nearest_view_ts,
        l.gap_us,
        CASE WHEN l.view_ts <= p.ts THEN 'before' ELSE 'after' END AS direction
-FROM (SELECT * FROM events WHERE event_type = '{LEFT_TYPE}') p
+FROM (SELECT * FROM events
+      WHERE event_type = '{LEFT_TYPE}' AND ts IS NOT NULL) p
 JOIN LATERAL (
   SELECT v.ts AS view_ts,
          abs(epoch_us(v.ts) - epoch_us(p.ts)) AS gap_us
   FROM events v
   WHERE v.event_type = '{RIGHT_TYPE}' AND v.user_id = p.user_id
+    AND v.ts IS NOT NULL
   ORDER BY abs(epoch_us(v.ts) - epoch_us(p.ts)), v.ts
   LIMIT 1
 ) l ON true

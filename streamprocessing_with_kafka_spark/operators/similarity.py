@@ -43,6 +43,17 @@ def is_clean_embedding(col: Column) -> Column:
     return col.isNotNull() & ~F.exists(col, lambda x: x.isNull())
 
 
+def is_index_member(vec_id: Column, embedding: Column) -> Column:
+    """TRUE iff the row can join an ANN index: a clean vector
+    (is_clean_embedding) AND an identity -- results are returned,
+    deduplicated, and tie-broken BY vec_id, so a NULL id has no
+    deterministic place in any index or result set (SQL collapses NULL
+    ids into one group where the engine would keep each row -- the r10
+    mixed_keys divergence). Shared by the batch scan and both streaming
+    ingest gates, same single-definition rule as is_clean_embedding."""
+    return vec_id.isNotNull() & is_clean_embedding(embedding)
+
+
 def load_clean_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The embeddings scan every ANN index / training / dedup query
     reads: vectors that are NULL or contain a NULL COMPONENT are
@@ -53,11 +64,12 @@ def load_clean_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     hard-errors), so the only deterministic contract is a clean study
     population, mirrored by the `WHERE embedding IS NOT NULL AND
     len(list_filter(...)) = 0` scan filter in every oracle (r9
-    mixed-nulls sweep).  Row-preserving audit passes (embedding_stats,
-    embedding_quantize) intentionally do NOT use this: they keep
-    corrupt rows visible with NULL derived columns."""
+    mixed-nulls sweep).  Since r10 membership also requires a non-NULL
+    vec_id (see is_index_member).  Row-preserving audit passes
+    (embedding_stats, embedding_quantize) intentionally do NOT use
+    this: they keep corrupt rows visible with NULL derived columns."""
     return load_table(spark, sf_dir, "embeddings").filter(
-        is_clean_embedding(F.col("embedding"))
+        is_index_member(F.col("vec_id"), F.col("embedding"))
     )
 
 
@@ -66,7 +78,8 @@ def load_clean_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: policy per side, so a policy change cannot desynchronize a single
 #: oracle (r9 review finding)
 EMB_CLEAN_WHERE = (
-    """WHERE embedding IS NOT NULL
+    """WHERE vec_id IS NOT NULL
+             AND embedding IS NOT NULL
              AND len(list_filter(embedding, x -> x IS NULL)) = 0"""
 )
 

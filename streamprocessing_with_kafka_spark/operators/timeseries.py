@@ -251,8 +251,12 @@ def autocorr_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     window + final aggregate ride one event_type partitioning over the
     |types * hours| rollup frame -- corpus-size-independent."""
     ev = load_table(spark, sf_dir, "events")
+    # event-TIME series contract (r10): a NULL instant has no place on
+    # the time axis -- excluded here AND in the oracle CTE AND by the
+    # streaming twins' ingest gates, so all three surfaces agree.
     hourly = (
-        ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("bucket"))
+        ev.filter(F.col("ts").isNotNull())
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("bucket"))
         .agg(F.sum(F.col("value").cast(DEC)).cast("double").alias("x"))
     )
     w = W.partitionBy("event_type").orderBy("bucket")
@@ -328,7 +332,7 @@ def _acf_sql() -> str:
 WITH hourly AS (
   SELECT event_type, date_trunc('hour', ts) AS bucket,
          {dsum('value')} AS x
-  FROM events GROUP BY 1, 2
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
 ),
 lagged AS (SELECT event_type, x, {lag_cols} FROM hourly),
 g AS (SELECT event_type, {', '.join(agg_cols)} FROM lagged GROUP BY 1)
@@ -365,7 +369,10 @@ def cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combinable shuffle; the CUSUM window rides one event_type
     partitioning over the |types * hours| frame."""
     ev = load_table(spark, sf_dir, "events")
-    hourly = ev.groupBy(
+    # event-TIME series contract (r10): a NULL instant has no place on
+    # the time axis -- excluded here AND in the oracle CTE AND by the
+    # streaming twins' ingest gates, so all three surfaces agree.
+    hourly = ev.filter(F.col("ts").isNotNull()).groupBy(
         "event_type", F.date_trunc("hour", "ts").alias("bucket")
     ).agg(F.sum(F.col("value").cast(DEC)).cast("double").alias("x"))
     xd = F.col("x").cast(DEC)
@@ -426,7 +433,7 @@ def _cusum_sql() -> str:
     return f"""
 WITH hourly AS (
   SELECT event_type, date_trunc('hour', ts) AS bucket, {dsum} AS x
-  FROM events GROUP BY 1, 2
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
 ),
 stats AS (
   SELECT event_type, COUNT(*) AS n, {dxsum} AS s1, {dxxsum} AS sxx
@@ -752,7 +759,10 @@ def holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     observed hourly grid (gaps close ranks; compose with
     `events_gapfill` for a strict wall-clock grid)."""
     ev = load_table(spark, sf_dir, "events")
-    hourly = ev.groupBy(
+    # event-TIME series contract (r10): a NULL instant has no place on
+    # the time axis -- excluded here AND in the oracle CTE AND by the
+    # streaming twins' ingest gates, so all three surfaces agree.
+    hourly = ev.filter(F.col("ts").isNotNull()).groupBy(
         "event_type", F.date_trunc("hour", "ts").alias("bucket")
     ).agg(F.round(F.sum(F.col("value").cast(DEC)).cast("double"), 6).alias("x"))
     w = W.partitionBy("event_type").orderBy("bucket")
@@ -791,7 +801,7 @@ HOLT_FORECAST_SQL = f"""
 WITH hourly AS (
   SELECT event_type, date_trunc('hour', ts) AS bucket,
          {round_sql(dec_sum_sql('value'), 6)} AS x
-  FROM events GROUP BY 1, 2
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
 )
 SELECT event_type, CAST(bucket AS TIMESTAMP) AS bucket, x,
        {round_sql(f'({_HOLT_LEVEL_SQL})', 6)} AS level,
@@ -1116,7 +1126,9 @@ def user_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     (user, longest_len) instead of a positional pick, so the plan stays
     deterministic under ties."""
     ev = load_table(spark, sf_dir, "events")
-    days = ev.select(
+    # event-TIME series contract (r10): a NULL instant has no day on the
+    # streak axis -- excluded here and in the oracle's days CTE.
+    days = ev.filter(F.col("ts").isNotNull()).select(
         "user_id", F.date_trunc("DAY", F.col("ts")).alias("day")
     ).distinct()
     w = W.partitionBy("user_id").orderBy("day")
@@ -1152,7 +1164,8 @@ def user_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 USER_STREAKS_SQL = """
 WITH days AS (
-  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+  FROM events WHERE ts IS NOT NULL
 ),
 isl AS (
   SELECT user_id, day,
@@ -1653,7 +1666,10 @@ def hourly_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     maximum -- ties to the EARLIEST trough, engine-pinned (max_by tie
     order is not)."""
     ev = load_table(spark, sf_dir, "events")
-    hourly = ev.groupBy(
+    # event-TIME series contract (r10): a NULL instant has no place on
+    # the time axis -- excluded here AND in the oracle CTE AND by the
+    # streaming twins' ingest gates, so all three surfaces agree.
+    hourly = ev.filter(F.col("ts").isNotNull()).groupBy(
         "event_type", F.date_trunc("hour", "ts").alias("bucket")
     ).agg(F.sum(F.col("value").cast(DEC)).cast("double").alias("x"))
     w_run = (
@@ -1700,7 +1716,7 @@ HOURLY_DRAWDOWN_SQL = f"""
 WITH hourly AS (
   SELECT event_type, date_trunc('hour', ts) AS bucket,
          {dec_sum_sql('value')} AS x
-  FROM events GROUP BY 1, 2
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
 ),
 with_dd AS (
   SELECT event_type, bucket, x,
@@ -1747,7 +1763,10 @@ def runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     One corpus shuffle to the hourly rollup; the median broadcasts
     back; runs count via one lag over the bounded per-type frame."""
     ev = load_table(spark, sf_dir, "events")
-    hourly = ev.groupBy(
+    # event-TIME series contract (r10): a NULL instant has no place on
+    # the time axis -- excluded here AND in the oracle CTE AND by the
+    # streaming twins' ingest gates, so all three surfaces agree.
+    hourly = ev.filter(F.col("ts").isNotNull()).groupBy(
         "event_type", F.date_trunc("hour", "ts").alias("bucket")
     ).agg(F.sum(F.col("value").cast(DEC)).cast("double").alias("x"))
     med = hourly.groupBy("event_type").agg(
@@ -1797,7 +1816,7 @@ RUNS_TEST_SQL = f"""
 WITH hourly AS (
   SELECT event_type, date_trunc('hour', ts) AS bucket,
          {dec_sum_sql('value')} AS x
-  FROM events GROUP BY 1, 2
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
 ),
 med AS (
   SELECT event_type, quantile_cont(x, 0.5) AS med FROM hourly GROUP BY 1

@@ -99,9 +99,12 @@ def tumbling_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 TUMBLING_EVENTS_SQL = f"""
+-- ts IS NOT NULL: Spark's window()/session_window() drop NULL event
+-- times (documented; a row with no instant maps to no window); the
+-- oracle states the same contract explicitly (r10 mixed_keys sweep).
 SELECT CAST(time_bucket(INTERVAL '10 minutes', ts) AS TIMESTAMP) AS ws,
        event_type, COUNT(*) AS n_events, {dec_sum_sql('value')} AS total_value
-FROM events GROUP BY 1, 2
+FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
 """
 
 
@@ -116,12 +119,17 @@ def sliding_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SLIDING_EVENTS_SQL = f"""
+-- ts IS NOT NULL: Spark's window()/session_window() drop NULL event
+-- times (documented; a row with no instant maps to no window); the
+-- oracle states the same contract explicitly (r10 mixed_keys sweep).
 SELECT ws, COUNT(*) AS n_events, {dec_sum_sql('value')} AS total_value
 FROM (
-  SELECT CAST(time_bucket(INTERVAL '5 minutes', ts) AS TIMESTAMP) AS ws, value FROM events
+  SELECT CAST(time_bucket(INTERVAL '5 minutes', ts) AS TIMESTAMP) AS ws, value
+  FROM events WHERE ts IS NOT NULL
   UNION ALL
   SELECT CAST(time_bucket(INTERVAL '5 minutes', ts) AS TIMESTAMP)
-         - INTERVAL '5 minutes' AS ws, value FROM events
+         - INTERVAL '5 minutes' AS ws, value
+  FROM events WHERE ts IS NOT NULL
 )
 GROUP BY ws
 """
@@ -150,12 +158,15 @@ def session_events(spark: SparkSession, sf_dir: str, gap: str = "30 minutes") ->
 # boundary), so the split condition is strict `>` -- an earlier `>=` here
 # was a latent boundary bug the continuous sf timestamps never exposed.
 SESSION_EVENTS_SQL = f"""
+-- ts IS NOT NULL: Spark's window()/session_window() drop NULL event
+-- times (documented; a row with no instant maps to no window); the
+-- oracle states the same contract explicitly (r10 mixed_keys sweep).
 WITH flagged AS (
   SELECT user_id, ts, value,
     CASE WHEN lag(ts) OVER w IS NULL
            OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
          THEN 1 ELSE 0 END AS new_sess
-  FROM events
+  FROM events WHERE ts IS NOT NULL
   WINDOW w AS (PARTITION BY user_id ORDER BY ts)
 ),
 sessions AS (
@@ -195,11 +206,25 @@ def dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DEDUP_EVENTS_SQL = """
+-- The hour bucket is MATERIALIZED before the window: DuckDB 1.0.0's
+-- parallel window partitioner returns NONDETERMINISTIC (racy) results
+-- when PARTITION BY contains a computed expression whose input has
+-- NULLs (single-threaded it even splits the NULL group, violating the
+-- SQL NULLs-group-together rule; its own GROUP BY is correct) -- found
+-- by the r10 mixed_keys sweep, reproduced standalone: 30 runs of the
+-- inlined form gave 4 distinct row counts; the materialized form is
+-- stable and agrees with GROUP BY semantics and the engine.
+-- A NULL hour (NULL ts) IS a legitimate dedup bucket here: dedup is
+-- bucketed grouping, not a time-axis series, so NULL-ts events dedup
+-- among themselves per (user, type) instead of being dropped.
+WITH b AS MATERIALIZED (
+  SELECT *, date_trunc('hour', ts) AS hour_bucket FROM events
+)
 SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
 FROM (
   SELECT *, MIN(event_id) OVER (PARTITION BY user_id, event_type,
-                                date_trunc('hour', ts)) AS keeper
-  FROM events
+                                hour_bucket) AS keeper
+  FROM b
 )
 WHERE event_id = keeper
 """
@@ -346,7 +371,12 @@ def gapfill_hourly(ev: DataFrame) -> DataFrame:
     not 1 reused one)."""
     from pyspark.sql import Window as W
 
-    hourly = ev.groupBy(
+    # ts IS NOT NULL: an event with no event time cannot sit on a time
+    # spine. Without the gate its NULL bucket sorts NULLS FIRST into the
+    # LOCF window and can leak a carried value into a leading all-NULL
+    # real hour, while the oracle's spine join never sees the NULL
+    # bucket (r9 ADVICE, verified by the r10 mixed_keys sweep).
+    hourly = ev.filter(F.col("ts").isNotNull()).groupBy(
         "user_id", F.date_trunc("hour", F.col("ts")).alias("bucket")
     ).agg(dec_sum("value").alias("hour_value"))
     w = W.partitionBy("user_id").orderBy("bucket")
@@ -397,7 +427,8 @@ GAPFILL_USER_HOURLY_SQL = f"""
 WITH hourly AS (
   SELECT user_id, date_trunc('hour', ts) AS bucket,
          {dec_sum_sql('value')} AS hour_value
-  FROM events GROUP BY user_id, date_trunc('hour', ts)
+  FROM events WHERE ts IS NOT NULL
+  GROUP BY user_id, date_trunc('hour', ts)
 ),
 spine AS (
   SELECT user_id,
@@ -412,7 +443,10 @@ SELECT s.user_id, s.bucket,
     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value,
   h.hour_value IS NULL AS is_gap
 FROM spine s
-LEFT JOIN hourly h ON s.user_id = h.user_id AND s.bucket = h.bucket
+-- user join is null-safe: NULL user_id is a legitimate series (grouping
+-- semantics, same as the engine's partitionBy), not a join miss
+LEFT JOIN hourly h
+  ON s.user_id IS NOT DISTINCT FROM h.user_id AND s.bucket = h.bucket
 """
 
 

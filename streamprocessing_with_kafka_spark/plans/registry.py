@@ -244,8 +244,14 @@ def crud_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "crud_delete",
-    "SELECT * FROM orders WHERE o_orderkey NOT IN "
-    "(SELECT o_orderkey FROM orders WHERE o_orderkey % 97 = 0)",
+    # NOT EXISTS, not NOT IN: a delete request names concrete keys, so a
+    # NULL-key base row is untargetable and SURVIVES (the engine's
+    # anti-join semantics). NOT IN would return NULL for such a row and
+    # drop it -- the classic three-valued-logic trap the r10 mixed_keys
+    # sweep caught here.
+    "SELECT * FROM orders o WHERE NOT EXISTS "
+    "(SELECT 1 FROM orders d WHERE d.o_orderkey % 97 = 0 "
+    "AND d.o_orderkey = o.o_orderkey)",
     doc="Q5 delete-by-key as a broadcast left_anti join",
 )
 def crud_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -261,8 +267,9 @@ WITH updates AS (
          (o_orderkey % 100 = 0) AS is_tombstone
   FROM orders WHERE o_orderkey % 10 = 0
 )
-SELECT b.* FROM orders b
-  WHERE b.o_orderkey NOT IN (SELECT o_orderkey FROM updates)
+SELECT b.* FROM orders b  -- NOT EXISTS: NULL-key rows are untargetable
+  WHERE NOT EXISTS (SELECT 1 FROM updates u
+                    WHERE u.o_orderkey = b.o_orderkey)
 UNION ALL
 SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
   FROM updates WHERE NOT is_tombstone

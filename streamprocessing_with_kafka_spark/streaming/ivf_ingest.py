@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from streamprocessing_with_kafka_spark.operators.similarity import (
     centroid_row,
-    is_clean_embedding,
+    is_index_member,
     nearest_cell,
 )
 
@@ -43,11 +43,12 @@ def streaming_ivf_assign(vecs: DataFrame, model: DataFrame) -> DataFrame:
     execution modes).
 
     The ingest gate mirrors the batch clean scan (r9 policy): a vector
-    that is NULL or carries a NULL component never enters the index --
+    that is NULL, carries a NULL component, or has no vec_id identity
+    never enters the index (r10: is_index_member) --
     without this filter the stream would admit rows the batch index
     excludes and the two indexes would silently diverge."""
     return (
-        vecs.filter(is_clean_embedding(F.col("embedding")))
+        vecs.filter(is_index_member(F.col("vec_id"), F.col("embedding")))
         .crossJoin(model)
         .select("vec_id", nearest_cell(F.col("embedding")).alias("cell"))
     )

@@ -25,7 +25,7 @@ from streamprocessing_with_kafka_spark.operators.similarity import (
     _pq_best_code,
     _pq_codebook_row,
     _pq_sub,
-    is_clean_embedding,
+    is_index_member,
     pq_trained_codebook,
 )
 
@@ -45,7 +45,8 @@ def streaming_pq_encode(vecs: DataFrame, model: DataFrame) -> DataFrame:
     scan speed.
 
     The ingest gate mirrors the batch clean scan (r9 policy): a vector
-    that is NULL or carries a NULL component never enters the index --
+    that is NULL, carries a NULL component, or has no vec_id identity
+    never enters the index (r10: is_index_member) --
     the compressed index must hold only codes the batch encoder would
     also have produced."""
     v = F.col("embedding").cast("array<double>")
@@ -54,7 +55,7 @@ def streaming_pq_encode(vecs: DataFrame, model: DataFrame) -> DataFrame:
         lambda m: _pq_best_code(_pq_sub(v, m), m),
     )
     return (
-        vecs.filter(is_clean_embedding(F.col("embedding")))
+        vecs.filter(is_index_member(F.col("vec_id"), F.col("embedding")))
         .crossJoin(model)
         .select("vec_id", codes.alias("codes"))
     )
