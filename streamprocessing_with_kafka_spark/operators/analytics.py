@@ -882,8 +882,12 @@ def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     lift = N * c_ab / (c_a * c_b) > 1 means the pair co-occurs more
     than independence predicts; ties in the top-K break on (pa, pb)."""
+    # NULL keys are not basket members: a line with no order identity
+    # pools into one phantom mega-basket (fabricated pairs) and a NULL
+    # part is not an item -- both sides gate them (r10 mixed_keys sweep).
     li = (
         load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey").isNotNull() & F.col("l_partkey").isNotNull())
         .select("l_orderkey", "l_partkey")
         .dropDuplicates(["l_orderkey", "l_partkey"])
     )
@@ -946,7 +950,8 @@ def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 BASKET_PART_PAIRS_SQL = f"""
-WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
 pair_counts AS (
   SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS c_ab
   FROM li a JOIN li b

@@ -108,11 +108,23 @@ def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ASOF_JOIN_EVENTS_SQL = f"""
+-- NULL-ts purchases are pulled OUT of the ASOF and re-added unmatched:
+-- `p.ts >= v.ts` is never true against NULL under standard three-valued
+-- logic, but DuckDB 1.0.0's ASOF sort-merge treats NULL instants as
+-- comparable and fabricates matches (observed: NULL-ts purchases paired
+-- with NULL-ts views, r10 mixed_keys sweep). NULL-ts / NULL-user views
+-- are likewise gated: they can never be a match.
 SELECT p.event_id, p.user_id, p.ts, p.value,
        v.ts AS view_ts, v.value AS view_value
-FROM (SELECT * FROM events WHERE event_type = '{LEFT_TYPE}') p
-ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = '{RIGHT_TYPE}') v
+FROM (SELECT * FROM events
+      WHERE event_type = '{LEFT_TYPE}' AND ts IS NOT NULL) p
+ASOF LEFT JOIN (SELECT * FROM events
+                WHERE event_type = '{RIGHT_TYPE}'
+                  AND ts IS NOT NULL AND user_id IS NOT NULL) v
   ON p.user_id = v.user_id AND p.ts >= v.ts
+UNION ALL
+SELECT event_id, user_id, ts, value, NULL AS view_ts, NULL AS view_value
+FROM events WHERE event_type = '{LEFT_TYPE}' AND ts IS NULL
 """
 
 #: as-of match window: a view older than this is stale context, not a match
@@ -152,6 +164,9 @@ def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ASOF_JOIN_TOLERANCE_SQL = f"""
+-- same NULL gates as ASOF_JOIN_EVENTS_SQL (DuckDB's ASOF treats NULL
+-- instants as comparable): NULL-ts purchases re-enter unmatched, and
+-- unmatchable views never enter the ASOF at all.
 SELECT event_id, user_id, ts, value,
        CASE WHEN fresh THEN view_ts END AS view_ts,
        CASE WHEN fresh THEN view_value END AS view_value
@@ -160,9 +175,15 @@ FROM (
          v.value AS view_value,
          v.ts IS NOT NULL AND epoch_us(p.ts) - epoch_us(v.ts)
            <= {ASOF_TOLERANCE_S}::BIGINT * 1000000 AS fresh
-  FROM (SELECT * FROM events WHERE event_type = '{LEFT_TYPE}') p
-  ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = '{RIGHT_TYPE}') v
+  FROM (SELECT * FROM events
+        WHERE event_type = '{LEFT_TYPE}' AND ts IS NOT NULL) p
+  ASOF LEFT JOIN (SELECT * FROM events
+                  WHERE event_type = '{RIGHT_TYPE}'
+                    AND ts IS NOT NULL AND user_id IS NOT NULL) v
     ON p.user_id = v.user_id AND p.ts >= v.ts
+  UNION ALL
+  SELECT event_id, user_id, ts, value, NULL, NULL, false
+  FROM events WHERE event_type = '{LEFT_TYPE}' AND ts IS NULL
 )
 """
 

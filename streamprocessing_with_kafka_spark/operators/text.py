@@ -1257,8 +1257,11 @@ def vocab_growth(
     # drops them implicitly, but per_doc would otherwise keep them with
     # a NULL token count, padding the curve with 50 no-op checkpoint
     # rows and tilting the Heaps fit (r9 mixed-nulls sweep).
+    # NULL-doc_id docs leave too (r10 mixed_keys): the curve is ordered
+    # BY doc_id, so a document without an identity has no position on
+    # the axis -- and its words must not claim first-use attribution.
     d = load_table(spark, sf_dir, "documents").filter(
-        F.col("text").isNotNull()
+        F.col("text").isNotNull() & F.col("doc_id").isNotNull()
     )
     w = _tokens()
     per_doc = d.select("doc_id", F.size(w).alias("n_tokens"))
@@ -1334,15 +1337,17 @@ _HEAPS_BETA_SQL = (
 VOCAB_GROWTH_SQL = f"""
 WITH per_doc AS (
   -- NULL-text docs are absent from the engine's token explode; filter
-  -- them here too (otherwise cum_vocab pins at 0 and ln(0) aborts)
+  -- them here too (otherwise cum_vocab pins at 0 and ln(0) aborts).
+  -- NULL-doc_id docs leave the study on both sides (r10): no position
+  -- on the doc_id axis, no first-use attribution.
   SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
-  WHERE text IS NOT NULL
+  WHERE text IS NOT NULL AND doc_id IS NOT NULL
 ),
 new_words AS (
   SELECT doc_id, COUNT(*) AS n_new FROM (
     SELECT term, MIN(doc_id) AS doc_id FROM (
       SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS term
-      FROM documents)
+      FROM documents WHERE doc_id IS NOT NULL)
     GROUP BY term)
   GROUP BY doc_id
 ),

@@ -573,7 +573,11 @@ def type_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle's, fine at oracle scale) would shuffle the distinct frame
     against itself."""
     ev = load_table(spark, sf_dir, "events")
-    per_user = ev.groupBy("user_id").agg(
+    # user_id IS NOT NULL: a NULL user is not an audience member --
+    # pooling every NULL-user event into one phantom "user" would
+    # fabricate co-occurrence (and SQL's equi-self-join drops NULL
+    # users anyway); both sides state the gate (r10 mixed_keys sweep).
+    per_user = ev.filter(F.col("user_id").isNotNull()).groupBy("user_id").agg(
         F.sort_array(F.collect_set("event_type")).alias("types")
     )
     types = F.col("types")
@@ -635,7 +639,8 @@ def type_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 TYPE_OVERLAP_SQL = f"""
-WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events
+            WHERE user_id IS NOT NULL),
 both_c AS (
   SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS users_both
   FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type

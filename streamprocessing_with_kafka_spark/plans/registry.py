@@ -1672,15 +1672,24 @@ register(
 #           runs, 4 exchanges -> 2), so its r7 green went stale this
 #           round and it re-windows immediately (stale-green-first).
 #       50/50 green.
-#   r9 (THIS window): regression hygiene per VERDICT r8 item 1.
-#       Slot 13: sketch_quantile_rollup -- the ONLY stale green in the
-#       repo (commit 9ca64c6 touched sketches.py after the r8 pin).
-#       Slot 14: join_top_supplier (displaced from r8 slot 50).
-#       Slots 15-50: oldest-green-first -- burns the last 5 r1-latest
-#       greens and 31 of the r2 cohort; after r9 no green predates r4
-#       except the residual r2 tail that rotates in at r10.
-#       The window-pin commit is recorded in WINDOW_PIN_COMMIT below and
-#       enforced by scratch/stale_green_guard.py (VERDICT r8 item 3).
+#   r9: regression hygiene per VERDICT r8 item 1. Slot 13:
+#       sketch_quantile_rollup (the only stale green). Slot 14:
+#       join_top_supplier. Slots 15-50: oldest-green-first. 50/50 green.
+#   r10 (THIS window): the mixed_keys sweep round (VERDICT r9 item 2) --
+#       the new sixth variant NULLs ~5% of join/identity keys and
+#       events.ts, the two classes MIXED_KEEP deferred. It surfaced 37
+#       divergent queries; every one was fixed (engine or oracle, both
+#       sides together) and scratch/stale_green_guard.py reports exactly
+#       36 behavior-changed queries at the final pin. Slots 13-46 are
+#       that changed set minus crud_delete/crud_upsert (already in the
+#       parity block: their NOT IN -> NOT EXISTS oracle fix lands
+#       there). Slots 47-50: oldest-green-first (VERDICT r9 item 1's
+#       burn-down list) -- the four r1-latest greens join_waiting_
+#       supplier / agg_important_parts / join_excess_shippers /
+#       profile_documents, so after r10 NO green predates r2. The 14
+#       remaining r2-era greens from the verdict's 19-name list were
+#       crowded out by the changed set (the stale-green rule outranks
+#       the rotation, as in r9) and head the r11 window.
 # ==========================================================================
 CORRECTNESS_WINDOW = [
     # 1-12: reference parity block (SURVEY §2 contract, every round)
@@ -1696,38 +1705,9 @@ CORRECTNESS_WINDOW = [
     "crud_append",
     "crud_delete",
     "crud_upsert",
-    # 13-48: EVERY query whose behavior closure changed since the r8
-    # driver artifacts (scratch/stale_green_guard.py, name-level at the
-    # final r9 pin) -- the hard rule: a changed query outside the window
-    # would close the round with a stale-by-construction green. The set
-    # is dominated by the r9 mixed-nulls sweep fixes (NULL-ordering
-    # tie-breaks, null-safe joins, NULL-propagating concat, the
-    # clean-embeddings scan policy, the asof struct carry) plus the
-    # r8-advice edits (rid-keyed mm oracles, KLL empty-size constant).
-    # sketch_quantile_rollup (VERDICT r8 item 1) is in this set.
-    "sketch_quantile_rollup",
-    "sketch_bloom_membership",
-    "mm_feature_extract",
-    "mm_ann_topk",
-    "mm_phash_index",
-    "mm_resize",
-    "csv_parse_orders",
-    "agg_mode_by_nation",
-    "agg_cohort_ltv",
-    "window_pareto_frontier",
-    "events_dedup",
-    "events_top_paths",
-    "events_mad_outliers",
-    "events_logrank",
-    "events_survival_km",
-    "pipeline_events_health",
-    "scd2_customer_priority",
-    "join_asof_events",
-    "join_asof_tolerance",
-    "text_vocab_growth",
-    "embedding_stats",
-    "embedding_quantize",
-    "embedding_pca_power",
+    # 13-26: the ANN/embedding family -- index membership now requires a
+    # non-NULL vec_id (is_index_member: shared by load_clean_embeddings,
+    # both streaming ingest gates, and EMB_CLEAN_WHERE in every oracle)
     "ann_topk_bruteforce",
     "ann_topk_lsh",
     "ann_topk_multiprobe",
@@ -1741,14 +1721,42 @@ CORRECTNESS_WINDOW = [
     "dedup_embedding_cosine",
     "dedup_embedding_cosine_capped",
     "dedup_semantic",
-    # 49: displaced from r8 slot 50 by the events_gapfill re-window
-    # (code untouched; oldest green = r1; VERDICT r8 item 1).
-    "join_top_supplier",
-    # 50: oldest-green rotation head (r1-latest). The rest of the r1/r2
-    # burn-down cohort the r8 verdict listed is crowded out this round
-    # by the 36 changed queries above; it resumes at r10 (their code is
-    # untouched, so those greens are old but not stale).
-    "agg_supplier_count_by_part",
+    "embedding_pca_power",
+    # 27-31: temporal joins -- NULL-ts/NULL-user right rows gated out of
+    # the window carry; DuckDB-ASOF NULL-comparability worked around in
+    # the oracles; explode_outer keeps NULL-ts signups; salt coalesced
+    "join_asof_events",
+    "join_asof_tolerance",
+    "join_asof_nearest",
+    "join_range_events",
+    "join_salted_skew",
+    # 32-43: the event-time family -- the strict time-axis ops exclude
+    # NULL instants on both sides (matching the streaming twins); the
+    # window()-family oracles state Spark's documented NULL-drop; the
+    # dedup oracle materializes its bucket (DuckDB racy-window bug)
+    "events_autocorr",
+    "events_cusum",
+    "events_holt_forecast",
+    "events_drawdown",
+    "events_runs_test",
+    "events_streaks",
+    "events_gapfill",
+    "events_dedup",
+    "events_session",
+    "events_tumbling",
+    "events_sliding",
+    "pipeline_events_health",
+    # 44-46: phantom-group fixes (NULL user / NULL basket keys) and the
+    # doc_id-axis gate
+    "events_type_overlap",
+    "basket_part_pairs",
+    "text_vocab_growth",
+    # 47-50: oldest-green-first (VERDICT r9 item 1): the last r1-latest
+    # greens in the repo
+    "join_waiting_supplier",
+    "agg_important_parts",
+    "join_excess_shippers",
+    "profile_documents",
 ]
 
 #: Oracle-backed queries still without a driver row: none -- as of r7

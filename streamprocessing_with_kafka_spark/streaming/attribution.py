@@ -115,7 +115,11 @@ def attribution_stream(events: DataFrame) -> DataFrame:
     # NULL event times cannot sit on the spine/frontier: pandas
     # converts NaT to int64 MIN, which would fabricate a ~3M-hour
     # gap run / bogus frontier instead of erroring (r9 review).
-    # Event-time-keyed batch ops likewise exclude NULL instants.
+    # The BATCH twin, by contrast, KEEPS NULL-instant rows (they
+    # sort NULLS-FIRST as order-degenerate leading rows, identically
+    # in engine and oracle) -- so stream-vs-batch bit-parity is
+    # scoped to rows with non-NULL event times; the mixed_keys
+    # sweep verifies both contracts (r10, was overstated before).
     return events.filter(F.col("ts").isNotNull()).groupBy("user_id").applyInPandasWithState(
         _attr_user,
         outputStructType=ATTR_OUTPUT_SCHEMA,

@@ -139,7 +139,9 @@ def cusum_stream(hourly: DataFrame, model: dict) -> DataFrame:
     # NULL event times cannot sit on the spine/frontier: pandas
     # converts NaT to int64 MIN, which would fabricate a ~3M-hour
     # gap run / bogus frontier instead of erroring (r9 review).
-    # Event-time-keyed batch ops likewise exclude NULL instants.
+    # The batch twin shares this gate since r10 (ts IS NOT NULL in
+    # its rollup AND its oracle), so stream/batch bit-parity holds
+    # on NULL-bearing event times too (mixed_keys sweep).
     return hourly.filter(F.col("bucket").isNotNull()).groupBy("event_type").applyInPandasWithState(
         _one_type,
         outputStructType=CUSUM_OUTPUT_SCHEMA,

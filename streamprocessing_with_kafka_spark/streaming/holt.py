@@ -150,7 +150,9 @@ def holt_stream(events: DataFrame) -> DataFrame:
     # NULL event times cannot sit on the spine/frontier: pandas
     # converts NaT to int64 MIN, which would fabricate a ~3M-hour
     # gap run / bogus frontier instead of erroring (r9 review).
-    # Event-time-keyed batch ops likewise exclude NULL instants.
+    # The batch twin shares this gate since r10 (ts IS NOT NULL in
+    # its rollup AND its oracle), so stream/batch bit-parity holds
+    # on NULL-bearing event times too (mixed_keys sweep).
     return events.filter(F.col("ts").isNotNull()).groupBy("event_type").applyInPandasWithState(
         _holt_type,
         outputStructType=HOLT_OUTPUT_SCHEMA,
