@@ -1625,19 +1625,17 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output: (dim, loading, eigenvalue, explained_frac).
 
-    Vectors that are NULL or contain a NULL component leave the study
-    at the scan: engines disagree on per-dimension NULL skipping inside
+    The study population is the shared clean scan (load_clean_
+    embeddings): engines disagree on per-dimension NULL skipping inside
     the mean/covariance denominators (Spark's posexplode emits NULL
     rows that count() includes but dec_sum skips; DuckDB's element
     indexing differs again), so the only cross-engine-deterministic
-    treatment is a clean-vector study population (r9 mixed sweep)."""
-    e = (
-        load_table(spark, sf_dir, "embeddings")
-        .filter(
-            F.col("embedding").isNotNull()
-            & ~F.exists("embedding", lambda x: x.isNull())
-        )
-        .select(F.col("embedding").cast("array<double>").alias("v"))
+    treatment is the index-membership population -- r9 inlined the
+    vector half of that predicate here, which silently missed the r10
+    vec_id membership extension (caught by the mixed_keys sweep); the
+    scan now comes from the ONE shared definition."""
+    e = load_clean_embeddings(spark, sf_dir).select(
+        F.col("embedding").cast("array<double>").alias("v")
     )
     mu = (
         e.select(F.posexplode("v").alias("dim", "val"))

@@ -58,27 +58,25 @@ def test_driver_correctness_window_matches_budget():
         window[:12]
     )
     for name in (
-        # r9 stale-green block: scratch/stale_green_guard.py (name-level
-        # closure, final r9 pin) lists exactly 36 queries whose behavior
-        # changed since the r8 driver artifacts -- the mixed-nulls sweep
-        # fixes + the r8-advice edits. Spot-pin the heads of each fix
-        # class here (the guard itself is the exhaustive check); plus
-        # VERDICT r8 item 1's two named rows.
-        "sketch_quantile_rollup",  # KLL guard landed after the r8 pin
-        "join_top_supplier",  # displaced from r8 slot 50
-        "sketch_bloom_membership",  # NULL not a set element
-        "mm_resize",  # NULL-propagating content address
-        "csv_parse_orders",  # NULL fields serialize as empty
-        "join_asof_events",  # struct carry (the gapfill class)
-        "events_dedup",  # window dedup keeps NULL-key group
-        "events_top_paths",  # concat NULL-propagates
-        "window_pareto_frontier",  # NULL coords off the plane
-        "scd2_customer_priority",  # NULL-ts observations excluded
-        "agg_mode_by_nation",  # asc_nulls_last tie-break
-        "ann_topk_bruteforce",  # clean-embeddings scan policy
-        "dedup_embedding_cosine",  # clean scan via dedup.py closure
-        "events_logrank",  # total group membership (g1 COALESCE)
-        "pipeline_events_health",  # caught only by the name-level guard
+        # r10 stale-green block: scratch/stale_green_guard.py (name-level
+        # closure, final r10 pin) lists exactly 36 queries whose behavior
+        # changed since the r9 driver artifacts -- the mixed_keys sweep
+        # fixes (NULL join/identity keys + NULL event times). Spot-pin
+        # the heads of each fix class here (the guard itself is the
+        # exhaustive check); plus VERDICT r9 item 1's rotation heads.
+        "crud_delete",  # NOT IN -> NOT EXISTS (NULL keys survive)
+        "join_asof_events",  # NULL-ts/user views gated out of the carry
+        "join_salted_skew",  # salt coalesced: rewrite must not drop rows
+        "join_range_events",  # explode_outer keeps NULL-ts signups
+        "ann_ivf_assignments",  # index membership requires vec_id
+        "events_autocorr",  # time-axis family excludes NULL instants
+        "events_dedup",  # oracle bucket materialized (DuckDB racy window)
+        "events_session",  # oracle states Spark's NULL-event-time drop
+        "events_type_overlap",  # NULL user is not an audience member
+        "basket_part_pairs",  # NULL keys are not basket members
+        "text_vocab_growth",  # no doc_id, no position on the curve
+        "join_waiting_supplier",  # oldest-green rotation head (r1)
+        "profile_documents",  # oldest-green rotation (r1)
     ):
         assert name in window, name
 
