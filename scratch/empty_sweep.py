@@ -261,6 +261,71 @@ def build_mixed_keys_dir() -> str:
 #: every first-sweep divergence is fixed or earns a cited entry.
 MIXED_KEYS_ALLOWED: set = set()
 
+
+def build_mixed_both_dir() -> str:
+    """The INTERACTION variant (r10): the `mixed` value-NULL rules and
+    the `mixed_keys` key/ts-NULL rules applied to the SAME tables, with
+    the same crc32 keying each variant uses alone.  A row can now carry
+    a NULL value under a NULL key at a NULL instant -- the combinations
+    the two single-axis variants never co-exercise (e.g. an as-of match
+    whose carried view has BOTH view_ts NULL-gated and value NULL, or a
+    dedup group that is simultaneously the NULL-hour bucket and
+    all-NULL-valued)."""
+    import zlib
+
+    d = EMPTY_DIR.replace("sf_empty", "sf_mixed_both")
+    os.makedirs(d, exist_ok=True)
+    for t in TABLES:
+        dst = f"{d}/{t}.parquet"
+        if os.path.exists(dst):
+            continue
+        tab = pq.read_table(f"{SRC_SF}/{t}.parquet")
+        n = tab.num_rows
+        cols = []
+        for field in tab.schema:
+            col = tab.column(field.name).combine_chunks()
+            if not field.nullable:
+                cols.append(col)
+                continue
+            if field.name in MIXED_KEEP:  # the mixed_keys rule, 5%
+                seed = zlib.crc32(f"keys.{t}.{field.name}".encode())
+                mask = pa.array(
+                    [(seed + 2654435761 * i) % 100 < 5 for i in range(n)]
+                )
+                cols.append(
+                    pa.compute.if_else(mask, pa.nulls(n, type=field.type), col)
+                )
+                continue
+            # the mixed rule, 10% (+ in-array nulls for list columns)
+            seed = zlib.crc32(f"{t}.{field.name}".encode())
+            if pa.types.is_list(field.type):
+                vals = col.to_pylist()
+                out = []
+                for i, v in enumerate(vals):
+                    h = (seed + 2654435761 * i) % 100
+                    if h < 10:
+                        out.append(None)
+                    elif h < 13 and v:
+                        v = list(v)
+                        v[(seed + i) % len(v)] = None
+                        out.append(v)
+                    else:
+                        out.append(v)
+                cols.append(pa.array(out, type=field.type))
+            else:
+                mask = pa.array(
+                    [(seed + 2654435761 * i) % 100 < 10 for i in range(n)]
+                )
+                cols.append(
+                    pa.compute.if_else(mask, pa.nulls(n, type=field.type), col)
+                )
+        pq.write_table(pa.table(cols, schema=tab.schema), dst)
+    return d
+
+
+#: mixed_both allowlist -- same contract: starts empty.
+MIXED_BOTH_ALLOWED: set = set()
+
 ALLOWED = GROUPING_SETS_SEMANTICS  # empty + single variants
 
 
@@ -278,12 +343,14 @@ def main() -> None:
         "constant": build_constant_dir,
         "mixed": build_mixed_dir,
         "mixed_keys": build_mixed_keys_dir,
+        "mixed_both": build_mixed_both_dir,
     }[variant]()
     allowed = {
         "nulls": NULLS_ALLOWED,
         "constant": CONSTANT_ALLOWED,
         "mixed": MIXED_ALLOWED,
         "mixed_keys": MIXED_KEYS_ALLOWED,
+        "mixed_both": MIXED_BOTH_ALLOWED,
     }.get(variant, ALLOWED)
     spark = get_spark("empty-sweep")
     con = duckdb_conn(sf_dir)
