@@ -123,6 +123,8 @@ def test_clean_embeddings_nullness_filter_pushes_to_scan(spark, sf_dir):
 
     plan = _plan(spark, load_clean_embeddings(spark, sf_dir), "formatted")
     assert re.search(r"PushedFilters: \[.*IsNotNull\(embedding\).*\]", plan), plan
+    # the r10 vec_id membership gate must be scan-cheap too
+    assert re.search(r"PushedFilters: \[.*IsNotNull\(vec_id\).*\]", plan), plan
     assert "Exchange" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
 
