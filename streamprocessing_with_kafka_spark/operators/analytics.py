@@ -1332,10 +1332,11 @@ def mode_segment_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = cust.groupBy("c_nationkey", "c_mktsegment").agg(
         F.count(F.lit(1)).alias("n")
     )
-    # asc_nulls_last is load-bearing: Spark defaults ASC to NULLS FIRST
-    # while the oracle (DuckDB) defaults to NULLS LAST, so when a NULL
-    # segment group ties a real one the two engines pick opposite rows
-    # (r9 mixed-nulls sweep). A real segment beats "unknown" on ties.
+    # asc_nulls_last is load-bearing: the oracle session default is now
+    # Spark-aligned (nulls_first_on_asc, tests/oracle_harness.py), so
+    # the oracle's explicit ASC NULLS LAST is an intentional per-query
+    # override, matched here. A real segment beats "unknown" on ties
+    # (r9 mixed-nulls sweep).
     w = W.partitionBy("c_nationkey").orderBy(
         F.col("n").desc(), F.col("c_mktsegment").asc_nulls_last()
     )

@@ -1344,10 +1344,13 @@ WITH per_doc AS (
   WHERE text IS NOT NULL AND doc_id IS NOT NULL
 ),
 new_words AS (
+  -- same study population as per_doc (text AND doc_id non-NULL); the
+  -- text filter is stated even though string_split(NULL) unnests to
+  -- zero rows, so both sides declare the population explicitly.
   SELECT doc_id, COUNT(*) AS n_new FROM (
     SELECT term, MIN(doc_id) AS doc_id FROM (
       SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS term
-      FROM documents WHERE doc_id IS NOT NULL)
+      FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL)
     GROUP BY term)
   GROUP BY doc_id
 ),

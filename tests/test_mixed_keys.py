@@ -94,31 +94,33 @@ def test_range_join_keeps_null_ts_signup_as_zero_group(spark, tmp_path):
     assert got[2].n_events == 1 and got[2].sum_value == 4.0
 
 
-def test_salted_join_result_equals_unsalted_on_null_salt_source(spark):
+def test_salted_join_result_equals_unsalted_on_null_salt_source(spark, tmp_path):
     """Salting is a PHYSICAL rewrite: with NULL l_orderkey rows (the
     salt source) the salted plan must still produce the unsalted join's
     exact result -- pre-fix, pmod(NULL) NULLed the salt and the
-    (key, salt) equi-join silently dropped those rows."""
-    from streamprocessing_with_kafka_spark.operators.joins import SKEW_SALT
+    (key, salt) equi-join silently dropped those rows.  Exercises the
+    PRODUCTION operator on a parquet fixture (r10 ADVICE: the former
+    inline re-implementation could not catch an operator regression)."""
+    from streamprocessing_with_kafka_spark.operators.joins import (
+        salted_skew_join,
+    )
 
-    li = spark.createDataFrame(
+    d = str(tmp_path / "t")
+    spark.createDataFrame(
         [(None, 1, 100.0, 0.1), (7, 1, 50.0, 0.0), (8, 2, 10.0, 0.0)],
-        "l_orderkey long, l_suppkey long, l_extendedprice double, l_discount double",
-    )
-    s = spark.createDataFrame(
+        "l_orderkey long, l_suppkey long, l_extendedprice double, "
+        "l_discount double",
+    ).write.parquet(d + "/lineitem.parquet")
+    spark.createDataFrame(
         [(1, "Supplier#1"), (2, "Supplier#2")], "s_suppkey long, s_name string"
-    )
-    fact = li.withColumn(
-        "_salt", F.pmod(F.coalesce(F.col("l_orderkey"), F.lit(0)), F.lit(SKEW_SALT))
-    )
-    dim = s.withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(SKEW_SALT - 1))))
-    salted = (
-        fact.join(dim, (fact.l_suppkey == dim.s_suppkey) & (fact._salt == dim._salt))
-        .groupBy("s_suppkey")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    got = {r.s_suppkey: r.n for r in salted.collect()}
-    assert got == {1: 2, 2: 1}  # the NULL-orderkey line is NOT dropped
+    ).write.parquet(d + "/supplier.parquet")
+
+    got = {r.s_suppkey: r for r in salted_skew_join(spark, d).collect()}
+    # the NULL-orderkey line is NOT dropped: supplier 1 keeps BOTH lines
+    assert {k: r.n_lines for k, r in got.items()} == {1: 2, 2: 1}
+    assert float(got[1].revenue) == 140.0  # 100*(1-0.1) + 50
+    assert float(got[2].revenue) == 10.0
+    assert got[1].s_name == "Supplier#1"
 
 
 def test_index_membership_requires_vec_id(spark, tmp_path):
