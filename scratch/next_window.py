@@ -1,32 +1,37 @@
-"""Generate the next round's CORRECTNESS_WINDOW (r7+ regression-watch
-rotation, per the plan pinned in plans/registry.py): with the
-never-checked backlog at zero, the 50-slot window becomes
+"""Generate the next round's CORRECTNESS_WINDOW + PENDING_WINDOW,
+DRIVEN by scratch/stale_green_guard.py's staleness accounting
+(VERDICT r10 item 2: "window pinning driven by that output").
 
-  - the 12-row reference-parity block (SURVEY §2 contract, every round), then
-  - 38 slots cycling through the rest of the registry OLDEST-GREEN-FIRST
-    (the query whose most recent green driver row is furthest in the past
-    rotates in first).  As of r7 every registry entry carries oracle SQL,
-    so the old sql=None ineligibility rule (r1/r4 no_oracle) is vacuous --
-    the filter stays as a guard should a rows-only query ever reappear.
-    When code changed AFTER a query's last green (check git against the
-    round boundary), move those names to the front (r6 verdict item 1).
+The 50-slot window becomes:
+
+  - the 12-row reference-parity block (SURVEY §2 contract, every round),
+  - then every CODE-STALE query (a real operator/oracle definition in
+    its closure changed since its OWN last green round -- the class the
+    judge hand-found 5 of in r10), oldest-green-first,
+  - then everything else oldest-green-first, whether conf-closure-stale
+    (e.g. the r7-era session._RUNTIME_CONFS edit touching every pre-r7
+    green) or merely old: an r2-era non-stale green is staler evidence
+    than an r6 conf-stale one, so age ranks them together.
+
+Stale queries that do not fit become PENDING_WINDOW -- the committed
+burn-down backlog the guard accepts (and re-checks) until they rotate
+in.  Ties everywhere break by registry order for determinism.
 
 Run from the repo root AFTER the driver writes the round's
 CORRECTNESS_r*.json: python scratch/next_window.py
-Prints the new 50-name list as Python source to paste over
-CORRECTNESS_WINDOW (it does NOT edit registry.py -- the window is a
+Prints the new lists as Python source to paste over CORRECTNESS_WINDOW
+and PENDING_WINDOW (it does NOT edit registry.py -- the window is a
 reviewed, committed artifact).
 """
 
 from __future__ import annotations
 
-import glob
-import json
 import os
-import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from stale_green_guard import compute_staleness  # noqa: E402
 
 from streamprocessing_with_kafka_spark.plans.registry import _REGISTRY  # noqa: E402
 
@@ -47,43 +52,55 @@ PARITY_BLOCK = [
     "crud_upsert",
 ]
 
+WINDOW_SIZE = 50
+
 
 def main() -> None:
-    # most recent round each query was GREEN (hash or rows match)
-    last_green: dict[str, int] = {}
-    for path in sorted(glob.glob("CORRECTNESS_r*.json")):
-        rnd = int(re.search(r"r(\d+)", path).group(1))
-        for name, row in json.load(open(path)).items():
-            if row.get("hash_match") or (
-                row.get("rows_match") and row.get("err") in (None, "no_oracle")
-            ):
-                last_green[name] = max(last_green.get(name, 0), rnd)
-
+    st = compute_staleness()
+    greens, order = st["greens"], {n: i for i, n in enumerate(_REGISTRY)}
     eligible = [
-        n
-        for n, q in _REGISTRY.items()
+        n for n, q in _REGISTRY.items()
         if q.sql is not None and n not in PARITY_BLOCK
     ]
-    never = sorted(n for n in eligible if n not in last_green)
-    if never:
-        print(f"# WARNING: {len(never)} oracle-backed queries have no green "
-              f"row yet -- they go first: {never}", file=sys.stderr)
-    # oldest green first; ties broken by registry order for determinism
-    order = {n: i for i, n in enumerate(_REGISTRY)}
-    rotation = never + sorted(
-        (n for n in eligible if n in last_green),
-        key=lambda n: (last_green[n], order[n]),
-    )
-    window = PARITY_BLOCK + rotation[: 50 - len(PARITY_BLOCK)]
-    assert len(window) == 50 and len(set(window)) == 50
+
+    def oldest_first(names):
+        return sorted(names, key=lambda n: (greens.get(n, 0), order[n]))
+
+    code_stale = oldest_first(n for n in eligible if n in st["code_stale"])
+    rest = oldest_first(n for n in eligible if n not in st["code_stale"])
+    rotation = code_stale + rest
+    window = PARITY_BLOCK + rotation[: WINDOW_SIZE - len(PARITY_BLOCK)]
+    backlog = [
+        n for n in rotation
+        if n in st["fresh_needed"] and n not in set(window)
+    ]
+    assert len(window) == WINDOW_SIZE and len(set(window)) == WINDOW_SIZE
 
     print("CORRECTNESS_WINDOW = [")
     print("    # 1-12: reference parity block (SURVEY §2 contract)")
     for n in window[:12]:
         print(f'    "{n}",')
-    print("    # 13-50: regression watch, oldest-green-first")
-    for n in window[12:]:
-        print(f'    "{n}",')
+    k = 13
+    if code_stale:
+        print(f"    # {k}-{k + min(len(code_stale), len(window) - 12) - 1}: "
+              "code-stale (operator/oracle changed since own green), "
+              "oldest-green-first")
+        for n in window[12:12 + len(code_stale)]:
+            print(f'    "{n}",')
+        k += len([n for n in window[12:] if n in set(code_stale)])
+    if len(window) > 12 + len(code_stale):
+        print(f"    # {k}-{len(window)}: stale burn-down + regression "
+              "watch, oldest-green-first")
+        for n in window[12 + len(code_stale):]:
+            print(f'    "{n}",')
+    print("]")
+    print()
+    print("PENDING_WINDOW = [")
+    if backlog:
+        print("    # committed stale burn-down backlog: rotates in "
+              "oldest-green-first")
+    for n in backlog:
+        print(f'    "{n}",  # last green r{greens.get(n, 0)}')
     print("]")
 
 

@@ -1,4 +1,5 @@
-"""Mechanical stale-green guard (VERDICT r8 item 3; r9: name-level).
+"""Mechanical stale-green guard (VERDICT r8 item 3; r9: name-level;
+r11: per-query multi-round baselines).
 
 Twice (r7: graph/PQ/session, r8: the sketches KLL guard) a product-code
 change landed AFTER the round's CORRECTNESS_WINDOW was pinned, leaving a
@@ -15,23 +16,31 @@ stale, more than a 50-slot window can hold] and under-flagged [a query
 defined in dedup.py whose behavior lives in a similarity.py helper was
 never flagged when only similarity.py changed]):
 
-  1. BASELINE = the last commit that touched a CORRECTNESS_r*.json file
-     (the previous round's driver artifacts -- the moment every green in
-     that file was known-fresh).
-  2. Parse every package module at BASELINE and HEAD (working tree) and
-     fingerprint each TOP-LEVEL DEFINITION (function / class / constant)
-     with docstrings stripped.  The changed-node set is the names whose
-     fingerprints differ (or that were added/removed).
+  1. BASELINE is PER QUERY (r11 -- VERDICT r10 item 2): the artifact
+     commit of the round in which that query was most recently GREEN
+     (the last commit touching that round's CORRECTNESS_r*.json -- the
+     moment the green was known to match the code).  The r9-r10 guard
+     used one global baseline (the latest artifact commit), which
+     structurally missed queries whose code changed in an EARLIER round
+     after their last green but before the guard existed -- the judge
+     found 5 such r6-r8-era cases by hand in r10.  A query with no
+     green row yet baselines against nothing: it must simply be in the
+     window.
+  2. Parse every package module at each baseline and at HEAD (working
+     tree) and fingerprint each TOP-LEVEL DEFINITION (function / class
+     / constant) with docstrings stripped.  The changed-node set is the
+     names whose fingerprints differ (or that were added/removed).
   3. Build the static reference graph between top-level definitions
      (intra-module name references + `from pkg.x import y` edges) and
      take each registry query's transitive closure from BOTH its fn and
      its oracle-SQL constant (recovered from registry.py's register()
-     calls).  A query is STALE iff its closure touches a changed node
-     and it is not in the CURRENT CORRECTNESS_WINDOW.  Exit 1 listing
-     the offenders.
+     calls).  A query is STALE iff its closure touches a node changed
+     since ITS OWN baseline and it is not in the CURRENT
+     CORRECTNESS_WINDOW.  Exit 1 listing the offenders.
   4. Changed definitions reachable from NO registry query (streaming
-     twins, shared infra) are reported as WARN: cover via pytest +
-     scratch/drive_driver.py, not window slots.
+     twins, shared infra) are reported as WARN against the most recent
+     baseline: cover via pytest + scratch/drive_driver.py, not window
+     slots.
 
 Comments never reach the AST and docstrings are stripped, so doc-only
 edits do not mark queries stale.  The closure is static (Name/Attribute
@@ -52,6 +61,7 @@ sys.path.insert(0, REPO)
 
 from streamprocessing_with_kafka_spark.plans.registry import (  # noqa: E402
     CORRECTNESS_WINDOW,
+    PENDING_WINDOW,
     _REGISTRY,
 )
 
@@ -275,51 +285,144 @@ def sql_seeds(
     return out
 
 
-def main() -> None:
-    baseline = git(
-        "log", "-1", "--format=%H", "--", "CORRECTNESS_r*.json"
-    ).strip()
-    if not baseline:
-        print("no CORRECTNESS_r*.json history -- nothing to guard")
-        return
-    print(f"baseline (last driver-artifact commit): {baseline[:12]}")
+def last_green_rounds() -> dict[str, int]:
+    """query name -> most recent round with a green driver row."""
+    import glob
+    import json
+    import re
 
-    old = load_tree(baseline)
+    out: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        rnd = int(re.search(r"r(\d+)", os.path.basename(path)).group(1))
+        for name, row in json.load(open(path)).items():
+            if row.get("hash_match") or (
+                row.get("rows_match") and row.get("err") in (None, "no_oracle")
+            ):
+                out[name] = max(out.get(name, 0), rnd)
+    return out
+
+
+def artifact_commit(rnd: int) -> str | None:
+    """The commit where round `rnd`'s driver artifacts landed: the last
+    commit touching that round's CORRECTNESS file (globbed so both
+    r9/r09-style zero paddings match)."""
+    for pat in (f"CORRECTNESS_r{rnd:02d}.json", f"CORRECTNESS_r{rnd}.json"):
+        sha = git("log", "-1", "--format=%H", "--", pat).strip()
+        if sha:
+            return sha
+    return None
+
+
+def compute_staleness() -> dict:
+    """The guard's full accounting, importable by scratch/next_window.py
+    so window pinning is DRIVEN by this output (VERDICT r10 item 2).
+
+    Returns {
+      greens:        query -> last green round,
+      fresh_needed:  query -> sorted list of (mod, name) changed nodes
+                     in its closure since its OWN baseline ([] for a
+                     never-green query),
+      code_stale:    subset of fresh_needed whose hits include a
+                     non-session node (a REAL operator/oracle change,
+                     not just the runtime-conf closure),
+      unreachable:   changed-since-latest-baseline nodes reachable from
+                     no registry query (streaming twins, shared infra),
+    }"""
+    greens = last_green_rounds()
+    out = {"greens": greens, "fresh_needed": {}, "code_stale": set(),
+           "unreachable": set()}
+    if not greens:
+        return out
+
+    base_ref: dict[int, str] = {}
+    for rnd in sorted({r for r in greens.values()}):
+        sha = artifact_commit(rnd)
+        if sha is None:
+            print(f"  WARN  round {rnd} has green rows but no artifact "
+                  "commit found -- treating its queries as never-green")
+            continue
+        base_ref[rnd] = sha
+    print("per-round baselines: " + ", ".join(
+        f"r{r}={base_ref[r][:10]}" for r in sorted(base_ref)))
+
     new = load_tree(None)
-    ch = changed_nodes(old, new)
-    if not ch:
-        print("no behavior-changed definitions since baseline")
-        print("\nOK: every behavior-touched registry query is in the window")
-        return
-    print(f"behavior-changed definitions: {len(ch)}")
+    trees: dict[int, dict[str, ModuleDefs]] = {}
+    changed: dict[int, set[tuple[str, str]]] = {}
+    for rnd, sha in base_ref.items():
+        trees[rnd] = load_tree(sha)
+        changed[rnd] = changed_nodes(trees[rnd], new)
 
     reg_seeds = sql_seeds(new)
-    window = set(CORRECTNESS_WINDOW)
-    stale, fresh_needed, reached = [], set(), set()
+    latest = max(base_ref)
+    reached_latest: set[tuple[str, str]] = set()
     for name, q in _REGISTRY.items():
         seeds = {(q.fn.__module__, q.fn.__name__)} | reg_seeds.get(name, set())
+        rnd = greens.get(name)
+        if rnd is None or rnd not in base_ref:
+            out["fresh_needed"][name] = []  # needs its FIRST driver row
+            out["code_stale"].add(name)
+            continue
+        old = trees[rnd]
         cl = closure(new, seeds) | closure(old, seeds)
-        hit = cl & ch
+        hit = cl & changed[rnd]
+        # the unreachable-WARN accounting uses the LATEST baseline so it
+        # mirrors the old one-round guard's report
+        reached_latest |= (closure(new, seeds) | closure(trees[latest], seeds)
+                           ) & changed[latest]
         if hit:
-            reached |= hit
-            fresh_needed.add(name)
-            if q.sql is not None and name not in window:
-                stale.append((name, sorted(hit)[0]))
+            out["fresh_needed"][name] = sorted(hit)
+            if any(not mod.endswith(".session") for mod, _ in hit):
+                out["code_stale"].add(name)
+    out["unreachable"] = changed[latest] - reached_latest
+    out["latest_round"] = latest
+    return out
 
-    for mod, nm in sorted(ch - reached):
-        print(f"  WARN  changed but reachable from no registry query: "
-              f"{mod}.{nm} -- cover via pytest + scratch/drive_driver.py")
 
-    print(f"\nqueries needing a fresh green: {len(fresh_needed)}; "
-          f"in window: {len(fresh_needed & window)}")
+def main() -> None:
+    st = compute_staleness()
+    if not st["greens"]:
+        print("no CORRECTNESS_r*.json history -- nothing to guard")
+        return
+
+    for mod, nm in sorted(st["unreachable"]):
+        print(f"  WARN  changed since r{st['latest_round']} but reachable "
+              f"from no registry query: {mod}.{nm} -- cover via pytest + "
+              "scratch/drive_driver.py")
+
+    window = set(CORRECTNESS_WINDOW)
+    backlog = set(PENDING_WINDOW)
+    fresh = st["fresh_needed"]
+    print(f"\nqueries needing a fresh green: {len(fresh)}; in window: "
+          f"{len(set(fresh) & window)}; in committed backlog: "
+          f"{len(set(fresh) & backlog)}")
+
+    # a backlog entry that is NOT actually stale is dead weight: the
+    # backlog must stay the minimal committed burn-down list
+    dead = backlog - set(fresh)
+    for name in sorted(dead):
+        print(f"  WARN  PENDING_WINDOW entry not stale -- remove: {name}")
+
+    stale = {
+        n: hits for n, hits in fresh.items()
+        if _REGISTRY[n].sql is not None and n not in window and n not in backlog
+    }
     if stale:
         print(f"\nSTALE GREENS ({len(stale)}): queries whose behavior "
-              "closure changed since baseline but are NOT in "
-              "CORRECTNESS_WINDOW:")
-        for name, hit in sorted(stale):
-            print(f"  {name}  (via {hit[0]}.{hit[1]})")
+              "closure changed since their OWN last green round but are "
+              "in neither CORRECTNESS_WINDOW nor the committed "
+              "PENDING_WINDOW backlog:")
+        for name, hits in sorted(stale.items()):
+            via = f"{hits[0][0]}.{hits[0][1]}" if hits else "<no green row yet>"
+            print(f"  {name}  (via {via})")
         sys.exit(1)
-    print("\nOK: every behavior-touched registry query is in the window")
+    if backlog & set(fresh):
+        print(f"\nBACKLOG ({len(backlog & set(fresh))}): stale queries "
+              "committed to future windows (burn-down: the pin rotates "
+              "them in oldest-green-first; this list may only shrink):")
+        for name in sorted(backlog & set(fresh)):
+            print(f"  {name}  (last green r{st['greens'].get(name, 0)})")
+    print("\nOK: every behavior-touched registry query is in the window "
+          "or the committed backlog")
 
 
 if __name__ == "__main__":

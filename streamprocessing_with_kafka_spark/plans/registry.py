@@ -1690,9 +1690,29 @@ register(
 #       remaining r2-era greens from the verdict's 19-name list were
 #       crowded out by the changed set (the stale-green rule outranks
 #       the rotation, as in r9) and head the r11 window.
+#   r11 (THIS window): per-query-baseline guard round (VERDICT r10
+#       item 2) -- scratch/stale_green_guard.py now diffs each query's
+#       behavior closure against the artifact commit of its OWN latest
+#       green round, not just one round back. Its first run confirmed
+#       the judge's 5 hand-found code-stale queries (operator/oracle
+#       changed r6-r8 after their last green, before the guard existed)
+#       and mechanically surfaced the full conf-closure debt: every
+#       pre-r7 green predates the r7-era session._RUNTIME_CONFS edit
+#       (plan-level/hash-neutral by analysis, but "conf is behavior" by
+#       the guard's standard). Slots 13-18: the 5 code-stale queries +
+#       text_vocab_growth (its oracle population statement tightened
+#       this round per r10 ADVICE). Slots 19-50: oldest-green-first
+#       burn-down -- the complete r2 cohort (14, incl. the non-stale
+#       text_decontaminate: age ranks with staleness) + the 18 oldest
+#       r4 greens, so after r11 NO green predates r4. The 44 stale
+#       queries that do not fit (r5/r6 greens) are committed to
+#       PENDING_WINDOW below -- the guard accepts that backlog, warns
+#       on dead entries, and the r12 pin must rotate them in
+#       oldest-green-first (after r12 none predates r5, per the r10
+#       verdict's schedule).
 # ==========================================================================
 CORRECTNESS_WINDOW = [
-    # 1-12: reference parity block (SURVEY §2 contract, every round)
+    # 1-12: reference parity block (SURVEY §2 contract)
     "flagship_pipeline",
     "route_enriched",
     "route_invalid",
@@ -1705,64 +1725,106 @@ CORRECTNESS_WINDOW = [
     "crud_append",
     "crud_delete",
     "crud_upsert",
-    # 13-26: the ANN/embedding family -- index membership now requires a
-    # non-NULL vec_id (is_index_member: shared by load_clean_embeddings,
-    # both streaming ingest gates, and EMB_CLEAN_WHERE in every oracle)
-    "ann_topk_bruteforce",
-    "ann_topk_lsh",
-    "ann_topk_multiprobe",
-    "ann_topk_quantized",
-    "ann_ivf_assignments",
-    "ann_ivf_topk",
-    "ann_ivf_topk_trained",
-    "ann_kmeans_train",
-    "ann_pq_train",
-    "ann_topk_pq",
-    "dedup_embedding_cosine",
-    "dedup_embedding_cosine_capped",
-    "dedup_semantic",
-    "embedding_pca_power",
-    # 27-31: temporal joins -- NULL-ts/NULL-user right rows gated out of
-    # the window carry; DuckDB-ASOF NULL-comparability worked around in
-    # the oracles; explode_outer keeps NULL-ts signups; salt coalesced
-    "join_asof_events",
-    "join_asof_tolerance",
-    "join_asof_nearest",
-    "join_range_events",
-    "join_salted_skew",
-    # 32-43: the event-time family -- the strict time-axis ops exclude
-    # NULL instants on both sides (matching the streaming twins); the
-    # window()-family oracles state Spark's documented NULL-drop; the
-    # dedup oracle materializes its bucket (DuckDB racy-window bug)
-    "events_autocorr",
-    "events_cusum",
-    "events_holt_forecast",
-    "events_drawdown",
-    "events_runs_test",
-    "events_streaks",
-    "events_gapfill",
-    "events_dedup",
-    "events_session",
-    "events_tumbling",
-    "events_sliding",
-    "pipeline_events_health",
-    # 44-46: phantom-group fixes (NULL user / NULL basket keys) and the
-    # doc_id-axis gate
-    "events_type_overlap",
-    "basket_part_pairs",
+    # 13-18: code-stale (operator/oracle changed since own green), oldest-green-first
+    "events_rollup_cascade",
+    "text_ann_topk",
+    "events_chi2_independence",
+    "pipeline_quality_gate",
+    "events_funnel_timing",
     "text_vocab_growth",
-    # 47-50: oldest-green-first (VERDICT r9 item 1): the last r1-latest
-    # greens in the repo
-    "join_waiting_supplier",
-    "agg_important_parts",
-    "join_excess_shippers",
-    "profile_documents",
+    # 19-50: stale burn-down + regression watch, oldest-green-first
+    "text_decontaminate",
+    "text_token_count",
+    "text_quality_score",
+    "text_fingerprint",
+    "text_pii_scrub",
+    "text_chunk",
+    "text_repetition",
+    "text_term_df",
+    "text_unigram_logprob",
+    "text_heavy_hitters",
+    "text_pack_sequences",
+    "sample_stratified",
+    "sample_weighted_mix",
+    "agg_priority_line_counts",
+    "text_bigram_logprob",
+    "text_quality_classifier",
+    "sample_temperature",
+    "docs_shuffle_shard",
+    "text_domain_mix",
+    "pipeline_curate_shard",
+    "events_props_metrics",
+    "events_value_percentiles",
+    "events_rolling_zscore",
+    "events_interarrival",
+    "events_cohort_retention",
+    "events_pivot_activity",
+    "events_running_value",
+    "events_props_variant",
+    "join_full_outer_user_days",
+    "text_decontaminate_attribution",
+    "gen_orders",
+    "json_parse_orders",
 ]
 
-#: Oracle-backed queries still without a driver row: none -- as of r7
-#: every one of the 208 registry entries carries oracle SQL and is
-#: window-eligible.
-PENDING_WINDOW = []
+#: Committed stale burn-down backlog (r11+): queries whose behavior
+#: closure changed since their OWN last green round (per
+#: scratch/stale_green_guard.py's per-query baselines -- here, the
+#: r7-era session._RUNTIME_CONFS conf edit reaching every pre-r7 green)
+#: but which do not fit this round's 50-slot window. The guard accepts
+#: this backlog instead of exiting 1, warns on entries that stop being
+#: stale, and the next round's pin MUST rotate it in oldest-green-first
+#: -- the list may only shrink.
+PENDING_WINDOW = [
+    # committed stale burn-down backlog: rotates in oldest-green-first
+    "crud_forget",  # last green r5
+    "events_markov",  # last green r5
+    "events_attribution",  # last green r5
+    "events_histogram",  # last green r5
+    "events_histogram_equidepth",  # last green r5
+    "events_seasonality",  # last green r5
+    "events_rolling_wau",  # last green r5
+    "events_markov_entropy",  # last green r5
+    "sketch_count_min",  # last green r5
+    "events_seasonal_anomaly",  # last green r5
+    "events_rolling_time_window",  # last green r5
+    "events_sax_words",  # last green r5
+    "events_cep_match",  # last green r5
+    "text_dup_span_scrub",  # last green r6
+    "dedup_incremental",  # last green r6
+    "snapshot_diff",  # last green r6
+    "events_late_audit",  # last green r6
+    "profile_drift",  # last green r6
+    "pack_efficiency",  # last green r6
+    "text_bm25_topk",  # last green r6
+    "sample_dsir",  # last green r6
+    "orc_roundtrip_orders",  # last green r6
+    "dedup_containment",  # last green r6
+    "window_customer_quartiles",  # last green r6
+    "dedup_stats_by_source",  # last green r6
+    "text_source_divergence",  # last green r6
+    "quality_report",  # last green r6
+    "join_fuzzy_names",  # last green r6
+    "privacy_k_anonymity",  # last green r6
+    "privacy_l_diversity",  # last green r6
+    "text_collocations",  # last green r6
+    "text_bpe_train",  # last green r6
+    "text_bpe_encode",  # last green r6
+    "quality_benford",  # last green r6
+    "profile_key_skew",  # last green r6
+    "agg_rfm_segments",  # last green r6
+    "agg_revenue_concentration",  # last green r6
+    "orders_backlog",  # last green r6
+    "text_char_entropy",  # last green r6
+    "text_source_jsd",  # last green r6
+    "agg_discount_elasticity",  # last green r6
+    "agg_abc_parts",  # last green r6
+    "text_zipf_fit",  # last green r6
+    "profile_correlations",  # last green r6
+    "agg_ship_latency_monthly",  # last green r6
+    "join_interval_stab",  # last green r6
+    "sample_budget_waterfill",  # last green r6
+]
 
 assert len(CORRECTNESS_WINDOW) == 50, len(CORRECTNESS_WINDOW)
 assert len(set(CORRECTNESS_WINDOW)) == 50
