@@ -1831,3 +1831,6 @@ assert len(set(CORRECTNESS_WINDOW)) == 50
 _missing = [n for n in CORRECTNESS_WINDOW if n not in _REGISTRY]
 assert not _missing, f"window names not registered: {_missing}"
 assert not set(PENDING_WINDOW) & set(CORRECTNESS_WINDOW)
+assert len(set(PENDING_WINDOW)) == len(PENDING_WINDOW)
+_missing = [n for n in PENDING_WINDOW if n not in _REGISTRY]
+assert not _missing, f"backlog names not registered: {_missing}"
