@@ -22,6 +22,18 @@ spark = get_spark("census")
 spark.sparkContext.setLogLevel("ERROR")
 spark.read.parquet(os.path.join(sf_dir, "events.parquet")).count()  # warm
 
+# Optional full JIT warm lap at sf0.001 (WARM_LAP=1): the r11 mover
+# adjudication showed the FIRST queries of a sorted pass pay the fresh
+# session's C2/codegen cold-start (agg_abc_parts read ~6-11 s cold vs
+# 1.8 s deep-warm). Default OFF so totals stay comparable to the
+# r7-r11 protocol; flip it on if a round re-baselines the composite.
+if os.environ.get("WARM_LAP") == "1":
+    for _name, _q in sorted(registry().items()):
+        try:
+            _q.fn(spark, "/root/testdata/sf0.001").collect()
+        except Exception:
+            pass
+
 times: dict[str, float] = {}
 t_all = time.time()
 # FIXED sorted order, not registry order: the registry head is the
