@@ -1690,7 +1690,7 @@ register(
 #       remaining r2-era greens from the verdict's 19-name list were
 #       crowded out by the changed set (the stale-green rule outranks
 #       the rotation, as in r9) and head the r11 window.
-#   r11 (THIS window): per-query-baseline guard round (VERDICT r10
+#   r11: per-query-baseline guard round (VERDICT r10
 #       item 2) -- scratch/stale_green_guard.py now diffs each query's
 #       behavior closure against the artifact commit of its OWN latest
 #       green round, not just one round back. Its first run confirmed
@@ -1710,6 +1710,18 @@ register(
 #       on dead entries, and the r12 pin must rotate them in
 #       oldest-green-first (after r12 none predates r5, per the r10
 #       verdict's schedule).
+#   r12 (THIS window): backlog burn-down #1 of 2 (VERDICT r11 item 1).
+#       Slots 13-50 are EXACTLY scratch/next_window.py's rotation
+#       dry-run output on the r11 artifacts (oldest-green-first):
+#       json_order_collection (the lone r4 green -- after r12 no driver
+#       green predates r5), the 13 r5-era conf-stale queries, then the
+#       20 oldest r6 greens (conf-stale queries interleaved with the
+#       four non-stale-but-old r4/r5 pipeline/fuzzy queries
+#       pipeline_export_packed / pipeline_corpus_report /
+#       pipeline_orders_ops_report / text_decontaminate_fuzzy: age
+#       ranks with staleness). The 14 r6 greens that do not fit stay in
+#       PENDING_WINDOW (backlog 47 -> 14) and rotate in r13, closing
+#       the r7 runtime-conf debt entirely (guard prints 0 stale).
 # ==========================================================================
 CORRECTNESS_WINDOW = [
     # 1-12: reference parity block (SURVEY §2 contract)
@@ -1725,46 +1737,45 @@ CORRECTNESS_WINDOW = [
     "crud_append",
     "crud_delete",
     "crud_upsert",
-    # 13-18: code-stale (operator/oracle changed since own green), oldest-green-first
-    "events_rollup_cascade",
-    "text_ann_topk",
-    "events_chi2_independence",
-    "pipeline_quality_gate",
-    "events_funnel_timing",
-    "text_vocab_growth",
-    # 19-50: stale burn-down + regression watch, oldest-green-first
-    "text_decontaminate",
-    "text_token_count",
-    "text_quality_score",
-    "text_fingerprint",
-    "text_pii_scrub",
-    "text_chunk",
-    "text_repetition",
-    "text_term_df",
-    "text_unigram_logprob",
-    "text_heavy_hitters",
-    "text_pack_sequences",
-    "sample_stratified",
-    "sample_weighted_mix",
-    "agg_priority_line_counts",
-    "text_bigram_logprob",
-    "text_quality_classifier",
-    "sample_temperature",
-    "docs_shuffle_shard",
-    "text_domain_mix",
-    "pipeline_curate_shard",
-    "events_props_metrics",
-    "events_value_percentiles",
-    "events_rolling_zscore",
-    "events_interarrival",
-    "events_cohort_retention",
-    "events_pivot_activity",
-    "events_running_value",
-    "events_props_variant",
-    "join_full_outer_user_days",
-    "text_decontaminate_attribution",
-    "gen_orders",
-    "json_parse_orders",
+    # 13-50: stale burn-down + regression watch, oldest-green-first
+    "json_order_collection",
+    "crud_forget",
+    "pipeline_export_packed",
+    "events_markov",
+    "events_attribution",
+    "events_histogram",
+    "events_histogram_equidepth",
+    "pipeline_corpus_report",
+    "events_seasonality",
+    "events_rolling_wau",
+    "events_markov_entropy",
+    "sketch_count_min",
+    "events_seasonal_anomaly",
+    "events_rolling_time_window",
+    "pipeline_orders_ops_report",
+    "events_sax_words",
+    "events_cep_match",
+    "text_dup_span_scrub",
+    "dedup_incremental",
+    "snapshot_diff",
+    "events_late_audit",
+    "text_decontaminate_fuzzy",
+    "profile_drift",
+    "pack_efficiency",
+    "text_bm25_topk",
+    "sample_dsir",
+    "orc_roundtrip_orders",
+    "dedup_containment",
+    "window_customer_quartiles",
+    "dedup_stats_by_source",
+    "text_source_divergence",
+    "quality_report",
+    "join_fuzzy_names",
+    "privacy_k_anonymity",
+    "privacy_l_diversity",
+    "text_collocations",
+    "text_bpe_train",
+    "text_bpe_encode",
 ]
 
 #: Committed stale burn-down backlog (r11+): queries whose behavior
@@ -1777,39 +1788,6 @@ CORRECTNESS_WINDOW = [
 #: -- the list may only shrink.
 PENDING_WINDOW = [
     # committed stale burn-down backlog: rotates in oldest-green-first
-    "crud_forget",  # last green r5
-    "events_markov",  # last green r5
-    "events_attribution",  # last green r5
-    "events_histogram",  # last green r5
-    "events_histogram_equidepth",  # last green r5
-    "events_seasonality",  # last green r5
-    "events_rolling_wau",  # last green r5
-    "events_markov_entropy",  # last green r5
-    "sketch_count_min",  # last green r5
-    "events_seasonal_anomaly",  # last green r5
-    "events_rolling_time_window",  # last green r5
-    "events_sax_words",  # last green r5
-    "events_cep_match",  # last green r5
-    "text_dup_span_scrub",  # last green r6
-    "dedup_incremental",  # last green r6
-    "snapshot_diff",  # last green r6
-    "events_late_audit",  # last green r6
-    "profile_drift",  # last green r6
-    "pack_efficiency",  # last green r6
-    "text_bm25_topk",  # last green r6
-    "sample_dsir",  # last green r6
-    "orc_roundtrip_orders",  # last green r6
-    "dedup_containment",  # last green r6
-    "window_customer_quartiles",  # last green r6
-    "dedup_stats_by_source",  # last green r6
-    "text_source_divergence",  # last green r6
-    "quality_report",  # last green r6
-    "join_fuzzy_names",  # last green r6
-    "privacy_k_anonymity",  # last green r6
-    "privacy_l_diversity",  # last green r6
-    "text_collocations",  # last green r6
-    "text_bpe_train",  # last green r6
-    "text_bpe_encode",  # last green r6
     "quality_benford",  # last green r6
     "profile_key_skew",  # last green r6
     "agg_rfm_segments",  # last green r6
