@@ -1,14 +1,19 @@
 """End-to-end self-test for scratch/stale_green_guard.py (r11).
 
-The guard is the round's proof-freshness linchpin, so its two
-load-bearing behaviors get an executable check against REAL git
-history, in a throwaway worktree (scratch/selftest_wt, gitignored):
+The guard is the round's proof-freshness linchpin, so its load-bearing
+behaviors get executable checks against REAL git history, in a
+throwaway worktree (scratch/selftest_wt, gitignored):
 
   1. MUTATION: edit one operator definition in the worktree and assert
      the guard exits 1 naming a query that reaches it -- i.e. a code
-     edit to a green query's closure cannot land without a window or
-     backlog slot.
-  2. ROTATION DRY-RUN: write a synthetic CORRECTNESS_r99.json marking
+     edit to a green query's closure cannot land without a window slot.
+  2. BACKLOG CODE-STALE (r12): edit a definition reaching a
+     PENDING_WINDOW query and assert the guard exits 1 -- the backlog
+     absorbs only conf-closure staleness, never a real code change.
+  3. NO-BASELINE ACCOUNTING (r12): a query whose latest green round has
+     no artifact commit yet must still seed the unreachable-WARN
+     accounting (no false 'reachable from no registry query' WARNs).
+  4. ROTATION DRY-RUN: write a synthetic CORRECTNESS_r99.json marking
      the current window green (and commit it, so the artifact commit
      exists), then assert next_window.py's proposed next window rotates
      the committed backlog in oldest-green-first and the new backlog
@@ -71,15 +76,24 @@ def check_mutation() -> None:
     print("  PASS  mutation: SKEW_SALT edit -> exit 1 naming join_salted_skew")
 
 
+def worktree_windows() -> tuple[list[str], list[str]]:
+    """The worktree registry's (CORRECTNESS_WINDOW, PENDING_WINDOW), read
+    in a subprocess so the parent's sys.path / module cache stay intact
+    (r11 ADVICE item 4: the old in-process import permanently redirected
+    the parent's registry to the worktree)."""
+    r = sh(
+        WT, sys.executable, "-c",
+        "import json; from streamprocessing_with_kafka_spark.plans."
+        "registry import CORRECTNESS_WINDOW, PENDING_WINDOW; "
+        "print(json.dumps([CORRECTNESS_WINDOW, PENDING_WINDOW]))",
+    )
+    window, backlog = json.loads(r.stdout)
+    return window, backlog
+
+
 def check_rotation_dry_run() -> None:
     fresh_worktree()
-    sys.path.insert(0, WT)
-    for m in [k for k in sys.modules if k.startswith(PKG)]:
-        del sys.modules[m]
-    from streamprocessing_with_kafka_spark.plans.registry import (  # noqa: E402
-        CORRECTNESS_WINDOW,
-        PENDING_WINDOW,
-    )
+    CORRECTNESS_WINDOW, PENDING_WINDOW = worktree_windows()
 
     # synthetic r99: the driver greens the whole current window
     green = {
@@ -116,10 +130,71 @@ def check_rotation_dry_run() -> None:
           f"{len(nxt_backlog)}")
 
 
+def check_backlog_code_stale() -> None:
+    """r11 ADVICE item 1: a REAL operator edit reaching a PENDING_WINDOW
+    query must FAIL the guard -- the backlog only absorbs conf-closure
+    staleness, never a code change."""
+    fresh_worktree()
+    _window, backlog = worktree_windows()
+    assert "agg_abc_parts" in backlog, (
+        "this check mutates agg_abc_parts's closure; re-target it if the "
+        f"query left the backlog: {backlog}"
+    )
+    path = os.path.join(WT, PKG, "operators", "analytics.py")
+    src = open(path).read()
+    assert "ABC_BUCKETS = 32" in src
+    open(path, "w").write(src.replace("ABC_BUCKETS = 32", "ABC_BUCKETS = 64"))
+
+    rc, out = run_guard(WT)
+    assert rc == 1, f"code edit to a backlog query must FAIL the guard:\n{out}"
+    assert "agg_abc_parts" in out and "BACKLOG CODE-STALE" in out, (
+        f"the failure must name the backlog query as code-stale:\n{out}"
+    )
+    print("  PASS  backlog code-stale: ABC_BUCKETS edit -> exit 1 naming "
+          "agg_abc_parts (backlog cannot absorb code changes)")
+
+
+def check_no_baseline_false_warn() -> None:
+    """r11 VERDICT item 5: a query whose latest green round has NO
+    artifact commit yet (post-driver / pre-commit) must still seed the
+    unreachable-WARN accounting -- the old guard skipped it, falsely
+    reporting nodes only it reaches as 'reachable from no registry
+    query' (seen live on text.VOCAB_GROWTH_SQL at r11 close)."""
+    fresh_worktree()
+    # change a node reached by join_salted_skew...
+    path = os.path.join(WT, PKG, "operators", "joins.py")
+    src = open(path).read()
+    assert "SKEW_SALT = 8" in src
+    open(path, "w").write(src.replace("SKEW_SALT = 8", "SKEW_SALT = 16"))
+    # ...and make an UNCOMMITTED r99 green its latest green round
+    with open(os.path.join(WT, "CORRECTNESS_r99.json"), "w") as f:
+        json.dump({"join_salted_skew": {
+            "rows_match": True, "schema_match": True, "hash_match": True,
+            "spark_rows": 1, "oracle_rows": 1, "err": None}}, f)
+
+    rc, out = run_guard(WT)
+    # the query correctly needs a fresh trustworthy green (exit 1)...
+    assert rc == 1 and "join_salted_skew" in out, (
+        f"uncommitted-green query with changed closure must still fail:\n{out}"
+    )
+    # ...but its nodes must NOT be reported as reachable from no query
+    false_warns = [
+        ln for ln in out.splitlines()
+        if "reachable from no registry query" in ln and "SKEW_SALT" in ln
+    ]
+    assert not false_warns, (
+        f"never-green queries must still seed reached_latest:\n{false_warns}"
+    )
+    print("  PASS  no-baseline accounting: uncommitted r99 green -> no "
+          "false unreachable-WARN for SKEW_SALT")
+
+
 def main() -> None:
     print("guard self-test:")
     try:
         check_mutation()
+        check_backlog_code_stale()
+        check_no_baseline_false_warn()
         check_rotation_dry_run()
     finally:
         sh(REPO, "git", "worktree", "remove", "--force", WT, check=False)

@@ -36,7 +36,10 @@ never flagged when only similarity.py changed]):
      its oracle-SQL constant (recovered from registry.py's register()
      calls).  A query is STALE iff its closure touches a node changed
      since ITS OWN baseline and it is not in the CURRENT
-     CORRECTNESS_WINDOW.  Exit 1 listing the offenders.
+     CORRECTNESS_WINDOW.  Exit 1 listing the offenders.  PENDING_WINDOW
+     (the committed conf-staleness burn-down backlog) excuses only
+     CONF-closure staleness: a backlog query with a REAL operator or
+     oracle change since its own green also exits 1 (r12).
   4. Changed definitions reachable from NO registry query (streaming
      twins, shared infra) are reported as WARN against the most recent
      baseline: cover via pytest + scratch/drive_driver.py, not window
@@ -279,7 +282,8 @@ def sql_seeds(
                         print(
                             f"  WARN  {qname}: unresolvable seed "
                             f"{root}.{sub.attr} ({full}) -- fix the "
-                            "guard before trusting this round's output"
+                            "guard before trusting this round's output",
+                            file=sys.stderr,
                         )
         out[qname] = seeds
     return out
@@ -339,11 +343,19 @@ def compute_staleness() -> dict:
         sha = artifact_commit(rnd)
         if sha is None:
             print(f"  WARN  round {rnd} has green rows but no artifact "
-                  "commit found -- treating its queries as never-green")
+                  "commit found -- treating its queries as never-green",
+                  file=sys.stderr)
             continue
         base_ref[rnd] = sha
+    if not base_ref:
+        print("  WARN  no green round has a committed artifact -- every "
+              "query needs its FIRST trustworthy driver row", file=sys.stderr)
+        out["fresh_needed"] = {n: [] for n in _REGISTRY}
+        out["code_stale"] = set(_REGISTRY)
+        return out
     print("per-round baselines: " + ", ".join(
-        f"r{r}={base_ref[r][:10]}" for r in sorted(base_ref)))
+        f"r{r}={base_ref[r][:10]}" for r in sorted(base_ref)),
+        file=sys.stderr)
 
     new = load_tree(None)
     trees: dict[int, dict[str, ModuleDefs]] = {}
@@ -357,6 +369,14 @@ def compute_staleness() -> dict:
     reached_latest: set[tuple[str, str]] = set()
     for name, q in _REGISTRY.items():
         seeds = {(q.fn.__module__, q.fn.__name__)} | reg_seeds.get(name, set())
+        # the unreachable-WARN accounting uses the LATEST baseline so it
+        # mirrors the old one-round guard's report. Accumulated for EVERY
+        # query -- including never-green ones (r11 verdict item 5: a query
+        # whose green round has no artifact commit yet, e.g. post-driver /
+        # pre-artifact-commit, still REACHES its nodes; skipping it here
+        # falsely reported those nodes as reachable from no registry query)
+        reached_latest |= (closure(new, seeds) | closure(trees[latest], seeds)
+                           ) & changed[latest]
         rnd = greens.get(name)
         if rnd is None or rnd not in base_ref:
             out["fresh_needed"][name] = []  # needs its FIRST driver row
@@ -365,10 +385,6 @@ def compute_staleness() -> dict:
         old = trees[rnd]
         cl = closure(new, seeds) | closure(old, seeds)
         hit = cl & changed[rnd]
-        # the unreachable-WARN accounting uses the LATEST baseline so it
-        # mirrors the old one-round guard's report
-        reached_latest |= (closure(new, seeds) | closure(trees[latest], seeds)
-                           ) & changed[latest]
         if hit:
             out["fresh_needed"][name] = sorted(hit)
             if any(not mod.endswith(".session") for mod, _ in hit):
@@ -401,6 +417,26 @@ def main() -> None:
     dead = backlog - set(fresh)
     for name in sorted(dead):
         print(f"  WARN  PENDING_WINDOW entry not stale -- remove: {name}")
+
+    # the committed backlog may only absorb CONF-closure staleness (the
+    # r7 runtime-conf debt being burned down); a REAL operator/oracle
+    # edit to a backlog query's closure must take a window slot like any
+    # other code change (r11 ADVICE item 1 -- without this, a code edit
+    # to a backlog query would be silently accepted until rotation)
+    backlog_code_stale = {
+        n: fresh[n] for n in (st["code_stale"] & backlog) - window
+        if _REGISTRY[n].sql is not None
+    }
+    if backlog_code_stale:
+        print(f"\nBACKLOG CODE-STALE ({len(backlog_code_stale)}): queries "
+              "in PENDING_WINDOW whose closure has a REAL operator/oracle "
+              "change (not just the conf closure) since their own last "
+              "green -- the backlog cannot absorb these; give them a "
+              "window slot:")
+        for name, hits in sorted(backlog_code_stale.items()):
+            via = f"{hits[0][0]}.{hits[0][1]}" if hits else "<no green row yet>"
+            print(f"  {name}  (via {via})")
+        sys.exit(1)
 
     stale = {
         n: hits for n, hits in fresh.items()
