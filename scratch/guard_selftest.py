@@ -115,12 +115,17 @@ def check_rotation_dry_run() -> None:
     nxt_backlog = re.findall(r'"([a-z0-9_]+)"', m2.group(1))
 
     rotation = [n for n in nxt[12:] if n in set(PENDING_WINDOW)]
-    assert len(rotation) >= 30, (
+    # every committed backlog entry that FITS (38 non-parity slots) must
+    # rotate in; once the backlog is smaller than the window's free
+    # slots, ALL of it rotates and the proposed backlog empties
+    expected = min(len(PENDING_WINDOW), len(nxt) - 12)
+    assert len(rotation) >= expected, (
         f"the proposed next window must rotate the committed backlog in; "
-        f"only {len(rotation)} of 38 slots came from it:\n{nxt[12:]}"
+        f"only {len(rotation)} of {expected} came from it:\n{nxt[12:]}"
     )
-    assert len(nxt_backlog) < len(PENDING_WINDOW), (
-        f"the backlog must SHRINK: {len(PENDING_WINDOW)} -> {len(nxt_backlog)}"
+    assert len(nxt_backlog) <= max(0, len(PENDING_WINDOW) - expected), (
+        f"the backlog must SHRINK by the rotated count: "
+        f"{len(PENDING_WINDOW)} -> {len(nxt_backlog)}"
     )
     assert not set(nxt_backlog) - set(PENDING_WINDOW), (
         "no NEW names may enter the backlog from a green-only round"
