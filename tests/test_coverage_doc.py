@@ -58,23 +58,23 @@ def test_driver_correctness_window_matches_budget():
         window[:12]
     )
     for name in (
-        # r11 window (VERDICT r10 items 1+3): slots 13-18 are the five
-        # code-stale queries the judge hand-found (operator/oracle
-        # changed r6-r8 after their last driver green, before the guard
-        # existed) plus text_vocab_growth (oracle population statement
-        # tightened this round); slots 19-50 burn the complete r2
-        # cohort + the 18 oldest r4 greens. The guard (now per-query
-        # baselines) is the exhaustive check; spot-pin the heads here.
-        "events_rollup_cascade",  # code-stale: r6 NULL hardening post-green
-        "text_ann_topk",  # code-stale: TEXT_ANN_TOPK_SQL changed post-green
-        "events_chi2_independence",  # code-stale: chi2_type_hour changed
-        "events_funnel_timing",  # code-stale: funnel_timing changed
-        "pipeline_quality_gate",  # code-stale: quality_gate/_ratio changed
-        "text_vocab_growth",  # oracle text-IS-NOT-NULL population statement
-        "text_decontaminate",  # r2-cohort burn-down (oldest green)
-        "text_token_count",  # r2-cohort burn-down
-        "sample_stratified",  # r2-cohort burn-down
-        "json_parse_orders",  # oldest-r4 burn-down tail
+        # r12 window (VERDICT r11 item 1): backlog burn-down #1 of 2 --
+        # slots 13-50 are exactly scratch/next_window.py's rotation
+        # dry-run on the r11 artifacts, oldest-green-first: the lone r4
+        # green, the 13 r5-era conf-stale queries, and the 20 oldest r6
+        # greens (age-interleaved with four non-stale-but-old r4/r5
+        # queries). The guard is the exhaustive check; spot-pin heads,
+        # middles, and the tail here.
+        "json_order_collection",  # the lone r4 green (slot 13)
+        "crud_forget",  # oldest r5 conf-stale
+        "events_markov",  # r5 conf-stale
+        "sketch_count_min",  # r5 conf-stale
+        "events_cep_match",  # last of the r5 cohort
+        "text_dup_span_scrub",  # oldest r6 conf-stale
+        "dedup_incremental",  # r6 conf-stale
+        "text_decontaminate_fuzzy",  # non-stale-but-old, age-interleaved
+        "privacy_k_anonymity",  # r6 conf-stale
+        "text_bpe_encode",  # burn-down tail (slot 50)
     ):
         assert name in window, name
 

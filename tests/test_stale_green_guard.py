@@ -128,9 +128,12 @@ def test_guard_runs_green_on_the_real_repo_state():
         text=True,
         cwd=os.path.dirname(os.path.dirname(_GUARD)),
     )
-    assert "baseline" in r.stdout or "nothing to guard" in r.stdout
+    # diagnostics (baselines, WARNs) go to STDERR since r12 so that
+    # next_window.py's paste-ready stdout stays clean
+    assert "baseline" in r.stderr or "nothing to guard" in r.stdout
     # a dead oracle-SQL seed would be a silent stale-green blind spot;
     # the guard prints it loudly and this pin keeps the repo clean of it
-    assert "unresolvable seed" not in r.stdout, r.stdout
+    assert "unresolvable seed" not in r.stdout + r.stderr, r.stdout + r.stderr
     if r.returncode != 0:
-        assert "STALE GREENS" in r.stdout  # failed for the right reason
+        # failed for one of the two right reasons
+        assert "STALE GREENS" in r.stdout or "BACKLOG CODE-STALE" in r.stdout
