@@ -2,7 +2,13 @@
 warm session (the r7 protocol -- single-pass numbers are noisy; treat
 isolated probes as the signal for any apparent mover).
 
-Usage: python scratch/run_census.py out.json   [SF_DIR=...]
+Since r12 the PRIMARY mode is WARM_LAP (a full sf0.001 JIT lap before
+timing): r11 validated that one warm-lap pass reproduces the 4-pass-min
+composite (422.5 vs 421.5) and collapses the sorted-order position
+artifacts (agg_abc_parts 2.8 vs 6-11 cold-first). Set COLD=1 for the
+legacy un-warmed pass, kept only for the r7-r11 back-comparison series.
+
+Usage: python scratch/run_census.py out.json   [SF_DIR=...] [COLD=1]
 """
 import json
 import os
@@ -22,12 +28,13 @@ spark = get_spark("census")
 spark.sparkContext.setLogLevel("ERROR")
 spark.read.parquet(os.path.join(sf_dir, "events.parquet")).count()  # warm
 
-# Optional full JIT warm lap at sf0.001 (WARM_LAP=1): the r11 mover
+# Full JIT warm lap at sf0.001 -- PRIMARY since r12: the r11 mover
 # adjudication showed the FIRST queries of a sorted pass pay the fresh
 # session's C2/codegen cold-start (agg_abc_parts read ~6-11 s cold vs
-# 1.8 s deep-warm). Default OFF so totals stay comparable to the
-# r7-r11 protocol; flip it on if a round re-baselines the composite.
-if os.environ.get("WARM_LAP") == "1":
+# 1.8 s deep-warm), and r11 validated one warm-lap pass == the
+# 4-pass-min composite. COLD=1 restores the legacy un-warmed pass for
+# the r7-r11 back-comparison series.
+if os.environ.get("COLD") != "1":
     for _name, _q in sorted(registry().items()):
         try:
             _q.fn(spark, "/root/testdata/sf0.001").collect()
