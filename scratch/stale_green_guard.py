@@ -434,7 +434,11 @@ def main() -> None:
               "green -- the backlog cannot absorb these; give them a "
               "window slot:")
         for name, hits in sorted(backlog_code_stale.items()):
-            via = f"{hits[0][0]}.{hits[0][1]}" if hits else "<no green row yet>"
+            # name the node that makes it CODE-stale (non-session), not
+            # whichever hit sorts first
+            real = [h for h in hits if not h[0].endswith(".session")]
+            via = (f"{real[0][0]}.{real[0][1]}" if real
+                   else "<no green row yet>")
             print(f"  {name}  (via {via})")
         sys.exit(1)
 
