@@ -58,6 +58,19 @@ def main() -> None:
     for t in TABLES:
         load_table(spark, sf_dir, t).write.format("noop").mode("overwrite").save()
 
+    # ... then one full warm lap at the BENCH SF (r12 measurement fix,
+    # documented in OPTIMIZATION_r12.md): HotSpot's C2 tier compiles the
+    # generated code only after enough invocations AT VOLUME, so a query
+    # whose hot loop first runs at sf0.1 pays a 2-3x JIT transient that
+    # one sf0.001 lap cannot absorb and min-of-3 sometimes fails to shed
+    # (r11/r12 evidence: text_decontaminate printed 4.7 s official vs a
+    # 1.4 s settled floor, converging only on its ~4th full-volume run).
+    # The timed protocol below is unchanged (min of 3 noop-sink runs);
+    # nothing is cached across runs -- every run still computes from the
+    # parquet inputs (the engine has no cross-run persists as of r12).
+    for q in bench_queries.values():
+        q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
     # min of 3 runs per query: the machine is shared, and a single run can
     # absorb a multi-second host-scheduling stall; the min is the faithful
     # measure of the plan itself (r2's n=2 left two sub-second deltas

@@ -164,8 +164,13 @@ SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
 
 
 def top_parts_by_revenue(spark: SparkSession, sf_dir: str, k: int = TOP_PARTS_K) -> DataFrame:
-    """Top-k fact-side aggregate joined to a broadcast dimension."""
-    li = load_table(spark, sf_dir, "lineitem")
+    """Top-k fact-side aggregate joined to a broadcast dimension.
+
+    rebalance=False: the fact side's only map work is a partial aggregate
+    that feeds its own (tiny, per-partkey) exchange -- the round-robin
+    fan-out exchange costs more than the single-split partial agg saves
+    (r12 A/B: 1.70s -> 1.02s at sf0.1)."""
+    li = load_table(spark, sf_dir, "lineitem", rebalance=False)
     p = load_table(spark, sf_dir, "part")
     rev = li.groupBy("l_partkey").agg(
         dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
@@ -206,7 +211,11 @@ def shipping_priority(spark: SparkSession, sf_dir: str, k: int = SHIPPING_PRIORI
     o = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1995-03-15 00:00:00").cast("timestamp")
     )
-    li = load_table(spark, sf_dir, "lineitem").filter(
+    # rebalance=False: the pushed-down shipdate filter plus the join's own
+    # exchange on l_orderkey make the pre-shuffle map work trivial; the
+    # rebalance exchange only added a second full-fact shuffle (r12 A/B:
+    # 1.45s -> 0.61s at sf0.1).
+    li = load_table(spark, sf_dir, "lineitem", rebalance=False).filter(
         F.col("l_shipdate") > F.lit("1995-03-15 00:00:00").cast("timestamp")
     )
     return (
@@ -496,7 +505,10 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1996-01-01 00:00:00").cast("timestamp"))
     )
-    li = load_table(spark, sf_dir, "lineitem")
+    # rebalance=False: lineitem's map side is broadcast probes feeding the
+    # single join exchange on l_orderkey -- no per-row work worth a
+    # fan-out exchange (r12 A/B: 1.21s -> 0.98s at sf0.1).
+    li = load_table(spark, sf_dir, "lineitem", rebalance=False)
     cn = (
         c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)

@@ -38,17 +38,32 @@ def decontaminate_docs(docs: DataFrame) -> DataFrame:
     JOIN the broadcast set (narrow, no shuffle), then ONE hash aggregate
     per doc_id counts total vs hit n-grams. The eval side is at most one
     distinct-aggregate of a sliver; the corpus-sized side shuffles only
-    for the per-doc count, on doc_id it is already partitioned by."""
-    grams = word_ngram_rows(docs, NGRAM_N).select(
-        "doc_id", md5_long(F.col("gram")).alias("gh")
-    )
+    for the per-doc count, on doc_id it is already partitioned by.
+
+    The eval/train split happens BEFORE the gram fan-out (the optimizer
+    would push the doc_id filters below it anyway, duplicating the
+    subtree per branch -- r12 plan audit), and only the TRAIN branch
+    pays the doc_id fan-out exchange: the final per-doc aggregate rides
+    that partitioning shuffle-free. The eval branch's next operation is
+    a distinct on gh, a different key, so pre-partitioning it by doc_id
+    bought nothing; its partial-distinct now runs on the scan partitions
+    and its exchange carries partially-deduped 8-byte gram hashes
+    instead of token arrays (r12: 5 exchanges -> 2 in the compiled
+    plan)."""
+    is_eval = F.col("doc_id") % EVAL_MOD == 0
+
+    def grams_of(d: DataFrame, repartition: bool) -> DataFrame:
+        return word_ngram_rows(d, NGRAM_N, repartition=repartition).select(
+            "doc_id", md5_long(F.col("gram")).alias("gh")
+        )
+
     bench = (
-        grams.filter(F.col("doc_id") % EVAL_MOD == 0)
+        grams_of(docs.filter(is_eval), repartition=False)
         .select("gh")
         .distinct()
         .withColumn("hit", F.lit(1))
     )
-    train = grams.filter(F.col("doc_id") % EVAL_MOD != 0)
+    train = grams_of(docs.filter(~is_eval), repartition=True)
     frac = F.col("n_hits") / F.col("n_ngrams").cast("double")
     return (
         train.join(F.broadcast(bench), "gh", "left")
@@ -68,10 +83,16 @@ def decontaminate_docs(docs: DataFrame) -> DataFrame:
 
 
 def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Registry entry point: decontaminate_docs over the documents table."""
+    """Registry entry point: decontaminate_docs over the documents table.
+
+    rebalance=False: the train branch repartitions by doc_id inside the
+    gram fan-out and the eval branch aggregates on gh -- the loader's
+    round-robin exchange was a third, redundant shuffle of the corpus."""
     from streamprocessing_with_kafka_spark.sources.tables import load_table
 
-    return decontaminate_docs(load_table(spark, sf_dir, "documents"))
+    return decontaminate_docs(
+        load_table(spark, sf_dir, "documents", rebalance=False)
+    )
 
 
 DECONTAMINATE_SQL = f"""
@@ -110,15 +131,20 @@ def decontaminate_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast for the containment denominator."""
     from streamprocessing_with_kafka_spark.sources.tables import load_table
 
-    docs = load_table(spark, sf_dir, "documents")
-    grams = word_ngram_rows(docs, NGRAM_N).select(
-        "doc_id", md5_long(F.col("gram")).alias("gh")
-    )
-    ev = grams.filter(F.col("doc_id") % EVAL_MOD == 0).select(
-        F.col("doc_id").alias("eval_doc_id"), "gh"
+    # Same branch discipline as decontaminate_docs (r12): split before the
+    # gram fan-out, fan-out exchange on the train branch only, loader
+    # rebalance off. The eval branch feeds two broadcasts (doc-tagged
+    # grams + per-doc totals); partitioning it by doc_id bought nothing.
+    docs = load_table(spark, sf_dir, "documents", rebalance=False)
+    is_eval = F.col("doc_id") % EVAL_MOD == 0
+    ev = word_ngram_rows(docs.filter(is_eval), NGRAM_N, repartition=False).select(
+        F.col("doc_id").alias("eval_doc_id"),
+        md5_long(F.col("gram")).alias("gh"),
     )
     evn = ev.groupBy("eval_doc_id").agg(F.count(F.lit(1)).alias("eval_ngrams"))
-    train = grams.filter(F.col("doc_id") % EVAL_MOD != 0)
+    train = word_ngram_rows(docs.filter(~is_eval), NGRAM_N).select(
+        "doc_id", md5_long(F.col("gram")).alias("gh")
+    )
     contain = F.col("shared_ngrams") / F.col("eval_ngrams").cast("double")
     return (
         train.join(F.broadcast(ev), "gh")

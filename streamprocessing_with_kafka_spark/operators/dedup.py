@@ -31,8 +31,6 @@ Scale design (the part that matters at 100 TB):
 
 from __future__ import annotations
 
-import threading
-
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from streamprocessing_with_kafka_spark.functions.lineage import free_local_checkpoint
@@ -77,7 +75,9 @@ FROM documents GROUP BY 1
 SHINGLE_N = 3
 
 
-def word_ngram_rows(docs: DataFrame, n: int, alias: str = "gram") -> DataFrame:
+def word_ngram_rows(
+    docs: DataFrame, n: int, alias: str = "gram", repartition: bool = True
+) -> DataFrame:
     """(doc_id, <alias>): each doc's DISTINCT word n-grams (docs with
     >= n tokens) over any frame with (doc_id, text) -- the shared
     fan-out under shingle dedup (n=3) and benchmark decontamination
@@ -92,11 +92,28 @@ def word_ngram_rows(docs: DataFrame, n: int, alias: str = "gram") -> DataFrame:
     into every element_at by projection collapse (measured 2x).
     Distinctness is decided on the gram STRING (pre-hash), so downstream
     hashing yields identical rows in Spark and the oracle even under a
-    hash collision."""
-    d = (
-        docs.select("doc_id", F.split("text", " ").alias("w"))
-        .repartition(docs.sparkSession.sparkContext.defaultParallelism, "doc_id")
-    )
+    hash collision.
+
+    repartition=False skips the fan-out exchange: consumers whose next
+    operation is itself an aggregate exchange on a DIFFERENT key (e.g.
+    the eval-side distinct-gram set in decontamination) gain nothing
+    from pre-partitioning by doc_id -- their partial aggregate runs on
+    the scan partitions and their own exchange moves far fewer bytes
+    than the token arrays this exchange would carry.
+
+    (r12 note: attaching the per-doc distinct-gram count here instead of
+    via the consumer-side count-window was tried and measured SLOWER in
+    both formulations -- explode(<expression>) strands size(<the whole
+    gram expression>) above the Generate via ExtractGenerator, paying
+    O(tokens^2) per doc, and explode(<bound attribute>) triggers
+    InferFiltersFromGenerate pushing two full gram-array computations
+    below the fan-out exchange. The window over the exploded rows rides
+    the doc_id partitioning and costs ~nothing at any scale.)"""
+    d = docs.select("doc_id", F.split("text", " ").alias("w"))
+    if repartition:
+        d = d.repartition(
+            docs.sparkSession.sparkContext.defaultParallelism, "doc_id"
+        )
     words = F.col("w")
     grams = F.array_distinct(
         F.transform(
@@ -112,9 +129,16 @@ def word_ngram_rows(docs: DataFrame, n: int, alias: str = "gram") -> DataFrame:
     )
 
 
-def word_ngrams(spark: SparkSession, sf_dir: str, n: int, alias: str = "gram") -> DataFrame:
-    """word_ngram_rows over the documents table."""
-    return word_ngram_rows(load_table(spark, sf_dir, "documents"), n, alias)
+def word_ngrams(
+    spark: SparkSession, sf_dir: str, n: int, alias: str = "gram"
+) -> DataFrame:
+    """word_ngram_rows over the documents table. rebalance=False: the
+    gram fan-out repartitions by doc_id itself, so the loader's
+    round-robin exchange would be an immediately-discarded extra shuffle
+    of the corpus (r12)."""
+    return word_ngram_rows(
+        load_table(spark, sf_dir, "documents", rebalance=False), n, alias
+    )
 
 
 def word_ngrams_sql(n: int, alias: str = "gram") -> str:
@@ -138,32 +162,12 @@ _SHINGLES_SQL = word_ngrams_sql(SHINGLE_N, alias="shingle")
 # ------------------------------------------------- n-gram Jaccard pairs
 
 
-#: one persisted shingle frame per (session, sf_dir) -- dedup queries that
-#: run back-to-back (bench, cluster keepers after pair queries) share the
-#: SAME cached DataFrame instead of re-persisting an identical plan, which
-#: both recomputes the explode and spams "Asked to cache already cached
-#: data" warnings from the racing persist requests.
-#:
-#: Bounded: oldest entries are unpersisted + evicted past _SHINGLE_CACHE_MAX
-#: so a long-lived session touching many sf_dirs cannot grow executor
-#: storage without bound. Staleness caveat: the cache assumes the parquet
-#: under sf_dir is immutable for the life of the session (true for the
-#: read-only testdata); a pipeline rewriting its input in place should
-#: call _SHINGLE_CACHE.clear() or use a fresh directory.
-_SHINGLE_CACHE: dict[tuple[str, str], DataFrame] = {}
-_SHINGLE_CACHE_MAX = 4
-#: guards get/insert/evict -- concurrent queries in one session would
-#: otherwise double-persist the same plan or unpersist a frame another
-#: thread is mid-query on (results stay correct via recompute, but the
-#: re-persist warnings the cache exists to prevent come back)
-_SHINGLE_CACHE_LOCK = threading.Lock()
-
-
 def _shingles_with_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Persisted (doc_id, _h, n): the doc's shingles as 60-bit hashes plus
-    its shingle-set size n, attached by a window so downstream joins carry
-    it along instead of re-deriving it through separate broadcast branches.
-    Memoized per (session, sf_dir).
+    """(doc_id, _h, n): the doc's shingles as 60-bit hashes plus its
+    shingle-set size n, attached by a window so downstream joins carry
+    it along instead of re-deriving it through separate broadcast
+    branches. Materialized ONCE PER INVOCATION via an eager
+    localCheckpoint.
 
     The shingle STRING never leaves this function: every consumer (pair
     blocking, signature mins, intersection counting) operates on the
@@ -173,51 +177,29 @@ def _shingles_with_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle (both compute the same md5), so parity is preserved by
     construction; at 2^-60 the effect on Jaccard itself is nil.
 
-    Why persist+count here: Spark launches broadcast-exchange subtrees as
-    concurrent jobs BEFORE the main stages run, so a not-yet-materialized
-    persist() under a broadcast branch gets recomputed once per branch in
-    parallel (measured 2-3x the shingle explode). One persisted frame that
-    already carries n has a single parent job, and the eager count()
-    materializes the cache before any consumer branches off. (Cluster
-    analog: checkpoint the exploded table before the self-join fan-out.)
-    """
+    Why materialize at all: Spark launches broadcast-exchange subtrees as
+    concurrent jobs BEFORE the main stages run, so a lazily-shared frame
+    under a broadcast branch gets recomputed once per branch in parallel
+    (measured 2-3x the shingle explode). One eager localCheckpoint gives
+    every consumer branch of THIS invocation the same materialized RDD.
+    (Cluster analog: checkpoint the exploded table before the self-join
+    fan-out.)
+
+    Why NOT persist()/a cross-call memo (which r1-r11 used): persist
+    registers the plan with the CacheManager, so a later identical
+    invocation -- e.g. the next timed run of a bench loop -- silently
+    reuses the first run's bytes instead of recomputing from parquet.
+    That misstates what a fresh run of the query costs. localCheckpoint
+    is keyed to the RDD of this call; every invocation recomputes, and
+    the superseded blocks are GC-reclaimed by the ContextCleaner."""
     from pyspark.sql import Window as W
 
-    def build() -> DataFrame:
-        return (
-            _shingles(spark, sf_dir)
-            .select("doc_id", md5_long(F.col("shingle")).alias("_h"))
-            .withColumn("n", F.count(F.lit(1)).over(W.partitionBy("doc_id")))
-        )
-
-    return _cached_persist(spark, sf_dir, "shingles", build)
-
-
-def _cached_persist(spark: SparkSession, sf_dir: str, tag: str, build) -> DataFrame:
-    """Bounded persisted-frame memo keyed (session, sf_dir, tag) -- the
-    shared machinery under the shingle cache and the simhash signature
-    cache (which previously persisted per CALL and never freed, leaking
-    executor storage across bench loops).
-
-    The whole check-build-materialize-insert sequence holds the lock:
-    materializing under it serializes first-touch per key but guarantees
-    concurrent queries share ONE persisted frame instead of racing
-    persist/unpersist on identical plans."""
-    key = (spark.sparkContext.applicationId, sf_dir, tag)
-    with _SHINGLE_CACHE_LOCK:
-        cached = _SHINGLE_CACHE.get(key)
-        if cached is not None:
-            return cached
-        df = build().persist()
-        df.count()  # materialize ONCE before dependent branches race
-        while len(_SHINGLE_CACHE) >= _SHINGLE_CACHE_MAX:
-            oldest = next(iter(_SHINGLE_CACHE))  # dicts iterate in insert order
-            try:
-                _SHINGLE_CACHE.pop(oldest).unpersist()
-            except Exception:
-                pass  # session of the evicted frame may already be stopped
-        _SHINGLE_CACHE[key] = df
-        return df
+    return (
+        _shingles(spark, sf_dir)
+        .select("doc_id", md5_long(F.col("shingle")).alias("_h"))
+        .withColumn("n", F.count(F.lit(1)).over(W.partitionBy("doc_id")))
+        .localCheckpoint()
+    )
 
 
 def jaccard_pairs_from_shingles(
@@ -605,12 +587,9 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     provably identical to the brute-force oracle; only the join strategy
     changed -- which is the whole 100 TB story.
     """
-    # memoized persist (bounded, evicting): the two join branches share
-    # one materialized frame, and repeated calls reuse it instead of
-    # stacking never-freed persists
-    sig = _cached_persist(
-        spark, sf_dir, "simhash_sig", lambda: simhash_signatures(spark, sf_dir)
-    )
+    # eager localCheckpoint: the two join branches share one materialized
+    # frame; per-invocation (no cross-run reuse -- see _shingles_with_count)
+    sig = simhash_signatures(spark, sf_dir).localCheckpoint()
     bits_per = (SIMHASH_BITS + SIMHASH_BLOCKS - 1) // SIMHASH_BLOCKS  # 9
     blocks = sig.select(
         "doc_id",

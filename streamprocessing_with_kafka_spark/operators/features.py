@@ -27,8 +27,6 @@ Scale design:
 
 from __future__ import annotations
 
-import threading
-
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from streamprocessing_with_kafka_spark.functions.hashing import md5_long, md5_long_sql
@@ -109,49 +107,34 @@ def slot_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return slot_weights_frame(load_table(spark, sf_dir, "documents"))
 
 
-#: one persisted slot frame per (session, sf_dir), same pattern and
-#: rationale as dedup._SHINGLE_CACHE: the ANN search references the slot
-#: frame from several join branches, and without a materialized frame each
-#: branch would recompute the whole featurizer pipeline (the r2 dense
-#: self-join paid it twice; four sparse branches would pay it four times).
-#: Cache assumes immutable parquet under sf_dir for the session lifetime.
-_SW_CACHE: dict[tuple[str, str], DataFrame] = {}
-_SW_CACHE_MAX = 4
-_SW_CACHE_LOCK = threading.Lock()
-
-
 def _slot_weights_with_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Persisted (doc_id, slot, wf, n2): sparse slot weights plus the
-    doc's squared L2 norm, attached by a window over the SAME doc_id
-    partitioning the featurizer already established (no extra shuffle,
-    and downstream joins carry the norm instead of re-deriving it through
-    a separate aggregate branch). The norm sum is an exact-decimal
-    accumulator, so it is partition-order independent."""
+    """(doc_id, slot, wf, n2): sparse slot weights plus the doc's squared
+    L2 norm, attached by a window over the SAME doc_id partitioning the
+    featurizer already established (no extra shuffle, and downstream
+    joins carry the norm instead of re-deriving it through a separate
+    aggregate branch). The norm sum is an exact-decimal accumulator, so
+    it is partition-order independent.
+
+    Materialized ONCE PER INVOCATION via an eager localCheckpoint: the
+    ANN search references the slot frame from several join branches, and
+    without a materialized frame each branch would recompute the whole
+    featurizer pipeline (the r2 dense self-join paid it twice; four
+    sparse branches would pay it four times). A persist()-backed
+    cross-call memo (r2-r11) is NOT used: the CacheManager keys persisted
+    plans, so a later identical invocation -- the next timed run of a
+    bench loop -- would silently reuse the first run's bytes instead of
+    recomputing from parquet (see dedup._shingles_with_count)."""
     from pyspark.sql import Window as W
 
-    key = (spark.sparkContext.applicationId, sf_dir)
-    with _SW_CACHE_LOCK:
-        cached = _SW_CACHE.get(key)
-        if cached is not None:
-            return cached
-        wf2 = (F.col("wf").cast("double") * F.col("wf").cast("double")).cast(
-            "decimal(28,10)"
-        )
-        sw = (
-            slot_weights(spark, sf_dir)
-            .filter(F.col("wf") != 0)
-            .withColumn("n2", F.sum(wf2).over(W.partitionBy("doc_id")).cast("double"))
-            .persist()
-        )
-        sw.count()  # materialize ONCE before dependent branches race
-        while len(_SW_CACHE) >= _SW_CACHE_MAX:
-            oldest = next(iter(_SW_CACHE))
-            try:
-                _SW_CACHE.pop(oldest).unpersist()
-            except Exception:
-                pass  # session of the evicted frame may already be stopped
-        _SW_CACHE[key] = sw
-        return sw
+    wf2 = (F.col("wf").cast("double") * F.col("wf").cast("double")).cast(
+        "decimal(28,10)"
+    )
+    return (
+        slot_weights(spark, sf_dir)
+        .filter(F.col("wf") != 0)
+        .withColumn("n2", F.sum(wf2).over(W.partitionBy("doc_id")).cast("double"))
+        .localCheckpoint()
+    )
 
 
 _W_SQL = (

@@ -126,7 +126,10 @@ def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier").join(
         F.broadcast(n_supp), F.col("s_nationkey") == F.col("sn_key")
     )
-    li = load_table(spark, sf_dir, "lineitem")
+    # rebalance=False: lineitem feeds a broadcast probe (part) and then
+    # the join exchange on l_orderkey; the round-robin fan-out exchange
+    # duplicated that full-fact shuffle (r12 A/B: 1.64s -> 1.28s at sf0.1).
+    li = load_table(spark, sf_dir, "lineitem", rebalance=False)
     o = (
         load_table(spark, sf_dir, "orders")
         .filter(

@@ -43,7 +43,9 @@ def _parquet_layout(path: str) -> tuple[int, int]:
         return 0, 1 << 30
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, rebalance: bool | None = None
+) -> DataFrame:
     ensure_runtime_confs(spark)
     path = f"{sf_dir}/{name}.parquet"
     df = spark.read.parquet(path)
@@ -61,10 +63,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # numeric rows the exchange overhead exceeds the map gain until a few
     # hundred thousand rows. At lake scale inputs carry thousands of row
     # groups and this branch never fires.
+    #
+    # `rebalance` overrides the heuristic per call site: queries whose
+    # per-row map work is light (a pushed-down filter plus a partial
+    # aggregate or a join probe feeding their OWN exchange) pay more for
+    # the extra round-robin exchange (plus its retry-determinism local
+    # sort, SPARK-23207) than the map-side parallelism returns -- for
+    # those, pass rebalance=False and let the downstream shuffle or
+    # broadcast do the fan-out. Pure full-scan aggregates with heavy
+    # per-row expression work (decimal sums, regex) keep the default.
+    if rebalance is False:
+        return df
     rows, rgs = _parquet_layout(path)
     cores = spark.sparkContext.defaultParallelism
     threshold = 4096 if name in ("documents", "embeddings") else 200_000
-    if rows >= threshold and rgs < cores:
+    if rebalance or (rows >= threshold and rgs < cores):
         df = df.repartition(cores)
     return df
 

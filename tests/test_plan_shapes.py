@@ -325,18 +325,22 @@ def _n_distinct_shuffles(plan: str) -> int:
 
 def test_text_ann_topk_scores_on_one_partitioning(spark, sf_dir):
     """The sparse term-at-a-time rewrite (r3): featurizer paid ONCE via
-    the persisted slot frame, probe side broadcast, dot-product aggregate
-    riding the cached doc_id partitioning, one window exchange on q_id.
-    Executed shuffle budget: featurizer 3 (doc repartition, vocab df,
-    corpus-count singleton) + 1 window = 4; r2's dense self-join compiled
-    to 9. Pin <= 5 so a regression back to per-branch featurization
-    (which doubles the featurizer shuffles) cannot land silently."""
+    the per-invocation localCheckpoint of the slot frame (r12: replaced
+    the persisted cross-call memo, which the CacheManager would silently
+    reuse across timed runs), probe side broadcast, dot-product aggregate
+    over the materialized frame, one window exchange on q_id. The
+    featurizer subtree no longer appears in this plan at all -- it ran
+    once at checkpoint time -- so a regression back to per-branch
+    featurization (multiple featurizer subtrees compiled into the search
+    plan) cannot land silently either way: the plan must read the slot
+    frame from the materialized RDD, never from a re-derived subtree."""
     from streamprocessing_with_kafka_spark.operators.features import text_ann_topk
 
     plan = _plan(spark, text_ann_topk(spark, sf_dir))
-    assert plan.count("InMemoryTableScan") >= 1, plan  # slot frame cached
+    assert plan.count("Scan ExistingRDD") >= 1, plan  # slot frame materialized
+    assert "unnest" not in plan and "string_split" not in plan, plan
     n = _n_distinct_shuffles(plan)
-    assert n <= 5, f"{n} distinct shuffles\n{plan}"
+    assert n <= 2, f"{n} distinct shuffles\n{plan}"
 
 
 def test_quality_classifier_is_shuffle_free(spark, sf_dir):
