@@ -109,10 +109,22 @@ def triangle_clustering(
     )
     if checkpoint:
         d = d.localCheckpoint()
-    tri = (
-        d.select(F.col("s").alias("a"), F.col("t").alias("b"))
-        .join(d.select(F.col("s").alias("b"), F.col("t").alias("c")), "b")
-        .join(d.select(F.col("s").alias("a"), F.col("t").alias("c")), ["a", "c"])
+    # The wedge join's OUTPUT is quadratic in its input (sum(outdeg^2)
+    # rows from |E| rows), but AQE sizes post-shuffle partitions by the
+    # INPUT bytes it can see -- on a vocabulary-sized edge list it
+    # coalesces the join down to a handful of partitions and the entire
+    # wedge enumeration (plus the closing broadcast probe fused into the
+    # same stage) runs on those few cores (r12 stage profile: 216 CPU-s
+    # through 5 tasks, 61 s wall). Pin the join's partitioning with an
+    # explicit repartition-by-number on the shared wedge key, which AQE
+    # honors (REPARTITION_BY_NUM), so the fan-out uses every core; the
+    # two sides share one exchange signature and the number tracks
+    # defaultParallelism, not a constant.
+    p = spark.sparkContext.defaultParallelism
+    ab = d.select(F.col("s").alias("a"), F.col("t").alias("b")).repartition(p, "b")
+    bc = d.select(F.col("s").alias("b"), F.col("t").alias("c")).repartition(p, "b")
+    tri = ab.join(bc, "b").join(
+        d.select(F.col("s").alias("a"), F.col("t").alias("c")), ["a", "c"]
     )
     tri_per_user = (
         tri.select(F.explode(F.array("a", "b", "c")).alias("user_id"))

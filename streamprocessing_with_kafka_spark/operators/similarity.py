@@ -67,8 +67,16 @@ def load_clean_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     mixed-nulls sweep).  Since r10 membership also requires a non-NULL
     vec_id (see is_index_member).  Row-preserving audit passes
     (embedding_stats, embedding_quantize) intentionally do NOT use
-    this: they keep corrupt rows visible with NULL derived columns."""
-    return load_table(spark, sf_dir, "embeddings").filter(
+    this: they keep corrupt rows visible with NULL derived columns.
+
+    rebalance=True (r12): every consumer runs per-vector arithmetic
+    (dot-product probes, subvector quantization, PCA folds) whose
+    per-row cost dwarfs one sub-MB exchange, and the vector table is
+    small enough that the loader's row threshold never fires -- so an
+    under-split file would otherwise pin the whole ANN family to one
+    core (A/B at sf0.1: ann_topk_bruteforce 0.74 -> 0.54 s). On a lake
+    input with ample row groups this stays a no-op."""
+    return load_table(spark, sf_dir, "embeddings", rebalance=True).filter(
         is_index_member(F.col("vec_id"), F.col("embedding"))
     )
 

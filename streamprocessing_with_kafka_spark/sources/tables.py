@@ -70,14 +70,18 @@ def load_table(
     # the extra round-robin exchange (plus its retry-determinism local
     # sort, SPARK-23207) than the map-side parallelism returns -- for
     # those, pass rebalance=False and let the downstream shuffle or
-    # broadcast do the fan-out. Pure full-scan aggregates with heavy
-    # per-row expression work (decimal sums, regex) keep the default.
+    # broadcast do the fan-out. rebalance=True waives only the ROW
+    # threshold, for queries whose per-row work is heavy even on small
+    # tables (e.g. per-vector dot products); the under-split check stays,
+    # so on a lake input with ample row groups it remains a no-op. Pure
+    # full-scan aggregates with heavy per-row expression work (decimal
+    # sums, regex) keep the default.
     if rebalance is False:
         return df
     rows, rgs = _parquet_layout(path)
     cores = spark.sparkContext.defaultParallelism
     threshold = 4096 if name in ("documents", "embeddings") else 200_000
-    if rebalance or (rows >= threshold and rgs < cores):
+    if (rebalance or rows >= threshold) and rgs < cores:
         df = df.repartition(cores)
     return df
 
