@@ -225,7 +225,14 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     has recall exactly 1 and the levenshtein verify only ever REMOVES
     false candidates.  Output: (custkey_a, custkey_b, name_a, name_b,
     dist) with custkey_a < custkey_b."""
-    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    # rebalance=True: each name explodes into |name|+1 deletion variants
+    # that immediately pay a self-join shuffle write -- heavy per-row
+    # work that an under-split customer file would otherwise run on ONE
+    # core (r12 stage profile: a single 3.8 s task; the loader's row
+    # threshold never fires for a dimension table).
+    cust = load_table(spark, sf_dir, "customer", rebalance=True).select(
+        "c_custkey", "c_name"
+    )
     name = F.col("c_name")
     variants = cust.select(
         "c_custkey",

@@ -1212,15 +1212,7 @@ def orders_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("s_us"),
     )
-    last_ship = (
-        load_table(spark, sf_dir, "lineitem")
-        .groupBy("l_orderkey")
-        .agg(
-            F.max(
-                F.unix_micros(F.col("l_shipdate").cast("timestamp"))
-            ).alias("e_us")
-        )
-    )
+    last_ship = _last_ship_per_order(spark, sf_dir)
     intervals = (
         orders.join(
             last_ship, orders.o_orderkey == last_ship.l_orderkey
@@ -1229,6 +1221,34 @@ def orders_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("e_us") > F.col("s_us"))
     )
     return daily_interval_peaks(intervals)
+
+
+def _last_ship_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(l_orderkey, e_us): each order's last-line ship instant -- the
+    shared upstream of both interval sweeps (orders_backlog,
+    orders_open_at_start).
+
+    The aggregate's exchange is PINNED to defaultParallelism with an
+    explicit repartition on the group key (which the groupBy then
+    reuses -- exchange count unchanged; the loader's round-robin
+    rebalance is skipped for the same reason): the frames downstream
+    explode each order interval into ~O(days-open) sweep rows in the
+    SAME stage that reads this exchange, and AQE -- which sizes
+    post-shuffle partitions from the input bytes it sees -- would
+    otherwise coalesce a ~7 MB aggregate down to a handful of
+    partitions and run the 90x fan-out on those few cores (r12 stage
+    profile: 36 CPU-s through 6 tasks, 6-8 s wall per sweep)."""
+    p = spark.sparkContext.defaultParallelism
+    return (
+        load_table(spark, sf_dir, "lineitem", rebalance=False)
+        .repartition(p, "l_orderkey")
+        .groupBy("l_orderkey")
+        .agg(
+            F.max(
+                F.unix_micros(F.col("l_shipdate").cast("timestamp"))
+            ).alias("e_us")
+        )
+    )
 
 
 ORDERS_BACKLOG_SQL = f"""
@@ -1360,15 +1380,7 @@ def orders_open_at_start(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("s_us"),
     )
-    last_ship = (
-        load_table(spark, sf_dir, "lineitem")
-        .groupBy("l_orderkey")
-        .agg(
-            F.max(
-                F.unix_micros(F.col("l_shipdate").cast("timestamp"))
-            ).alias("e_us")
-        )
-    )
+    last_ship = _last_ship_per_order(spark, sf_dir)
     intervals = (
         orders.join(last_ship, orders.o_orderkey == last_ship.l_orderkey)
         .select(F.col("o_orderkey").alias("iid"), "s_us", "e_us")
