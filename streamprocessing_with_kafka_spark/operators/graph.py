@@ -227,10 +227,18 @@ def pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "src", "degree", F.round(1.0 / F.col("n"), 6).alias("pr")
     )
     prev = None
+    p = spark.sparkContext.defaultParallelism
     for _ in range(PAGERANK_ITERS):
+        # contrib's aggregate exchange is pinned to defaultParallelism
+        # (explicit repartition on the group key, reused by the groupBy
+        # -- exchange count unchanged): AQE coalesced the few-hundred-KB
+        # mass frame to ONE partition and the fused rank-update +
+        # checkpoint stage that reads it ran single-core (r12 stage
+        # profile: one 3.9 s task in a 10.5 s query).
         contrib = (
             directed.join(ranks, "src")
             .select("dst", (F.col("pr") / F.col("degree")).alias("w"))
+            .repartition(p, "dst")
             .groupBy("dst")
             .agg(dec_sum("w").alias("mass"))
         )

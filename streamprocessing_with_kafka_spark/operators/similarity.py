@@ -231,6 +231,14 @@ def embedding_near_dup_lsh(
     # AFTER the dedup -- two id-keyed joins bounded by the corpus size
     # (broadcast at this SF; plain equi-joins for AQE to decide at
     # scale) -- so the exact cosine is paid once per UNIQUE pair.
+    # The pair-dedup exchange is PINNED to defaultParallelism (explicit
+    # repartition on the dedup keys, which the distinct-aggregate then
+    # reuses -- exchange count unchanged): the stage reading it runs the
+    # exact-cosine verify (a 64-dim fold per unique pair), per-row work
+    # AQE cannot see when it coalesces the few-MB bare-pair exchange
+    # down to a handful of partitions (r12 stage profile: 16 CPU-s of
+    # verify through 5 tasks, 4.1 s wall -> full width).
+    p = spark.sparkContext.defaultParallelism
     pairs = (
         a.join(
             b,
@@ -242,6 +250,7 @@ def embedding_near_dup_lsh(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
         )
+        .repartition(p, "vec_a", "vec_b")
         .dropDuplicates(["vec_a", "vec_b"])
     )
     ea = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"))
