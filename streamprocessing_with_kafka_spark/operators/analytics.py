@@ -897,14 +897,24 @@ def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NULL keys are not basket members: a line with no order identity
     # pools into one phantom mega-basket (fabricated pairs) and a NULL
     # part is not an item -- both sides gate them (r10 mixed_keys sweep).
+    # rebalance=False: the pre-distinct map work is a filter+project; the
+    # distinct's own exchange does the fan-out (r12).
     li = (
-        load_table(spark, sf_dir, "lineitem")
+        load_table(spark, sf_dir, "lineitem", rebalance=False)
         .filter(F.col("l_orderkey").isNotNull() & F.col("l_partkey").isNotNull())
         .select("l_orderkey", "l_partkey")
         .dropDuplicates(["l_orderkey", "l_partkey"])
     )
-    per_order = li.groupBy("l_orderkey").agg(
-        F.sort_array(F.collect_set("l_partkey")).alias("parts")
+    # The basket aggregate's exchange is pinned to defaultParallelism
+    # (explicit repartition on the group key, reused by the groupBy):
+    # the stage reading it explodes C(k,2) pairs per basket and partial-
+    # counts them -- fan-out work AQE would otherwise coalesce onto a
+    # handful of partitions sized from the few-MB basket frame (r12
+    # stage profile: the pair stage ran 6 tasks).
+    per_order = (
+        li.repartition(spark.sparkContext.defaultParallelism, "l_orderkey")
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
     )
     parts = F.col("parts")
     pair_structs = F.flatten(
