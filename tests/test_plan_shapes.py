@@ -125,7 +125,12 @@ def test_clean_embeddings_nullness_filter_pushes_to_scan(spark, sf_dir):
     assert re.search(r"PushedFilters: \[.*IsNotNull\(embedding\).*\]", plan), plan
     # the r10 vec_id membership gate must be scan-cheap too
     assert re.search(r"PushedFilters: \[.*IsNotNull\(vec_id\).*\]", plan), plan
-    assert "Exchange" not in plan, plan
+    # r12: the loader deliberately fans an under-split embeddings file
+    # out to the session's cores (every consumer runs per-vector math;
+    # see load_clean_embeddings) -- allow exactly that round-robin
+    # exchange and nothing else (no key shuffle may creep in here)
+    assert "ENSURE_REQUIREMENTS" not in plan, plan
+    assert "hashpartitioning" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
 
 
