@@ -64,7 +64,7 @@ def run_guard(cwd) -> tuple[int, str]:
     return r.returncode, r.stdout + r.stderr
 
 
-def green_baseline(round_no: int = 98) -> None:
+def green_baseline(round_no: int = 98, names: list[str] | None = None) -> None:
     """Write + COMMIT a synthetic CORRECTNESS_r<no>.json greening EVERY
     registry query in the worktree, so the guard's staleness ledger is
     clean at the worktree's HEAD regardless of the real repo's
@@ -72,12 +72,13 @@ def green_baseline(round_no: int = 98) -> None:
     loader makes the whole registry code-stale until the driver's
     full-registry run lands -- without this baseline the 'pristine
     worktree passes' precondition of every check below is unmeetable)."""
-    r = sh(
-        WT, sys.executable, "-c",
-        "import json; from streamprocessing_with_kafka_spark.plans."
-        "registry import registry; print(json.dumps(list(registry())))",
-    )
-    names = json.loads(r.stdout)
+    if names is None:
+        r = sh(
+            WT, sys.executable, "-c",
+            "import json; from streamprocessing_with_kafka_spark.plans."
+            "registry import registry; print(json.dumps(list(registry())))",
+        )
+        names = json.loads(r.stdout)
     green = {
         n: {"rows_match": True, "schema_match": True, "hash_match": True,
             "spark_rows": 1, "oracle_rows": 1, "err": None}
@@ -130,8 +131,19 @@ def worktree_windows() -> tuple[list[str], list[str]]:
 
 def check_rotation_dry_run() -> None:
     fresh_worktree()
-    green_baseline()
     CORRECTNESS_WINDOW, PENDING_WINDOW = worktree_windows()
+    # age-structured synthetic history: backlog greens strictly OLDEST
+    # (r97), everything else r98, then the r99 window below -- the
+    # rotation ranks by green age, and a flat all-one-round baseline
+    # destroys the signal the check exists to exercise
+    green_baseline(97)
+    r = sh(
+        WT, sys.executable, "-c",
+        "import json; from streamprocessing_with_kafka_spark.plans."
+        "registry import registry; print(json.dumps(list(registry())))",
+    )
+    all_names = json.loads(r.stdout)
+    green_baseline(98, [n for n in all_names if n not in set(PENDING_WINDOW)])
 
     # synthetic r99: the driver greens the whole current window
     green = {
