@@ -58,23 +58,24 @@ def test_driver_correctness_window_matches_budget():
         window[:12]
     )
     for name in (
-        # r12 window (VERDICT r11 item 1): backlog burn-down #1 of 2 --
-        # slots 13-50 are exactly scratch/next_window.py's rotation
-        # dry-run on the r11 artifacts, oldest-green-first: the lone r4
-        # green, the 13 r5-era conf-stale queries, and the 20 oldest r6
-        # greens (age-interleaved with four non-stale-but-old r4/r5
-        # queries). The guard is the exhaustive check; spot-pin heads,
-        # middles, and the tail here.
-        "json_order_collection",  # the lone r4 green (slot 13)
-        "crud_forget",  # oldest r5 conf-stale
-        "events_markov",  # r5 conf-stale
-        "sketch_count_min",  # r5 conf-stale
-        "events_cep_match",  # last of the r5 cohort
-        "text_dup_span_scrub",  # oldest r6 conf-stale
-        "dedup_incremental",  # r6 conf-stale
-        "text_decontaminate_fuzzy",  # non-stale-but-old, age-interleaved
-        "privacy_k_anonymity",  # r6 conf-stale
-        "text_bpe_encode",  # burn-down tail (slot 50)
+        # r12 window (OPTIMIZATION round, re-pinned over the planned
+        # backlog rotation -- OPTIMIZATION_r12.md "Round governance"):
+        # slots 13-48 take the ~36 queries whose operator code this
+        # round restructured (a REAL code change outranks conf-closure
+        # age for a slot, by the guard's own standard); 49-50 the two
+        # oldest backlog greens. The guard is the exhaustive check;
+        # spot-pin heads, middles, and the tail here.
+        "text_decontaminate",  # head of the restructured block (slot 13)
+        "dedup_minhash_lsh",  # honest-recompute localCheckpoint switch
+        "dedup_ngram_jaccard",  # same
+        "ann_topk_bruteforce",  # embeddings fan-out family
+        "ann_topk_pq",  # same family, census-heaviest member
+        "graph_triangles",  # wedge-join parallelism pin
+        "join_interval_stab",  # sweep parallelism pin
+        "basket_part_pairs",  # basket aggregate pin
+        "join_market_share",  # lineitem rebalance opt-out
+        "quality_benford",  # oldest backlog green (slot 49)
+        "profile_key_skew",  # oldest backlog green (slot 50)
     ):
         assert name in window, name
 
