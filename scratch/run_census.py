@@ -23,6 +23,9 @@ sys.path.insert(0, _repo)
 
 from streamprocessing_with_kafka_spark.session import get_spark  # noqa: E402
 from streamprocessing_with_kafka_spark.plans.registry import registry  # noqa: E402
+from streamprocessing_with_kafka_spark.functions.lineage import (  # noqa: E402
+    drain_ephemeral_checkpoints,
+)
 
 spark = get_spark("census")
 spark.sparkContext.setLogLevel("ERROR")
@@ -40,6 +43,7 @@ if os.environ.get("COLD") != "1":
             _q.fn(spark, "/root/testdata/sf0.001").collect()
         except Exception:
             pass
+        drain_ephemeral_checkpoints()
 
 times: dict[str, float] = {}
 t_all = time.time()
@@ -57,6 +61,7 @@ for name, q in sorted(registry().items()):
     except Exception as e:  # record, keep sweeping
         times[name] = -1.0
         print(f"ERROR {name}: {e}", file=sys.stderr)
+    drain_ephemeral_checkpoints()  # free the query's one-shot blocks
 
 with open(out_path, "w") as f:
     json.dump(times, f, indent=1, sort_keys=False)

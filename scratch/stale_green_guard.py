@@ -436,6 +436,34 @@ def main() -> None:
     # hard failures below to loud warnings for exactly that situation;
     # the counts still print so the round close records the exposure.
     full_validation = os.environ.get("SPARK_GRAFT_FULL_VALIDATION") == "1"
+    if full_validation:
+        # r13 (r12 ADVICE item 1): the waiver must be backed by EVIDENCE,
+        # not the env var alone -- the var could leak into a later round's
+        # close and silently accept real staleness. Require the artifact
+        # the waiver claims exists: scratch/full_validation.json, written
+        # by scratch/drive_driver.py after a full-registry oracle pass,
+        # with an "ok" for EVERY currently-registered query. Missing,
+        # unparseable, or incomplete coverage keeps the failures hard.
+        ev_path = os.path.join(REPO, "scratch", "full_validation.json")
+        try:
+            import json as _json
+
+            with open(ev_path) as f:
+                ev = _json.load(f)
+            uncovered = sorted(
+                n for n in _REGISTRY if ev.get("results", {}).get(n) != "ok"
+            )
+        except Exception:
+            uncovered = sorted(_REGISTRY)
+        if uncovered:
+            print(
+                f"\nSPARK_GRAFT_FULL_VALIDATION=1 REFUSED: {ev_path} is "
+                f"missing, unreadable, or does not record an 'ok' for "
+                f"every registered query ({len(uncovered)} uncovered, "
+                f"e.g. {uncovered[:3]}) -- run scratch/drive_driver.py "
+                "on the final tree first; hard failures stay hard."
+            )
+            full_validation = False
 
     if backlog_code_stale:
         print(f"\nBACKLOG CODE-STALE ({len(backlog_code_stale)}): queries "

@@ -33,7 +33,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from streamprocessing_with_kafka_spark.functions.lineage import free_local_checkpoint
+from streamprocessing_with_kafka_spark.functions.lineage import (
+    ephemeral_local_checkpoint,
+    free_local_checkpoint,
+)
 from streamprocessing_with_kafka_spark.functions.numeric import round_sql
 from streamprocessing_with_kafka_spark.functions.hashing import (
     family_hashes_from_h,
@@ -194,11 +197,10 @@ def _shingles_with_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     the superseded blocks are GC-reclaimed by the ContextCleaner."""
     from pyspark.sql import Window as W
 
-    return (
+    return ephemeral_local_checkpoint(
         _shingles(spark, sf_dir)
         .select("doc_id", md5_long(F.col("shingle")).alias("_h"))
         .withColumn("n", F.count(F.lit(1)).over(W.partitionBy("doc_id")))
-        .localCheckpoint()
     )
 
 
@@ -588,8 +590,9 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     changed -- which is the whole 100 TB story.
     """
     # eager localCheckpoint: the two join branches share one materialized
-    # frame; per-invocation (no cross-run reuse -- see _shingles_with_count)
-    sig = simhash_signatures(spark, sf_dir).localCheckpoint()
+    # frame; per-invocation (no cross-run reuse -- see _shingles_with_count),
+    # registered for harness-side reclamation (lineage.py)
+    sig = ephemeral_local_checkpoint(simhash_signatures(spark, sf_dir))
     bits_per = (SIMHASH_BITS + SIMHASH_BLOCKS - 1) // SIMHASH_BLOCKS  # 9
     blocks = sig.select(
         "doc_id",
