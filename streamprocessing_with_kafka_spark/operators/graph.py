@@ -41,7 +41,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from streamprocessing_with_kafka_spark.functions.lineage import free_local_checkpoint
 from streamprocessing_with_kafka_spark.functions.numeric import dec_sum, round_sql
-from streamprocessing_with_kafka_spark.sources.tables import load_table
+from streamprocessing_with_kafka_spark.sources.tables import _parquet_layout, load_table
 
 
 def cooccurrence_edges(ev: DataFrame) -> DataFrame:
@@ -193,6 +193,17 @@ FROM deg d LEFT JOIN tpu t USING (user_id)
 PAGERANK_ITERS = 3  # fixed unrolled rounds (the de-recursion pattern)
 PAGERANK_DAMPING = 0.85
 
+# Below this many event rows the per-round frames are tiny enough that AQE
+# coalesces every ENSURE_REQUIREMENTS exchange to a handful of partitions;
+# there the width pin (repartition on the group key BEFORE the aggregate,
+# reused by the groupBy) beats map-side combine, whose savings are
+# negligible at that volume (A/B at sf0.1: pin 5.1 s vs combine-first
+# ~11-14 s, r13 probes).  At or above it, the aggregate owns its exchange
+# so the |E|-row contrib shuffle carries map-side-combined partials
+# (|V|-bounded per map task -- the dominant term at lake scale), and AQE
+# keeps width naturally because the frames exceed its advisory size.
+PAGERANK_COMBINE_MIN_EVENT_ROWS = 10_000_000
+
 
 def pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the undirected co-occurrence graph, PAGERANK_ITERS
@@ -222,36 +233,18 @@ def pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint()
     deg = directed.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
     n_row = deg.agg(F.count(F.lit(1)).alias("n"))
-    d = PAGERANK_DAMPING
     ranks = deg.join(F.broadcast(n_row)).select(
         "src", "degree", F.round(1.0 / F.col("n"), 6).alias("pr")
     )
     prev = None
     p = spark.sparkContext.defaultParallelism
+    # Scale-adaptive strategy for the per-round mass aggregate: see
+    # PAGERANK_COMBINE_MIN_EVENT_ROWS.  Cheap driver-side footer read;
+    # no data action.
+    ev_rows, _ = _parquet_layout(f"{sf_dir}/events.parquet")
+    combine = ev_rows >= PAGERANK_COMBINE_MIN_EVENT_ROWS
     for _ in range(PAGERANK_ITERS):
-        # contrib's aggregate exchange is pinned to defaultParallelism
-        # (explicit repartition on the group key, reused by the groupBy
-        # -- exchange count unchanged): AQE coalesced the few-hundred-KB
-        # mass frame to ONE partition and the fused rank-update +
-        # checkpoint stage that reads it ran single-core (r12 stage
-        # profile: one 3.9 s task in a 10.5 s query).
-        contrib = (
-            directed.join(ranks, "src")
-            .select("dst", (F.col("pr") / F.col("degree")).alias("w"))
-            .repartition(p, "dst")
-            .groupBy("dst")
-            .agg(dec_sum("w").alias("mass"))
-        )
-        ranks = (
-            deg.join(contrib, deg.src == contrib.dst)
-            .join(F.broadcast(n_row))
-            .select(
-                "src",
-                "degree",
-                F.round((1.0 - d) / F.col("n") + d * F.col("mass"), 6).alias("pr"),
-            )
-            .localCheckpoint()
-        )
+        ranks = _pagerank_round(directed, deg, n_row, ranks, p, combine).localCheckpoint()
         if prev is not None:
             free_local_checkpoint(prev)  # superseded round's blocks
         prev = ranks
@@ -259,6 +252,46 @@ def pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # are no longer reachable from the returned plan
     free_local_checkpoint(directed)
     return ranks.select(F.col("src").alias("user_id"), F.col("pr").alias("pagerank"), "degree")
+
+
+def _pagerank_round(
+    directed: DataFrame,
+    deg: DataFrame,
+    n_row: DataFrame,
+    ranks: DataFrame,
+    p: int,
+    combine: bool,
+) -> DataFrame:
+    """One synchronous PageRank round (pre-checkpoint), factored out so
+    tests and plan dumps can inspect both aggregate strategies.
+
+    combine=True (lake scale): the mass aggregate owns its exchange, so
+    the |E|-row contrib shuffle carries map-side-combined partial sums
+    (|V|-bounded per map task -- the dominant term at volume); AQE keeps
+    the post-shuffle stages wide because the frames exceed its advisory
+    size.  combine=False (test scale): pin width on the group key BEFORE
+    the aggregate (the groupBy reuses the exchange -- exchange count
+    unchanged); forfeits map-side combine, negligible at that volume,
+    and keeps every per-round stage wide where AQE would coalesce the
+    few-hundred-KB frames to ONE partition (one 3.9 s task in a 10.5 s
+    query, r12 stage profile; combine-first A/B'd ~2x slower at sf0.1,
+    r13 probes)."""
+    d = PAGERANK_DAMPING
+    contrib = directed.join(ranks, "src").select(
+        "dst", (F.col("pr") / F.col("degree")).alias("w")
+    )
+    if not combine:
+        contrib = contrib.repartition(p, "dst")
+    contrib = contrib.groupBy("dst").agg(dec_sum("w").alias("mass"))
+    return (
+        deg.join(contrib, deg.src == contrib.dst)
+        .join(F.broadcast(n_row))
+        .select(
+            "src",
+            "degree",
+            F.round((1.0 - d) / F.col("n") + d * F.col("mass"), 6).alias("pr"),
+        )
+    )
 
 
 def _pagerank_iter_sql(i: int, prev: str) -> str:

@@ -1228,26 +1228,31 @@ def _last_ship_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared upstream of both interval sweeps (orders_backlog,
     orders_open_at_start).
 
-    The aggregate's exchange is PINNED to defaultParallelism with an
-    explicit repartition on the group key (which the groupBy then
-    reuses -- exchange count unchanged; the loader's round-robin
-    rebalance is skipped for the same reason): the frames downstream
-    explode each order interval into ~O(days-open) sweep rows in the
-    SAME stage that reads this exchange, and AQE -- which sizes
-    post-shuffle partitions from the input bytes it sees -- would
-    otherwise coalesce a ~7 MB aggregate down to a handful of
-    partitions and run the 90x fan-out on those few cores (r12 stage
-    profile: 36 CPU-s through 6 tasks, 6-8 s wall per sweep)."""
+    The groupBy owns its exchange so the lineitem shuffle carries
+    map-side-combined per-task maxima (partial_max below the fact
+    exchange -- ~4:1 fewer shuffled rows at TPC-H shape, the dominant
+    term at lake scale); width for the downstream sweep fan-out is then
+    PINNED with a round-robin repartition AFTER the aggregate.  Round
+    robin (not hash-on-key): a hash repartition with numPartitions ==
+    shuffle.partitions collapses into the aggregate's
+    ENSURE_REQUIREMENTS exchange at planning time, which AQE then
+    coalesces -- the ~7 MB combined frame would land on a handful of
+    partitions and the ~90x interval explode would run on those few
+    cores (r12 stage profile: 36 CPU-s through 6 tasks, 6-8 s wall per
+    sweep).  The pin's exchange moves only the per-order aggregate, and
+    nothing downstream needs hash placement (the order join broadcasts
+    / co-shuffles on its own).  The loader's round-robin rebalance
+    stays off: the aggregate exchange already redistributes."""
     p = spark.sparkContext.defaultParallelism
     return (
         load_table(spark, sf_dir, "lineitem", rebalance=False)
-        .repartition(p, "l_orderkey")
         .groupBy("l_orderkey")
         .agg(
             F.max(
                 F.unix_micros(F.col("l_shipdate").cast("timestamp"))
             ).alias("e_us")
         )
+        .repartition(p)
     )
 
 

@@ -1091,3 +1091,62 @@ def test_corpus_report_executed_shape(spark, sf_dir):
     )
     assert "SortMergeJoin" not in final, final
     assert _distinct_exchanges(final) <= 9, final
+
+
+def _mass_partial_parent(spark, combine: bool) -> str:
+    """The tree line directly above the pagerank mass partial-aggregate
+    node (its parent operator) in one round's formatted plan."""
+    from streamprocessing_with_kafka_spark.operators.graph import (
+        _pagerank_round,
+        cooccurrence_edges,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events")
+    e = cooccurrence_edges(ev)
+    directed = e.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+        e.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    deg = directed.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
+    n_row = deg.agg(F.count(F.lit(1)).alias("n"))
+    ranks = deg.join(F.broadcast(n_row)).select(
+        "src", "degree", F.round(1.0 / F.col("n"), 6).alias("pr")
+    )
+    df = _pagerank_round(directed, deg, n_row, ranks, 4, combine)
+    plan = _plan(spark, df, "formatted")
+    m = re.search(r"\((\d+)\) HashAggregate[^(]*\nInput[^\n]*\nKeys \[1\]: \[dst#\d+L\]\nFunctions \[1\]: \[partial_sum", plan)
+    assert m, plan
+    tree = plan.split("\n\n")[0].splitlines()
+    idx = next(i for i, l in enumerate(tree) if f"HashAggregate ({m.group(1)})" in l)
+    return tree[idx - 1]
+
+
+def test_pagerank_round_combine_keeps_map_side_combine(spark):
+    """Lake-scale branch: the mass aggregate owns its exchange, so the
+    |E|-row contrib shuffle carries map-side-combined partials (the
+    partial aggregate's parent is the Exchange, not the final agg)."""
+    assert "Exchange" in _mass_partial_parent(spark, combine=True)
+
+
+def test_pagerank_round_pin_keeps_width(spark):
+    """Test-scale branch: the width pin's REPARTITION_BY_NUM exchange
+    sits below the aggregate pair (partial's parent is the final agg);
+    AQE cannot coalesce the pinned exchange."""
+    assert "HashAggregate" in _mass_partial_parent(spark, combine=False)
+
+
+def test_last_ship_per_order_combines_then_pins_width(spark, sf_dir):
+    """The sweeps' shared lineitem aggregate: partial_max below the fact
+    exchange (map-side combine) and a pinned round-robin fan-out above
+    it for the interval explode (AQE must not coalesce it)."""
+    from streamprocessing_with_kafka_spark.operators.windows import (
+        _last_ship_per_order,
+    )
+
+    plan = _plan(spark, _last_ship_per_order(spark, sf_dir), "formatted")
+    m = re.search(r"\((\d+)\) HashAggregate[^(]*\nInput[^\n]*\nKeys \[1\]: \[l_orderkey#\d+L\]\nFunctions \[1\]: \[partial_max", plan)
+    assert m, plan
+    tree = plan.split("\n\n")[0].splitlines()
+    idx = next(i for i, l in enumerate(tree) if f"HashAggregate ({m.group(1)})" in l)
+    assert "Exchange" in tree[idx - 1], plan
+    assert re.search(r"RoundRobinPartitioning\(\d+\), REPARTITION_BY_NUM", plan), plan
