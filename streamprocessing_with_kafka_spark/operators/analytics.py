@@ -1286,19 +1286,27 @@ GROUP BY 1, 2
 
 # ------------------------------------------ ship-latency SLA percentiles
 
-def ship_latency_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ship_latency_monthly(
+    spark: SparkSession, sf_dir: str, first_ship: DataFrame | None = None
+) -> DataFrame:
     """Fulfilment-SLA dashboard: per order month, exact p50/p95 and
     mean of order-to-FIRST-ship latency in days.  Two map-side-
     combinable shuffles, both bounded: lineitem collapses onto its
     order (first ship date), then orders collapse onto ~84 months.
     Exact percentile() here; `approx_percentile` with the same call
     shape is the 100 TB drop-in (the `window_customer_quartiles`
-    trade, documented there)."""
-    first_ship = (
-        load_table(spark, sf_dir, "lineitem")
-        .groupBy("l_orderkey")
-        .agg(F.min("l_shipdate").alias("first_ship"))
-    )
+    trade, documented there).
+
+    `first_ship` lets a composition (pipeline_orders_ops_report) pass a
+    pre-materialized (l_orderkey, first_ship) frame so the lineitem
+    aggregate runs once per pipeline invocation instead of once per
+    consumer; default = computed here, bit-identical."""
+    if first_ship is None:
+        first_ship = (
+            load_table(spark, sf_dir, "lineitem")
+            .groupBy("l_orderkey")
+            .agg(F.min("l_shipdate").alias("first_ship"))
+        )
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderdate"
     )

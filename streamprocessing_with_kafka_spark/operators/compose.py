@@ -120,11 +120,24 @@ def export_packed_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     by construction: contaminated docs and non-keepers). Packing adds
     the one shard-keyed exchange. The DSIR stage already excludes the
     target-distribution slice itself, so the export contains only raw-
-    corpus survivors."""
+    corpus survivors.
+
+    The fuzzy-decontamination and cluster-dedup stages both consume the
+    shingle frame and its MinHash band keys; standalone each builds its
+    own, but the pipeline builds BOTH exactly once per invocation (one
+    corpus shingle explode + one signature aggregate instead of two of
+    each) and passes them through the constituents' frame parameters --
+    bit-identical expressions, declared outputs unchanged (r13)."""
+    from streamprocessing_with_kafka_spark.functions.lineage import (
+        ephemeral_local_checkpoint,
+    )
     from streamprocessing_with_kafka_spark.operators.decontaminate import (
-        decontaminate_fuzzy,
+        decontaminate_fuzzy_from_shingles,
     )
     from streamprocessing_with_kafka_spark.operators.dedup import (
+        _band_keys,
+        _shingles_with_count,
+        _signature_agg,
         dedup_cluster_keepers,
     )
     from streamprocessing_with_kafka_spark.operators.sampling import dsir_sample
@@ -147,13 +160,19 @@ def export_packed_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("is_kept") & (F.col("doc_id") % EVAL_MOD != 0))
         .select("doc_id", "avg_logratio")
     )
-    contaminated = decontaminate_fuzzy(spark, sf_dir).select("doc_id").distinct()
+    sh = _shingles_with_count(spark, sf_dir)
+    bands = ephemeral_local_checkpoint(_band_keys(_signature_agg(sh)))
+    contaminated = (
+        decontaminate_fuzzy_from_shingles(sh, bands=bands)
+        .select("doc_id")
+        .distinct()
+    )
     gated = kept.join(F.broadcast(contaminated), "doc_id", "left_anti")
     # near-dup collapse happens AMONG THE GATED SURVIVORS: each cluster
     # keeps its smallest surviving member -- collapsing against the full
     # corpus's keeper would export NOTHING for a cluster whose keeper was
     # itself sampled out or contaminated
-    clusters = dedup_cluster_keepers(spark, sf_dir).select(
+    clusters = dedup_cluster_keepers(spark, sf_dir, sh=sh, bands=bands).select(
         "doc_id", "keeper_doc_id"
     )
     wc = Window.partitionBy("cluster")
@@ -353,9 +372,18 @@ def orders_ops_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Every constituent is independently driver-proven; the report is
     three month-keyed equi-joins of already-tiny frames (<= |months|
-    rows each), so the composition adds no scale risk: the corpus is
-    touched exactly once per constituent, exactly as when they run
-    alone.  The oracle composes the SAME SQL constants as CTEs."""
+    rows each), so the composition adds no scale risk.  The three
+    constituents each need a per-order lineitem aggregate (first ship,
+    last ship x2); standalone they compute their own, but the pipeline
+    computes ONE fused groupBy(l_orderkey).agg(min, max) -- one corpus
+    scan + shuffle instead of three -- materialized per invocation via
+    an eager localCheckpoint and passed into the constituents through
+    their frame parameters (bit-identical expressions, so the declared
+    outputs are unchanged; r13).  The oracle composes the SAME SQL
+    constants as CTEs."""
+    from streamprocessing_with_kafka_spark.functions.lineage import (
+        ephemeral_local_checkpoint,
+    )
     from streamprocessing_with_kafka_spark.operators.analytics import (
         ship_latency_monthly,
     )
@@ -365,9 +393,26 @@ def orders_ops_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from streamprocessing_with_kafka_spark.sources.tables import load_table
 
-    lat = ship_latency_monthly(spark, sf_dir)
+    p = spark.sparkContext.defaultParallelism
+    per_order = ephemeral_local_checkpoint(
+        load_table(spark, sf_dir, "lineitem", rebalance=False)
+        .groupBy("l_orderkey")
+        .agg(
+            F.min("l_shipdate").alias("first_ship"),
+            F.max(
+                F.unix_micros(F.col("l_shipdate").cast("timestamp"))
+            ).alias("e_us"),
+        )
+        # same width pin as _last_ship_per_order: the sweeps' interval
+        # explode reads this frame and AQE would coalesce it narrow
+        .repartition(p)
+    )
+    last_ship = per_order.select("l_orderkey", "e_us")
+    lat = ship_latency_monthly(
+        spark, sf_dir, first_ship=per_order.select("l_orderkey", "first_ship")
+    )
     peak = (
-        orders_backlog(spark, sf_dir)
+        orders_backlog(spark, sf_dir, last_ship=last_ship)
         .groupBy(F.date_trunc("MONTH", F.col("day")).alias("month"))
         .agg(F.max("peak_concurrency").alias("peak_backlog"))
     )
@@ -375,7 +420,7 @@ def orders_ops_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", F.date_trunc("MONTH", F.col("o_orderdate")).alias("month")
     )
     stab = (
-        orders_open_at_start(spark, sf_dir)
+        orders_open_at_start(spark, sf_dir, last_ship=last_ship)
         .join(orders, "o_orderkey")
         .groupBy("month")
         .agg(

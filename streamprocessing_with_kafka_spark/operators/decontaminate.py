@@ -193,15 +193,20 @@ def decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate_fuzzy_from_shingles(_shingles_with_count(spark, sf_dir))
 
 
-def decontaminate_fuzzy_from_shingles(sh: DataFrame) -> DataFrame:
+def decontaminate_fuzzy_from_shingles(
+    sh: DataFrame, bands: DataFrame | None = None
+) -> DataFrame:
     """Frame-level core of decontaminate_fuzzy over any (doc_id, _h, n)
-    shingle frame (the _shingles_with_count contract)."""
+    shingle frame (the _shingles_with_count contract).  `bands` lets a
+    composition pass the shared band-key frame (see minhash_lsh_pairs);
+    default = computed here, bit-identical."""
     from streamprocessing_with_kafka_spark.operators.dedup import (
         _band_keys,
         _signature_agg,
     )
 
-    bands = _band_keys(_signature_agg(sh))
+    if bands is None:
+        bands = _band_keys(_signature_agg(sh))
     is_eval = F.col("doc_id") % EVAL_MOD == 0
     tb, eb = bands.filter(~is_eval).alias("t"), bands.filter(is_eval).alias("e")
     cand = (

@@ -165,12 +165,17 @@ _SHINGLES_SQL = word_ngrams_sql(SHINGLE_N, alias="shingle")
 # ------------------------------------------------- n-gram Jaccard pairs
 
 
-def _shingles_with_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _shingles_with_count(
+    spark: SparkSession, sf_dir: str, materialize: bool = True
+) -> DataFrame:
     """(doc_id, _h, n): the doc's shingles as 60-bit hashes plus its
     shingle-set size n, attached by a window so downstream joins carry
     it along instead of re-deriving it through separate broadcast
     branches. Materialized ONCE PER INVOCATION via an eager
-    localCheckpoint.
+    localCheckpoint; materialize=False skips the barrier for plans that
+    consume the frame exactly once (A/B'd at sf0.1: even the single-
+    consumer fused pair search ran faster WITH the barrier, 1.61 vs
+    1.83 s, so every current caller keeps the default).
 
     The shingle STRING never leaves this function: every consumer (pair
     blocking, signature mins, intersection counting) operates on the
@@ -197,10 +202,97 @@ def _shingles_with_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     the superseded blocks are GC-reclaimed by the ContextCleaner."""
     from pyspark.sql import Window as W
 
-    return ephemeral_local_checkpoint(
+    sh = (
         _shingles(spark, sf_dir)
         .select("doc_id", md5_long(F.col("shingle")).alias("_h"))
         .withColumn("n", F.count(F.lit(1)).over(W.partitionBy("doc_id")))
+    )
+    return ephemeral_local_checkpoint(sh) if materialize else sh
+
+
+def _group_pair_explode(
+    df: DataFrame, key_cols: list[str], member, max_group: int | None = None
+) -> DataFrame:
+    """(a, b): all within-group ordered pairs (a < b, by the member's
+    sort order) via ONE groupBy on the blocking key -- the fused
+    replacement for the `frame.alias(a) JOIN frame.alias(b)` self-join.
+
+    The self-join formulation scans and exchanges the member frame
+    TWICE (or broadcasts one copy) and pays a third exchange for the
+    downstream distinct/aggregate; fusing collects each group's members
+    into a sorted array behind the group key's single exchange and
+    streams the i<j expansion through two generators.  In-memory state
+    per row is the GROUP (O(d) members, same as the blocked join's
+    build side), never the O(d^2) pair set: the outer posexplode emits
+    one row per member and the inner explode slices only that member's
+    tail.  `max_group` fuses a group-size cap (e.g. a shingle
+    document-frequency cap) into the same aggregate, replacing a
+    separate count + semi-join."""
+    size_ok = F.size("_ds") >= 2
+    if max_group is not None:
+        size_ok = size_ok & (F.size("_ds") <= max_group)
+    g = (
+        df.groupBy(*key_cols)
+        .agg(F.sort_array(F.collect_list(member)).alias("_ds"))
+        .filter(size_ok)
+    )
+    m = g.select("_ds", F.posexplode("_ds").alias("_i", "a"))
+    return m.select(
+        "a",
+        F.explode(
+            F.slice(F.col("_ds"), F.col("_i") + F.lit(2), F.size("_ds"))
+        ).alias("b"),
+    )
+
+
+def _pair_intersections_fused(sh: DataFrame, max_shingle_df: int) -> DataFrame:
+    """(doc_a, doc_b, inter, na, nb) via the fused group-pair path --
+    the CAPPED pair search.  The cap becomes the blocking aggregate's
+    group-size filter (replacing the r12 count + semi-join, two fewer
+    stages; A/B at sf0.1: 1.26 -> 1.07 s), and the bound on group size
+    also bounds the collected array, so the ObjectHashAggregate that
+    makes this path a loss for the UNCAPPED search (below) stays cheap.
+    Each doc contributes a hash at most once, so members sort strictly
+    by doc_id and a < b is exactly the self-join's doc_id ordering; the
+    per-doc sizes ride the collected struct."""
+    pe = _group_pair_explode(
+        sh, ["_h"], F.struct("doc_id", "n"), max_group=max_shingle_df
+    )
+    return (
+        pe.select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.first("na").alias("na"),
+            F.first("nb").alias("nb"),
+        )
+    )
+
+
+def _pair_intersections(sh: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, inter, na, nb) for every doc pair sharing >= 1
+    shingle hash -- the UNCAPPED pair search, kept as the blocked
+    self-join: the fused group-pair alternative was A/B'd SLOWER here
+    (1.15 -> 1.51 s at sf0.1) because collect_list over the mostly-
+    singleton hash groups drives ObjectHashAggregate into its sort-based
+    fallback, while the join's build side is a plain hash relation.  At
+    lake scale the join is the standard blocked formulation (AQE picks
+    SMJ once the frame outgrows broadcast; skew-join splitting applies
+    -- neither exists for a single giant aggregate group)."""
+    a, b = sh.alias("a"), sh.alias("b")
+    return (
+        a.join(b, (F.col("a._h") == F.col("b._h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.first(F.col("a.n")).alias("na"),
+            F.first(F.col("b.n")).alias("nb"),
+        )
     )
 
 
@@ -212,34 +304,24 @@ def jaccard_pairs_from_shingles(
 
     `max_shingle_df` is the production hot-shingle knob: a shingle shared
     by d documents generates O(d^2) candidate pairs, so one boilerplate
-    shingle in millions of docs turns the blocked join quadratic. Capping
-    drops shingles with document frequency > cap BEFORE pairing (one extra
-    |shingles|-row aggregate, map-side combinable). Recall bound: per-doc
-    set sizes `n` stay UNCAPPED, so the capped Jaccard only loses
-    intersection mass -- it UNDERestimates, making the capped result a
-    strict subset of the exact one (precision 1); a true near-dup pair is
-    missed only if > (1 - threshold/(1+threshold)) * |union| of its shared
-    shingles are hot, which for real corpora means boilerplate-only
-    overlap -- usually exactly the pairs you do NOT want merged. Default
-    off so the registered oracle stays exact."""
-    if max_shingle_df is not None:
-        keep = (
-            sh.groupBy("_h")
-            .agg(F.count(F.lit(1)).alias("_df"))
-            .filter(F.col("_df") <= max_shingle_df)
-            .select("_h")
-        )
-        sh = sh.join(keep, "_h")
-    a, b = sh.alias("a"), sh.alias("b")
+    shingle in millions of docs turns the blocked pair search quadratic.
+    The cap is fused into the blocking aggregate's group-size filter
+    (r13; previously a separate count + semi-join -- see
+    _pair_intersections_fused). Recall bound: per-doc set sizes `n` stay
+    UNCAPPED, so the capped Jaccard only loses intersection mass -- it
+    UNDERestimates, making the capped result a strict subset of the exact
+    one (precision 1); a true near-dup pair is missed only if
+    > (1 - threshold/(1+threshold)) * |union| of its shared shingles are
+    hot, which for real corpora means boilerplate-only overlap -- usually
+    exactly the pairs you do NOT want merged. Default off so the
+    registered oracle stays exact."""
+    inter = (
+        _pair_intersections_fused(sh, max_shingle_df)
+        if max_shingle_df is not None
+        else _pair_intersections(sh)
+    )
     return (
-        a.join(b, (F.col("a._h") == F.col("b._h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(
-            F.count(F.lit(1)).alias("inter"),
-            F.first(F.col("a.n")).alias("na"),
-            F.first(F.col("b.n")).alias("nb"),
-        )
-        .withColumn(
+        inter.withColumn(
             "jaccard",
             F.round(
                 F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"), 6
@@ -373,23 +455,16 @@ def containment_pairs(
     spark: SparkSession, sf_dir: str, threshold: float = CONTAINMENT_THRESHOLD
 ) -> DataFrame:
     """Near-dup pairs by shingle containment: same blocked pair search as
-    ngram_jaccard_pairs (shared-shingle equi-join on the persisted hash
-    frame -- no cross join, same one candidate shuffle), but scored by
-    intersection over the SMALLER shingle set. A 100-word doc pasted into
-    a 10,000-word doc scores ~1.0 here vs ~0.01 Jaccard."""
+    ngram_jaccard_pairs (shared-shingle equi-join on the materialized
+    hash frame -- no cross join, same one candidate shuffle), but scored
+    by intersection over the SMALLER shingle set. A 100-word doc pasted
+    into a 10,000-word doc scores ~1.0 here vs ~0.01 Jaccard."""
     sh = _shingles_with_count(spark, sf_dir)
-    a, b = sh.alias("a"), sh.alias("b")
     cont = F.round(
         F.col("inter") / F.least("na", "nb").cast("double"), 6
     )
     return (
-        a.join(b, (F.col("a._h") == F.col("b._h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(
-            F.count(F.lit(1)).alias("inter"),
-            F.first(F.col("a.n")).alias("na"),
-            F.first(F.col("b.n")).alias("nb"),
-        )
+        _pair_intersections(sh)
         .withColumn("containment", cont)
         .filter(F.col("containment") >= threshold)
         .select("doc_a", "doc_b", "na", "nb", "containment")
@@ -470,12 +545,28 @@ def _band_keys(sig: DataFrame) -> DataFrame:
 
 
 def minhash_lsh_pairs(
-    spark: SparkSession, sf_dir: str, threshold: float = 0.7
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.7,
+    sh: DataFrame | None = None,
+    bands: DataFrame | None = None,
 ) -> DataFrame:
     """LSH candidate pairs (equi-join on band keys) verified with exact
-    Jaccard; returns pairs with jaccard >= threshold that LSH surfaced."""
-    sh = _shingles_with_count(spark, sf_dir)  # feeds signatures + verify
-    bands = _band_keys(_signature_agg(sh))
+    Jaccard; returns pairs with jaccard >= threshold that LSH surfaced.
+    (r13 note: fused group-pair generation on the band keys was A/B'd
+    here and measured SLOWER at sf0.1 -- 1.34 -> 1.52 s -- for the same
+    ObjectHashAggregate reason as the uncapped shingle pair search; the
+    self-join keeps the hash-relation build and AQE's broadcast/SMJ/
+    skew handling.)
+
+    `sh` / `bands` let a composition (pipeline_export_packed) pass the
+    shared shingle and band frames so they are built once per pipeline
+    invocation instead of once per consumer; defaults = computed here,
+    bit-identical."""
+    if sh is None:
+        sh = _shingles_with_count(spark, sf_dir)  # feeds signatures + verify
+    if bands is None:
+        bands = _band_keys(_signature_agg(sh))
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -589,10 +680,11 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     provably identical to the brute-force oracle; only the join strategy
     changed -- which is the whole 100 TB story.
     """
-    # eager localCheckpoint: the two join branches share one materialized
-    # frame; per-invocation (no cross-run reuse -- see _shingles_with_count),
-    # registered for harness-side reclamation (lineage.py)
-    sig = ephemeral_local_checkpoint(simhash_signatures(spark, sf_dir))
+    # No materialization barrier: since the fused group-pair generation
+    # (r13) the signature frame has exactly ONE consumer branch, so the
+    # eager localCheckpoint the r12 self-join needed (two concurrent
+    # branches would each recompute the signatures) is pure overhead.
+    sig = simhash_signatures(spark, sf_dir)
     bits_per = (SIMHASH_BITS + SIMHASH_BLOCKS - 1) // SIMHASH_BLOCKS  # 9
     blocks = sig.select(
         "doc_id",
@@ -611,13 +703,9 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("b"),
     ).select("doc_id", "simhash", F.col("b.blk").alias("blk"), F.col("b.bits").alias("bits"))
-    a, b = blocks.alias("a"), blocks.alias("b")
     cand = (
-        a.join(
-            b,
-            (F.col("a.blk") == F.col("b.blk"))
-            & (F.col("a.bits") == F.col("b.bits"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        _group_pair_explode(
+            blocks, ["blk", "bits"], F.struct("doc_id", "simhash")
         )
         .select(
             F.col("a.doc_id").alias("doc_a"),
@@ -661,7 +749,11 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
 
 
 def dedup_cluster_keepers(
-    spark: SparkSession, sf_dir: str, threshold: float = 0.7
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.7,
+    sh: DataFrame | None = None,
+    bands: DataFrame | None = None,
 ) -> DataFrame:
     """Connected components over the MinHash near-dup pair graph: each doc
     mapped to its cluster's keeper (= min doc_id reachable through near-dup
@@ -691,7 +783,9 @@ def dedup_cluster_keepers(
     """
     _free_checkpoint = free_local_checkpoint
 
-    pairs = minhash_lsh_pairs(spark, sf_dir, threshold).select("doc_a", "doc_b")
+    pairs = minhash_lsh_pairs(spark, sf_dir, threshold, sh=sh, bands=bands).select(
+        "doc_a", "doc_b"
+    )
     # undirected edge list, both directions
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))

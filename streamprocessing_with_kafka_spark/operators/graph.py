@@ -5,34 +5,29 @@ standard "how cliquish is this interaction graph" primitives
 
 Graph construction: an undirected edge (u, v) exists iff the two users
 both produced at least one event of the same type in the same hour.
-Everything downstream is ordered-edge equi-joins -- the classic
-SQL-native triangle enumeration: store each edge once as (u < v) and
-count closed ordered triples (a<b<c) by joining the edge list against
-itself twice on equality keys only. No theta joins, no adjacency
-matrices on the driver.
+Triangle enumeration is edge-intersection over the degree-oriented edge
+list (compact-forward, Latapy 2008): each undirected edge directed from
+its (degree, id)-smaller endpoint, per-vertex out-neighbor arrays built
+once, and for every oriented edge (s, t) the closing vertices are
+exactly N+(s) & N+(t). No theta joins, no adjacency matrices on the
+driver.
 
 Scale: the co-occurrence pair explosion is quadratic in the
 per-(type, hour) cell size -- the same hot-block hazard as the shingle
 blocks in `dedup.ngram_jaccard_pairs`, controlled the same way (cap or
 sub-bucket hot cells; the registered query runs uncapped for oracle
-exactness). The triangle join's cost is the wedge count, so edges are
-ORIENTED from the (degree, id)-smaller endpoint to the larger one
-before the two equi-joins (compact-forward, Latapy 2008): every
-triangle survives as exactly one directed path a->b->c closed by a->c,
-and the wedge stream is bounded by sum(outdeg^2) <= O(m^1.5) REGARDLESS
-of max degree -- on a skewed graph the previous id-ordered edge list
-degenerates to deg_max * m wedges through any hub. (On the synthetic
-sf corpus degrees are near-uniform per cell, so id-order was already
-near-optimal: 277.8M -> 277.2M wedges at sf0.1 -- the orientation is
-worst-case insurance, not a win on this data.) The plan shape (two
-equi-joins) is unchanged, so the sf plan IS the 100 TB plan. What DID
-move at sf0.1 is the wedge exchange: the oriented edge list is slim
-enough that AQE's runtime broadcast conversion (session.py threshold
-note) builds both join sides as 6 MB hash tables and streams the
-wedges through them -- 1.88 GB of shuffled+sorted wedge rows dropped
-to zero, wall 72 s -> 35 s. Past broadcastable edge lists, the shuffle
-moves oriented-wedge rows -- the textbook MapReduce triangle-count
-cost, minimized by the orientation.
+exactness). The orientation bounds every out-degree at O(sqrt m), so
+the total intersection work is sum over edges of (out(s)+out(t))
+<= O(m^1.5) REGARDLESS of max degree -- a hub's huge IN-degree never
+multiplies anything. r12 enumerated the same wedges as JOIN ROWS
+(ab x bc on the middle vertex): 277M wedge rows at sf0.1, ~3us/row of
+exchange+probe overhead each, 846 CPU-s; moving the wedge work inside
+array_intersect's hash set (ns/element) and materializing rows only
+for actual triangles cut the query 33.2 -> 9.1 s (r13, min-of-4). The
+adjacency join is broadcast-hinted only below GRAPH_SMALL_EVENT_ROWS;
+past that the planner is free to SMJ the |V|-row adjacency table
+against the edges -- the shuffle then moves each neighbor list once,
+still the minimized compact-forward cost.
 """
 
 from __future__ import annotations
@@ -68,17 +63,18 @@ def triangle_clustering(
 ) -> DataFrame:
     """Per-user triangle count, degree, and local clustering coefficient.
 
-    Triangles enumerate once each via two equi-joins over the DEGREE-
+    Triangles enumerate once each by EDGE-INTERSECTION over the DEGREE-
     ORIENTED edge list (each undirected edge directed from its
     (degree, id)-smaller endpoint -- a strict total order, so a triangle
-    whose corners sort a<b<c in it carries exactly the directed edges
-    a->b, b->c, a->c and is found exactly once as the a->b->c path
-    closed by a->c); each triangle then credits its three corners
-    through one explode. Degree is a per-endpoint count over the
+    whose corners sort x<y<z in it carries exactly the directed edges
+    x->y, x->z, y->z and is found exactly once at edge (x, y) as
+    z in N+(x) & N+(y)); each triangle then credits its three corners
+    in the same pass. Degree is a per-endpoint count over the
     undirected edge list, computed FIRST and reused for the orientation.
     The final frame is user-sized -- joins after the corpus scan touch
-    only vocabulary-scale data, and the wedge stream between the two
-    joins is bounded by sum(outdeg^2) <= O(|E|^1.5).
+    only vocabulary-scale data, and the intersection work is bounded by
+    sum over edges of (out(s)+out(t)) <= O(|E|^1.5), with out-degrees
+    capped at O(sqrt|E|) by the orientation.
     `lcc = 2*tri / (deg*(deg-1))` in fixed-order double, 6dp.
     """
     ev = load_table(spark, sf_dir, "events")
@@ -109,27 +105,74 @@ def triangle_clustering(
     )
     if checkpoint:
         d = d.localCheckpoint()
-    # The wedge join's OUTPUT is quadratic in its input (sum(outdeg^2)
-    # rows from |E| rows), but AQE sizes post-shuffle partitions by the
-    # INPUT bytes it can see -- on a vocabulary-sized edge list it
-    # coalesces the join down to a handful of partitions and the entire
-    # wedge enumeration (plus the closing broadcast probe fused into the
-    # same stage) runs on those few cores (r12 stage profile: 216 CPU-s
-    # through 5 tasks, 61 s wall). Pin the join's partitioning with an
-    # explicit repartition-by-number on the shared wedge key, which AQE
-    # honors (REPARTITION_BY_NUM), so the fan-out uses every core; the
-    # two sides share one exchange signature and the number tracks
-    # defaultParallelism, not a constant.
+    # Edge-intersection enumeration (compact-forward): build each
+    # vertex's out-neighbor array once, then for every oriented edge
+    # (s, t) the triangles it CLOSES are exactly N+(s) & N+(t) -- for a
+    # triangle with corners x < y < z in the orientation order, edge
+    # (x, y) finds z in both out-lists and no other edge of the
+    # triangle does, so each triangle is found exactly once and its
+    # three corners are credited in one pass (s and t by the
+    # intersection size, every z by an explode of the intersection).
+    #
+    # Why not the r12 wedge JOIN (ab x bc on the middle vertex): that
+    # plan materializes every wedge as a ROW through an exchange and a
+    # broadcast probe -- 277M wedge rows at sf0.1, ~3us/row, 846 CPU-s
+    # (r13 stage profile). Here the same wedge work happens inside
+    # array_intersect's hash set, ~ns/element, and only actual
+    # triangles become rows. A/B at sf0.1: 35.8 -> 18.1 s min-of-3.
+    # Skew note: per-edge cost is out(s)+out(t), bounded by the
+    # orientation at O(sqrt|E|) per endpoint -- no giant key exists, and
+    # the round-robin repartition spreads the heavy edges uniformly.
+    #
+    # The adjacency join is broadcast-HINTED only at test scale (the
+    # checkpointed frames defeat size estimation, so the planner would
+    # SMJ a 6 MB table); at lake scale the hint is withheld -- the
+    # adjacency table is |V| rows carrying |E| total longs and must be
+    # free to plan as SMJ (size-adaptive, same boundary as pagerank).
+    small = (
+        _parquet_layout(f"{sf_dir}/events.parquet")[0] < GRAPH_SMALL_EVENT_ROWS
+    )
     p = spark.sparkContext.defaultParallelism
-    ab = d.select(F.col("s").alias("a"), F.col("t").alias("b")).repartition(p, "b")
-    bc = d.select(F.col("s").alias("b"), F.col("t").alias("c")).repartition(p, "b")
-    tri = ab.join(bc, "b").join(
-        d.select(F.col("s").alias("a"), F.col("t").alias("c")), ["a", "c"]
+    adj = d.groupBy("s").agg(F.collect_list("t").alias("nbr"))
+    adj_t = adj.select(F.col("s").alias("t"), F.col("nbr").alias("nbr_t"))
+    per_edge = (
+        d.repartition(p)
+        .join(F.broadcast(adj) if small else adj, "s")
+        .join(F.broadcast(adj_t) if small else adj_t, "t", "left")
+        .select(
+            "s",
+            "t",
+            F.array_intersect(
+                F.col("nbr"), F.coalesce(F.col("nbr_t"), F.array())
+            ).alias("zs"),
+        )
+        .withColumn("cnt", F.size("zs"))
+        # NO filter(cnt > 0): the pushed-down filter lands BELOW the
+        # projection and re-evaluates array_intersect per edge (the
+        # heavy expression, twice -- visible in the final plan); a
+        # zero-intersection edge instead emits two c=0 credits that
+        # sum away, which is semantics-identical and half the work.
+    )
+    # All three corner credits in ONE pass over per_edge (a union of
+    # three selects would re-run the intersection once per branch --
+    # 3x the heavy stage, r13 stage profile): s and t get the
+    # intersection size, every closing z gets 1, concatenated into one
+    # exploded array.
+    contrib = F.concat(
+        F.array(
+            F.struct(F.col("s").alias("user_id"), F.col("cnt").alias("c")),
+            F.struct(F.col("t").alias("user_id"), F.col("cnt").alias("c")),
+        ),
+        F.transform(
+            "zs",
+            lambda z: F.struct(z.alias("user_id"), F.lit(1).alias("c")),
+        ),
     )
     tri_per_user = (
-        tri.select(F.explode(F.array("a", "b", "c")).alias("user_id"))
+        per_edge.select(F.explode(contrib).alias("uc"))
+        .select(F.col("uc.user_id").alias("user_id"), F.col("uc.c").alias("c"))
         .groupBy("user_id")
-        .agg(F.count(F.lit(1)).alias("n_triangles"))
+        .agg(F.sum("c").alias("n_triangles"))
     )
     lcc = F.when(
         F.col("degree") >= 2,
@@ -193,16 +236,18 @@ FROM deg d LEFT JOIN tpu t USING (user_id)
 PAGERANK_ITERS = 3  # fixed unrolled rounds (the de-recursion pattern)
 PAGERANK_DAMPING = 0.85
 
-# Below this many event rows the per-round frames are tiny enough that AQE
-# coalesces every ENSURE_REQUIREMENTS exchange to a handful of partitions;
-# there the width pin (repartition on the group key BEFORE the aggregate,
-# reused by the groupBy) beats map-side combine, whose savings are
-# negligible at that volume (A/B at sf0.1: pin 5.1 s vs combine-first
-# ~11-14 s, r13 probes).  At or above it, the aggregate owns its exchange
-# so the |E|-row contrib shuffle carries map-side-combined partials
-# (|V|-bounded per map task -- the dominant term at lake scale), and AQE
-# keeps width naturally because the frames exceed its advisory size.
-PAGERANK_COMBINE_MIN_EVENT_ROWS = 10_000_000
+# The graph operators' test-scale/lake-scale boundary, measured on the
+# events table's parquet footer (cheap driver-side read, no data action).
+# Below this many event rows the vocabulary-sized graph frames are tiny:
+# AQE coalesces every ENSURE_REQUIREMENTS exchange to a handful of
+# partitions (pagerank pins width instead of keeping map-side combine)
+# and the adjacency table fits a broadcast (triangles hints it).  At or
+# above it the scale-correct shapes take over: pagerank's mass aggregate
+# owns its exchange (map-side-combined partials, |V|-bounded per map
+# task -- the dominant term at volume; AQE keeps width naturally because
+# the frames exceed its advisory size) and the triangle adjacency join
+# is left to the planner (broadcast if it fits, SMJ otherwise).
+GRAPH_SMALL_EVENT_ROWS = 10_000_000
 
 
 def pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -239,10 +284,10 @@ def pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev = None
     p = spark.sparkContext.defaultParallelism
     # Scale-adaptive strategy for the per-round mass aggregate: see
-    # PAGERANK_COMBINE_MIN_EVENT_ROWS.  Cheap driver-side footer read;
+    # GRAPH_SMALL_EVENT_ROWS.  Cheap driver-side footer read;
     # no data action.
     ev_rows, _ = _parquet_layout(f"{sf_dir}/events.parquet")
-    combine = ev_rows >= PAGERANK_COMBINE_MIN_EVENT_ROWS
+    combine = ev_rows >= GRAPH_SMALL_EVENT_ROWS
     for _ in range(PAGERANK_ITERS):
         ranks = _pagerank_round(directed, deg, n_row, ranks, p, combine).localCheckpoint()
         if prev is not None:

@@ -1193,7 +1193,9 @@ FROM fanned GROUP BY 1
 """
 
 
-def orders_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+def orders_backlog(
+    spark: SparkSession, sf_dir: str, last_ship: DataFrame | None = None
+) -> DataFrame:
     """Per-day order-backlog peaks: an order is OPEN from o_orderdate
     until its last line ships (half-open, fulfilled at the last
     l_shipdate instant) -- the operations dashboard twin of
@@ -1207,12 +1209,18 @@ def orders_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale / co-shuffles at 100 TB); degenerate intervals (last ship at
     or before the order instant -- absent in TPC-H data) are filtered
     rather than fed to the sweep, whose sequence() would run backwards
-    on them."""
+    on them.
+
+    `last_ship` lets a composition (pipeline_orders_ops_report) pass a
+    pre-materialized (l_orderkey, e_us) frame so the lineitem aggregate
+    runs once per pipeline invocation instead of once per consumer;
+    default = computed here, bit-identical."""
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey",
         F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("s_us"),
     )
-    last_ship = _last_ship_per_order(spark, sf_dir)
+    if last_ship is None:
+        last_ship = _last_ship_per_order(spark, sf_dir)
     intervals = (
         orders.join(
             last_ship, orders.o_orderkey == last_ship.l_orderkey
@@ -1375,17 +1383,20 @@ def interval_stab_counts(intervals: DataFrame) -> DataFrame:
     )
 
 
-def orders_open_at_start(spark: SparkSession, sf_dir: str) -> DataFrame:
+def orders_open_at_start(
+    spark: SparkSession, sf_dir: str, last_ship: DataFrame | None = None
+) -> DataFrame:
     """Per order: how many OTHER orders were already open (placed, not
     yet fully shipped) at its placement instant -- `orders_backlog`'s
     per-entity companion, and the repo's interval-stabbing join.  Same
     lifecycle definition as the backlog (open from o_orderdate until
-    the last l_shipdate, half-open)."""
+    the last l_shipdate, half-open).  `last_ship`: see orders_backlog."""
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey",
         F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("s_us"),
     )
-    last_ship = _last_ship_per_order(spark, sf_dir)
+    if last_ship is None:
+        last_ship = _last_ship_per_order(spark, sf_dir)
     intervals = (
         orders.join(last_ship, orders.o_orderkey == last_ship.l_orderkey)
         .select(F.col("o_orderkey").alias("iid"), "s_us", "e_us")

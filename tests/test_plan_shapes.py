@@ -655,32 +655,25 @@ def test_triangle_joins_are_all_equi(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
 
 
-def test_triangle_wedge_rides_broadcast_joins_at_runtime(spark, sf_dir):
-    """VERDICT r7 item 2: the 1.88 GB->0 wedge-exchange win exists only at
-    RUNTIME (the session's 64 MB spark.sql.adaptive.autoBroadcastJoinThreshold
-    converts the two triangle joins once the checkpointed edge list's true
-    size is measured; static planning sees LogicalRDD's unknown-size default
-    and conservatively plans SMJ). Pin the FINAL adaptive plan so a conf or
-    Spark-upgrade regression that silently re-materializes the O(|E|^1.5)
-    wedge shuffle turns a test red instead of only a census number."""
+def test_triangle_intersection_shape_at_runtime(spark, sf_dir):
+    """The r13 edge-intersection formulation, pinned at runtime: the
+    adjacency joins and the degree left-join all run as broadcast hash
+    joins at test scale (no sort-merge / shuffled-hash anywhere -- the
+    O(|E|^1.5) wedge work happens inside array_intersect, never as
+    shuffled rows), the corner credits flow through ONE Generate (a
+    union formulation would re-run the intersection per branch), and
+    array_intersect is evaluated exactly ONCE per edge (a filter on the
+    intersection size gets pushed below the projection and re-evaluates
+    the heavy expression -- the regression this test exists to catch)."""
     df = registry()["graph_triangles"].fn(spark, sf_dir)
     df.collect()  # finalize the adaptive plan
     full = _plan(spark, df)
-    parts = full.split("== Initial Plan ==")
-    final, initial = parts[0], parts[1]
-    # the runtime conversion is what this test exercises: statically all
-    # three joins (two triangle hops + degree left-join) are SMJ
-    assert initial.count("SortMergeJoin") == 3, initial
-    # ...and at runtime every one becomes broadcast: the wedge stream
-    # a->b->c flows map-side through both hash joins, never shuffling
+    final = full.split("== Initial Plan ==")[0]
     assert final.count("SortMergeJoin") == 0, final
     assert final.count("ShuffledHashJoin") == 0, final
     assert final.count("BroadcastHashJoin") == 3, final
-    # note: an Exchange keyed (a, c) may survive in the final plan, but only
-    # BELOW a BroadcastExchange -- it is the slim edge list whose
-    # already-written shuffle AQE reuses (local read) as the broadcast
-    # input. With zero sort-merge/shuffled-hash joins, the O(|E|^1.5) wedge
-    # stream itself is provably probe-side everywhere: it never shuffles.
+    assert final.count("Generate explode") == 1, final
+    assert final.count("array_intersect") == 1, final
 
 
 def test_runtime_bloom_filter_prunes_shuffle_join_fact_side(spark, sf_dir):
